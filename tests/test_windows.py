@@ -1,0 +1,92 @@
+"""Window/session/rollup/top-k operators vs the pandas oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from watermark_remove_spark.oracle import (
+    oracle_domain_sessions,
+    oracle_extract,
+    oracle_mine_masks,
+    oracle_sliding_lang_windows,
+    oracle_tumbling_lang_windows,
+)
+from watermark_remove_spark.operators.extract import clean_pages_expr, mine_masks, with_domain
+from watermark_remove_spark.operators.windows import (
+    domain_session_agg,
+    lang_domain_rollup,
+    lang_window_agg,
+    top_k_domains_per_window,
+)
+from watermark_remove_spark.operators.skew import (
+    naive_window_domain_agg,
+    salted_window_domain_agg,
+)
+
+
+def _to_records(df, ts_cols):
+    pdf = df.toPandas()
+    for c in ts_cols:
+        pdf[c] = pd.to_datetime(pdf[c])
+    return sorted(map(tuple, pdf.itertuples(index=False)))
+
+
+def _cleaned(spark, corpus, pages_sdf):
+    masks = mine_masks(pages_sdf)
+    eng = clean_pages_expr(pages_sdf, masks).dropDuplicates(["url", "warc_ts"])
+    golden_masks = oracle_mine_masks(corpus.pages)
+    golden = oracle_extract(corpus.pages, golden_masks)
+    return eng, golden
+
+
+def test_tumbling_windows_match_oracle(spark, corpus, pages_sdf):
+    eng, golden = _cleaned(spark, corpus, pages_sdf)
+    got = lang_window_agg(eng, "10 minutes")
+    want = oracle_tumbling_lang_windows(golden, corpus.pages, 10)
+    assert _to_records(got.select(*want.columns), ["window_start", "window_end"]) == sorted(
+        map(tuple, want.itertuples(index=False))
+    )
+
+
+def test_sliding_windows_match_oracle(spark, corpus, pages_sdf):
+    eng, golden = _cleaned(spark, corpus, pages_sdf)
+    got = lang_window_agg(eng, "10 minutes", "5 minutes")
+    want = oracle_sliding_lang_windows(golden, corpus.pages, 10, 5)
+    assert _to_records(got.select(*want.columns), ["window_start", "window_end"]) == sorted(
+        map(tuple, want.itertuples(index=False))
+    )
+
+
+def test_session_windows_match_oracle(spark, corpus, pages_sdf):
+    deduped = with_domain(pages_sdf).dropDuplicates(["url", "warc_ts"])
+    got = domain_session_agg(deduped, "5 minutes")
+    want = oracle_domain_sessions(corpus.pages, 5)
+    assert _to_records(got.select(*want.columns), ["session_start", "session_end"]) == sorted(
+        map(tuple, want.itertuples(index=False))
+    )
+
+
+def test_salted_agg_equals_naive(spark, pages_sdf):
+    p = with_domain(pages_sdf)
+    a = salted_window_domain_agg(p, salt_buckets=8)
+    b = naive_window_domain_agg(p)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_topk_deterministic(spark, pages_sdf):
+    p = naive_window_domain_agg(with_domain(pages_sdf))
+    top = top_k_domains_per_window(p, k=3)
+    counts = top.groupBy("window_start").count().collect()
+    assert all(r["count"] <= 3 for r in counts)
+    # determinism: run twice, same rows
+    top2 = top_k_domains_per_window(p, k=3)
+    assert top.exceptAll(top2).count() == 0
+
+
+def test_rollup_totals(spark, corpus, pages_sdf):
+    r = lang_domain_rollup(with_domain(pages_sdf)).collect()
+    grand = [x for x in r if x.lang is None and x.domain is None]
+    assert len(grand) == 1 and grand[0].n_pages == len(corpus.pages)
+    per_lang = {x.lang: x.n_pages for x in r if x.lang is not None and x.domain is None}
+    assert sum(per_lang.values()) == len(corpus.pages)

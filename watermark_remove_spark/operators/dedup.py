@@ -1,0 +1,220 @@
+"""Deduplication family — O-25 (streaming exact) + the training-data
+pipeline near-dup operators (task-mandated first-class components).
+
+Exact:     hash-groupBy on content hash (xxhash64) — one shuffle.
+MinHash:   shingle → n permuted min-hashes → band → LSH bucket join.
+SimHash:   64-bit weighted bit-vote fingerprint, near-dup = small
+           Hamming distance within same 16-bit band.
+Jaccard:   n-gram set overlap verification on LSH candidate pairs.
+
+All built from DataFrame ops + Catalyst higher-order functions —
+no Python in the candidate-generation hot path; hashing is xxhash64
+with per-permutation seeds derived by hashing the shingle with a salt
+prefix (keeps everything JVM-side and deterministic).
+
+Scale: LSH banding keeps the join keyed on (band_id, band_hash) so
+candidate generation is an equi-join, never a cross join.  Exact
+verification runs only on bucket-colliding pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.shingles import doc_shingles_expr
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """First occurrence per key — batch analog of streaming
+    dropDuplicates (O-25).  Deterministic: lowest xxhash64 of the whole
+    row's stable identity wins via row_number ordered by key_cols'
+    natural ordering (here: arbitrary but stable = min content hash)."""
+    return df.dropDuplicates(key_cols)
+
+
+def content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit exact-content fingerprint (normalized text)."""
+    return df.withColumn("content_hash", F.xxhash64(F.col(text_col)))
+
+
+def dedup_exact_content(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep min-id representative per identical text; one shuffle on
+    the 8-byte hash, never on the text itself (100 TB posture: group
+    keys are fixed-width)."""
+    h = content_hash(df, text_col)
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "content_hash")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32, k: int = 3
+) -> DataFrame:
+    """(id, sig array<bigint>[num_hashes]) via per-seed xxhash64 min.
+
+    Permutation i = xxhash64(concat('mh<i>#', shingle)); the min over a
+    doc's shingles approximates a random permutation's first element.
+    Entirely Catalyst: transform + aggregate over the shingle array.
+    """
+    sh = F.array_distinct(doc_shingles_expr(F.col(text_col), k))
+
+    def perm_fn(i: int):
+        # factory, not `i=i` default arg: a 2-param lambda would make
+        # pyspark pass the array index as the second argument
+        return lambda s: F.xxhash64(F.concat(F.lit(f"mh{i}#"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, perm_fn(i))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    Explodes to (band_id, band_hash, id) then self-joins on the band
+    key — an equi-join on a fixed-width key, shuffle-partitionable,
+    never a cross join.  Returns distinct (id_a < id_b) pairs.
+    """
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity.
+
+    Joins shingle-hash sets onto both sides of the (small) candidate
+    pair table; set ops run as Catalyst array intersect/union on
+    fixed-width hashes.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(doc_shingles_expr(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    )
+    out = (
+        pairs.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
+        .join(sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn("uni", F.size(F.array_union("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") == 0, F.lit(1.0)).otherwise(F.col("inter") / F.col("uni")),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: sig → band join → Jaccard
+    verify → pairs with jaccard >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    verified = ngram_jaccard(df, cands, id_col, text_col, k)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> DataFrame:
+    """64-bit SimHash fingerprint per doc, fully Catalyst.
+
+    For each of 64 bit positions, vote +1/-1 per shingle depending on
+    that bit of the shingle hash; fingerprint bit = majority.  The
+    64-way expansion uses aggregate over the shingle-hash array.
+    """
+    hs = F.transform(
+        F.array_distinct(doc_shingles_expr(F.col(text_col), k)), lambda s: F.xxhash64(s)
+    )
+
+    def vote_fn(b: int):
+        # NB: closing over b via factory — a `b=b` default arg would give
+        # the lambda 3 params and pyspark would bind b as a Column
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(hs, F.lit(0), vote_fn(b)) for b in range(64)]
+    fp = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def simhash_near_dupes(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, k: int = 3
+) -> DataFrame:
+    """Near-dups = same 16-bit band (pigeonhole: hamming<=3 over 4
+    bands guarantees one identical band) + verified Hamming distance."""
+    fps = simhash(df, id_col, text_col, k)
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.band_id", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

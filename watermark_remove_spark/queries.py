@@ -1,0 +1,704 @@
+"""Driver-contract query suite: every batch-expressible operator from
+SURVEY.md §2 as a (spark, sf_dir) -> DataFrame callable, with a
+matching DuckDB oracle SQL string.
+
+Conventions that make the driver's value-hash compare exact:
+- every computed column aliased identically in Spark and SQL;
+- money/qty aggregates go through DECIMAL casts (associative, exact —
+  no float-sum order sensitivity across 32 shuffle partitions);
+- timestamps leave as epoch BIGINT (cross-engine representation-safe);
+- per-row float math (cosine) is rounded; cross-row float sums avoided.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.shingles import doc_shingles_expr
+from .functions.text import (
+    LANG_MARKERS,
+    lang_id_expr,
+    token_count_expr,
+)
+from .functions.vectors import cosine_expr
+from .operators.dedup import minhash_near_dupes, simhash_near_dupes
+from .operators.joins import anti_join, broadcast_join, semi_join
+from .operators.multimodal import extract_media_features
+from .operators.similarity import lsh_topk
+from .operators.skew import salted_window_domain_agg
+from .operators.windows import lang_domain_rollup  # noqa: F401
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DEC = "decimal(18,2)"
+
+# ---------------------------------------------------------------- relational
+
+def q01_pricing_summary(spark, sf_dir):
+    """O-13/O-14/O-18 batch agg: TPC-H Q1-shaped hash aggregate with
+    pushed-down date filter; decimal sums are shuffle-order-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_segment_sales(spark, sf_dir):
+    """O-16 broadcast join: orders x customer (small dim broadcast)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = broadcast_join(orders, cust, orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("total_sales"),
+    )
+
+
+ORACLE_Q02 = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q03_nations_with_buyers(spark, sf_dir):
+    """O-17 left_semi: customers that placed >=1 order, per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    buyers = semi_join(cust, orders, cust.c_custkey == orders.o_custkey)
+    j = broadcast_join(buyers, nation, buyers.c_nationkey == nation.n_nationkey)
+    return j.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_buyers"))
+
+
+ORACLE_Q03 = """
+SELECT n_name, count(*) AS n_buyers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY n_name
+"""
+
+
+def q04_customers_without_orders(spark, sf_dir):
+    """O-17 left_anti per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nob = anti_join(cust, orders, cust.c_custkey == orders.o_custkey)
+    return nob.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+ORACLE_Q04 = """
+SELECT c_mktsegment, count(*) AS n_custs
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q05_top_orders_per_priority(spark, sf_dir):
+    """O-22 ranking window: top-3 orders by totalprice per priority,
+    deterministic tie-break on orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+ORACLE_Q05 = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q06_order_rollup(spark, sf_dir):
+    """O-23 rollup: (priority, status) + subtotals + grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("o_totalprice").cast(DEC)).alias("sales"))
+    )
+
+
+ORACLE_Q06 = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sales
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def q07_part_setops(spark, sf_dir):
+    """O-30 set ops: brands selling large parts EXCEPT brands selling
+    small parts, via exceptAll on distinct projections."""
+    part = _t(spark, sf_dir, "part")
+    large = part.where(F.col("p_size") >= 40).select("p_brand").distinct()
+    small = part.where(F.col("p_size") <= 5).select("p_brand").distinct()
+    return large.exceptAll(small).withColumnRenamed("p_brand", "brand")
+
+
+ORACLE_Q07 = """
+SELECT p_brand AS brand FROM part WHERE p_size >= 40
+EXCEPT
+SELECT p_brand AS brand FROM part WHERE p_size <= 5
+"""
+
+
+def q08_top_lineitems(spark, sf_dir):
+    """O-29 global sort + limit (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast(DEC).alias("price"),
+        )
+        .orderBy(F.col("price").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q08 = """
+SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+FROM lineitem ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10
+"""
+
+# ------------------------------------------------------------------- events
+
+def q09_tumbling_event_windows(spark, sf_dir):
+    """O-18 tumbling 10-min event-time windows per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_Q09 = """
+SELECT epoch(time_bucket(INTERVAL 10 minutes, ts))::BIGINT AS window_start_epoch,
+       event_type, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q10_sliding_event_windows(spark, sf_dir):
+    """O-18 sliding 10-min/5-min windows per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+ORACLE_Q10 = """
+WITH assigned AS (
+  SELECT epoch(time_bucket(INTERVAL 10 minutes, ts))::BIGINT AS window_start_epoch,
+         event_type FROM events
+  UNION ALL
+  SELECT epoch(time_bucket(INTERVAL 10 minutes, ts - INTERVAL 5 minutes))::BIGINT + 300,
+         event_type FROM events
+)
+SELECT window_start_epoch, event_type, count(*) AS n_events
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def q11_user_sessions(spark, sf_dir):
+    """O-19 session windows (5-min gap) per user via built-in
+    session_window; oracle reproduces Spark semantics with lag+cumsum
+    (session_end = last event + gap)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start_epoch"),
+            F.unix_timestamp(F.col("sw.end")).alias("session_end_epoch"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_Q11 = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 5 minutes OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(max(ts) + INTERVAL 5 minutes)) AS BIGINT) AS session_end_epoch,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q12_event_dedup(spark, sf_dir):
+    """O-25 batch analog: distinct (user_id, ts, event_type) counts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "ts", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+ORACLE_Q12 = """
+SELECT event_type, count(*) AS n_unique
+FROM (SELECT DISTINCT user_id, ts, event_type FROM events)
+GROUP BY event_type
+"""
+
+# -------------------------------------------------------- documents/webtext
+
+# DuckDB fragment: k=3 token shingles of a text column (spec.shingles)
+_DUCK_SHINGLES = """
+CASE WHEN len(list_filter(string_split({col}, ' '), t -> t <> '')) = 0
+     THEN []::VARCHAR[]
+     WHEN len(list_filter(string_split({col}, ' '), t -> t <> '')) <= 3
+     THEN [array_to_string(list_filter(string_split({col}, ' '), t -> t <> ''), ' ')]
+     ELSE list_transform(
+            generate_series(1, len(list_filter(string_split({col}, ' '), t -> t <> '')) - 2),
+            i -> array_to_string(
+                   list_slice(list_filter(string_split({col}, ' '), t -> t <> ''), i, i + 2),
+                   ' '))
+END
+"""
+
+
+def q13_frequent_shingles(spark, sf_dir):
+    """O-9/O-20 mask mining (string form, SQL-checkable): shingles with
+    document frequency >= 60% of the source's docs."""
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "source", F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle")
+    )
+    counts = exploded.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.join(F.broadcast(sizes), "source")
+        .where(F.col("df") >= 0.6 * F.col("n_docs"))
+        .select("source", "shingle", "df")
+    )
+
+
+ORACLE_Q13 = f"""
+WITH exploded AS (
+  SELECT source, unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS shingle
+  FROM documents
+), counts AS (
+  SELECT source, shingle, count(*) AS df FROM exploded GROUP BY 1, 2
+), sizes AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT counts.source, shingle, df
+FROM counts JOIN sizes ON counts.source = sizes.source
+WHERE df >= 0.6 * n_docs
+"""
+
+
+def q14_boiler_ratio(spark, sf_dir):
+    """O-10 relational form: per-doc count of distinct shingles that are
+    source-frequent ('boilerplate') vs total distinct shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle"),
+    )
+    freq = q13_frequent_shingles(spark, sf_dir).select("source", "shingle", F.lit(1).alias("is_boiler"))
+    j = exploded.join(freq, ["source", "shingle"], "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+    )
+
+
+ORACLE_Q14 = f"""
+WITH exploded AS (
+  SELECT doc_id, source, unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS shingle
+  FROM documents
+), freq AS (
+  WITH e2 AS (
+    SELECT source, unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS shingle
+    FROM documents
+  ), counts AS (
+    SELECT source, shingle, count(*) AS df FROM e2 GROUP BY 1, 2
+  ), sizes AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+  )
+  SELECT counts.source, shingle FROM counts JOIN sizes ON counts.source = sizes.source
+  WHERE df >= 0.6 * n_docs
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN freq.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+FROM exploded LEFT JOIN freq
+  ON exploded.source = freq.source AND exploded.shingle = freq.shingle
+GROUP BY doc_id
+"""
+
+
+def q15_doc_fingerprints(spark, sf_dir):
+    """Fingerprinting (O-14/md5 path): md5 of text + per-source exact
+    duplicate-content groups."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", F.md5(F.col("text")).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+ORACLE_Q15 = """
+SELECT source, md5(text) AS fingerprint, count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q16_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs within source (>= 0.5):
+    the SQL-checkable verification stage of the MinHash pipeline
+    (integer outputs only — no float hashing concerns)."""
+    docs = _t(spark, sf_dir, "documents")
+    sets_df = docs.select(
+        "doc_id", "source",
+        F.array_distinct(doc_shingles_expr(F.col("text"))).alias("hs"),
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    return (
+        a.join(b, "source")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(F.array_intersect("a.hs", "b.hs")).alias("n_inter"),
+            F.size(F.array_union("a.hs", "b.hs")).alias("n_union"),
+        )
+        .where(F.col("n_inter") * 2 >= F.col("n_union"))
+    )
+
+
+ORACLE_Q16 = f"""
+WITH sets AS (
+  SELECT doc_id, source, list_distinct({_DUCK_SHINGLES.format(col='text')}) AS hs
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.hs, b.hs)) AS n_inter,
+       len(list_distinct(list_concat(a.hs, b.hs))) AS n_union
+FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.hs, b.hs)) * 2 >= len(list_distinct(list_concat(a.hs, b.hs)))
+"""
+
+
+def q17_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-marker argmax) per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def _duck_hits(lang: str) -> str:
+    parts = []
+    for wword in LANG_MARKERS[lang]:
+        needle = f" {wword} "
+        parts.append(
+            f"CAST((length(padded) - length(replace(padded, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+        )
+    return " + ".join(parts)
+
+
+ORACLE_Q17 = f"""
+WITH p AS (
+  SELECT doc_id, replace(' ' || lower(text) || ' ', chr(10), ' ') AS padded
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         {_duck_hits('de')} AS h_de,
+         {_duck_hits('en')} AS h_en,
+         {_duck_hits('es')} AS h_es,
+         {_duck_hits('fr')} AS h_fr
+  FROM p
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM scored
+"""
+
+
+def q18_token_stats(spark, sf_dir):
+    """Token counting per source: integer-exact aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(token_count_expr(F.col("text"))).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max(token_count_expr(F.col("text"))).alias("max_tokens"),
+    )
+
+
+ORACLE_Q18 = """
+SELECT source,
+       CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       max(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS max_tokens
+FROM documents GROUP BY source
+"""
+
+# --------------------------------------------------------------- embeddings
+
+def q20_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id < 3 —
+    per-row float math only, rounded; deterministic tie-break."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_expr(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+ORACLE_Q20 = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def q21_embedding_norm_buckets(spark, sf_dir):
+    """Per-label distribution of vector norms — norms rounded per row
+    (exact) then bucketed; integer outputs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"), F.lit(0.0), lambda a, v: a + v * v
+        )
+    )
+    return (
+        emb.withColumn("norm_bucket", F.floor(norm).cast("bigint"))
+        .groupBy("label", "norm_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_Q21 = """
+SELECT label, CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS BIGINT) AS norm_bucket,
+       count(*) AS n
+FROM embeddings GROUP BY 1, 2
+"""
+
+# ------------------------------------------- rows-only (non-SQL-expressible)
+
+def q22_minhash_near_dupes(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline on documents (xxhash64-based —
+    no portable SQL oracle; exactness covered by pytest vs exact
+    Jaccard)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dupes(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q23_simhash_near_dupes(spark, sf_dir):
+    """SimHash banded near-dup pairs (rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dupes(docs, "doc_id", "text", max_hamming=8)
+
+
+def q24_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (rows-only; recall
+    vs brute force asserted in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    return lsh_topk(emb, q, k=5, n_planes=4)
+
+
+def q25_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents' text bytes as opaque media
+    payloads through the Arrow mapInPandas feature extractor."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+    )
+    return extract_media_features(media)
+
+
+def q26_salted_domain_windows(spark, sf_dir):
+    """O-21 salted two-phase windowed agg over events (user_id as the
+    skew key stand-in); equivalence vs naive plan is pytest-asserted,
+    values here are SQL-checkable."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("warc_ts"),
+        F.col("event_type").alias("domain"),
+        F.col("props").alias("text"),
+        F.col("event_id").cast("string").alias("url"),
+    )
+    out = salted_window_domain_agg(ev, salt_buckets=8)
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "domain",
+        "n_pages",
+        "total_chars",
+    )
+
+
+ORACLE_Q26 = """
+SELECT epoch(time_bucket(INTERVAL 10 minutes, ts))::BIGINT AS window_start_epoch,
+       event_type AS domain, count(*) AS n_pages,
+       CAST(sum(length(props)) AS BIGINT) AS total_chars
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_segment_sales": q02_segment_sales,
+    "q03_nations_with_buyers": q03_nations_with_buyers,
+    "q04_customers_without_orders": q04_customers_without_orders,
+    "q05_top_orders_per_priority": q05_top_orders_per_priority,
+    "q06_order_rollup": q06_order_rollup,
+    "q07_part_setops": q07_part_setops,
+    "q08_top_lineitems": q08_top_lineitems,
+    "q09_tumbling_event_windows": q09_tumbling_event_windows,
+    "q10_sliding_event_windows": q10_sliding_event_windows,
+    "q11_user_sessions": q11_user_sessions,
+    "q12_event_dedup": q12_event_dedup,
+    "q13_frequent_shingles": q13_frequent_shingles,
+    "q14_boiler_ratio": q14_boiler_ratio,
+    "q15_doc_fingerprints": q15_doc_fingerprints,
+    "q16_jaccard_pairs": q16_jaccard_pairs,
+    "q17_lang_id": q17_lang_id,
+    "q18_token_stats": q18_token_stats,
+    "q20_cosine_topk": q20_cosine_topk,
+    "q21_embedding_norm_buckets": q21_embedding_norm_buckets,
+    "q22_minhash_near_dupes": q22_minhash_near_dupes,
+    "q23_simhash_near_dupes": q23_simhash_near_dupes,
+    "q24_lsh_topk": q24_lsh_topk,
+    "q25_media_features": q25_media_features,
+    "q26_salted_domain_windows": q26_salted_domain_windows,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_segment_sales": ORACLE_Q02,
+    "q03_nations_with_buyers": ORACLE_Q03,
+    "q04_customers_without_orders": ORACLE_Q04,
+    "q05_top_orders_per_priority": ORACLE_Q05,
+    "q06_order_rollup": ORACLE_Q06,
+    "q07_part_setops": ORACLE_Q07,
+    "q08_top_lineitems": ORACLE_Q08,
+    "q09_tumbling_event_windows": ORACLE_Q09,
+    "q10_sliding_event_windows": ORACLE_Q10,
+    "q11_user_sessions": ORACLE_Q11,
+    "q12_event_dedup": ORACLE_Q12,
+    "q13_frequent_shingles": ORACLE_Q13,
+    "q14_boiler_ratio": ORACLE_Q14,
+    "q15_doc_fingerprints": ORACLE_Q15,
+    "q16_jaccard_pairs": ORACLE_Q16,
+    "q17_lang_id": ORACLE_Q17,
+    "q18_token_stats": ORACLE_Q18,
+    "q20_cosine_topk": ORACLE_Q20,
+    "q21_embedding_norm_buckets": ORACLE_Q21,
+    "q26_salted_domain_windows": ORACLE_Q26,
+}
