@@ -1,0 +1,247 @@
+"""Streaming end-to-end: exactly-once sink, dedup, windowed agg,
+stateful sessions, stream-stream as-of join, checkpoint resume.
+
+Golden strategy (oracle_stream docstring): a far-future sentinel row
+in the last micro-batch pushes the watermark past all real windows so
+emitted rows are complete and exactly comparable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from watermark_remove_spark.fixtures import PagesConfig, generate_corpus
+from watermark_remove_spark.oracle_stream import (
+    simulate_dedup,
+    simulate_sessions,
+    simulate_tumbling_agg,
+)
+from watermark_remove_spark.operators.extract import mine_masks, with_domain
+from watermark_remove_spark.sources.pages import stream_pages_files, write_ordered_batches
+from watermark_remove_spark.streaming.pipeline import (
+    build_clean_stream,
+    build_window_stream,
+    run_stream_to_sink,
+    streaming_asof_template_join,
+)
+from watermark_remove_spark.streaming.sessions import stateful_domain_sessions
+from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+from watermark_remove_spark.spec import clean_text, domain_of
+
+DELAY = pd.Timedelta(minutes=10)
+SENTINEL_TS = pd.Timestamp("2027-01-01T00:00:00")
+
+
+@pytest.fixture(scope="module")
+def stream_corpus():
+    cfg = PagesConfig(n_pages=500, n_domains=6, seed=11, dup_frac=0.04, late_frac=0.06)
+    return generate_corpus(cfg)
+
+
+@pytest.fixture(scope="module")
+def stream_batches(stream_corpus):
+    pages = stream_corpus.pages
+    sentinel = pd.DataFrame(
+        {
+            "url": ["https://sentinel.example.com/p/1"],
+            "warc_ts": [SENTINEL_TS],
+            "html": [b"sentinel"],
+            "text": ["sentinel"],
+            "lang": ["en"],
+        }
+    )
+    n_files = 10
+    per = (len(pages) + n_files - 1) // n_files
+    batches = [pages.iloc[i * per : (i + 1) * per] for i in range(n_files)]
+    sentinel2 = sentinel.assign(
+        url="https://sentinel.example.com/p/2",
+        warc_ts=SENTINEL_TS + pd.Timedelta(hours=1),
+    )
+    # two sentinel batches: with the two-batch watermark lag, the far-
+    # future watermark must be *observed* a batch before it can flush
+    batches = [b for b in batches if len(b)] + [sentinel, sentinel2]
+    return batches
+
+
+@pytest.fixture(scope="module")
+def stream_dir(stream_batches, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    from watermark_remove_spark.sources.pages import write_batch_files
+
+    write_batch_files(stream_batches, d)
+    return d
+
+
+def _run(df, sink_dir, ckpt, mode="append"):
+    sink = ParquetLedgerSink(sink_dir)
+    q = run_stream_to_sink(df, sink, ckpt, output_mode=mode)
+    q.awaitTermination(300)
+    return sink
+
+
+def test_stream_dedup_matches_oracle(spark, stream_corpus, stream_batches, stream_dir, tmp_path):
+    src = stream_pages_files(spark, stream_dir, 1)
+    deduped = src.withWatermark("warc_ts", "10 minutes").dropDuplicates(["url", "warc_ts"])
+    sink = _run(deduped.select("url", "warc_ts"), str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = {
+        (r.url, pd.Timestamp(r.warc_ts))
+        for r in sink.read_committed(spark).collect()
+    }
+    want_df = simulate_dedup(stream_batches, DELAY)
+    want = set(zip(want_df["url"], want_df["warc_ts"]))
+    assert got == want
+
+
+def test_stream_windows_match_oracle(spark, stream_corpus, stream_batches, stream_dir, tmp_path):
+    masks = mine_masks(spark.createDataFrame(stream_corpus.pages))
+    cleaned = build_clean_stream(spark, stream_dir, masks)
+    win = build_window_stream(cleaned, "10 minutes")
+    sink = _run(win, str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = {
+        (pd.Timestamp(r.window_start), r.lang, r.n_pages, r.total_chars)
+        for r in sink.read_committed(spark).collect()
+    }
+
+    # oracle: dedup sim -> clean via spec -> tumbling agg sim
+    from watermark_remove_spark.oracle import oracle_mine_masks
+
+    omasks = oracle_mine_masks(stream_corpus.pages)
+    deduped_batches = []
+    survivors = simulate_dedup(stream_batches, DELAY)
+    surv_keys = set(zip(survivors["url"], survivors["warc_ts"]))
+    for b in stream_batches:
+        bb = b[[((u, t) in surv_keys) for u, t in zip(b["url"], b["warc_ts"])]].copy()
+        bb = bb.drop_duplicates(subset=["url", "warc_ts"])  # in-batch dup arrives once
+        surv_keys -= set(zip(bb["url"], bb["warc_ts"]))  # first arrival only
+        bb["clean_text"] = [
+            clean_text(t, omasks.get(domain_of(u), frozenset()))
+            for u, t in zip(bb["url"], bb["text"])
+        ]
+        deduped_batches.append(bb)
+    want_df = simulate_tumbling_agg(deduped_batches, DELAY, pd.Timedelta(minutes=10))
+    want = {
+        (r.window_start, r.lang, r.n_pages, r.total_chars)
+        for r in want_df.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_stateful_sessions_match_oracle(spark, stream_corpus, stream_batches, stream_dir, tmp_path):
+    src = stream_pages_files(spark, stream_dir, 1)
+    pages = with_domain(src)
+    sessions = stateful_domain_sessions(pages, gap_seconds=300, watermark="10 minutes")
+    sink = _run(sessions, str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = {
+        (r.domain, pd.Timestamp(r.session_start), pd.Timestamp(r.session_end), r.n_pages)
+        for r in sink.read_committed(spark).collect()
+    }
+    batches = [b.assign(domain=b["url"].map(domain_of)) for b in stream_batches]
+    want_df = simulate_sessions(batches, DELAY, pd.Timedelta(minutes=5))
+    want = {
+        (r.domain, r.session_start, r.session_end, r.n_pages)
+        for r in want_df.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_sink_replay_is_noop(spark, tmp_path):
+    sink = ParquetLedgerSink(str(tmp_path / "out"))
+    df = spark.range(10).withColumnRenamed("id", "v")
+    sink.write_batch(df, 0)
+    n0 = sink.read_committed(spark).count()
+    sink.write_batch(df, 0)  # replay
+    assert sink.read_committed(spark).count() == n0 == 10
+    assert sink.committed_batches() == {0}
+    lineage = sink.read_lineage(spark)
+    assert lineage.agg(F.sum("n_rows")).collect()[0][0] == 10
+
+
+def test_checkpoint_resume_no_dupes_no_gaps(spark, stream_corpus, stream_batches, stream_dir, tmp_path):
+    """Kill after a few batches, restart from checkpoint, assert the
+    final committed set equals a single uninterrupted run."""
+    src_cols = ["url", "warc_ts"]
+    out1, ck = str(tmp_path / "out1"), str(tmp_path / "ck")
+
+    def build():
+        src = stream_pages_files(spark, stream_dir, 1)
+        return src.withWatermark("warc_ts", "10 minutes").dropDuplicates(["url", "warc_ts"]).select(*src_cols)
+
+    sink = ParquetLedgerSink(out1)
+    # phase 1: process a few micro-batches then stop mid-stream
+    q = (
+        build()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .foreachBatch(sink.foreach_batch())
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    while len(sink.committed_batches()) < 3:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    n_before = len(sink.committed_batches())
+
+    # phase 2: resume from checkpoint, drain the rest
+    q2 = run_stream_to_sink(build(), sink, ck)
+    q2.awaitTermination(300)
+    got = {
+        (r.url, pd.Timestamp(r.warc_ts)) for r in sink.read_committed(spark).collect()
+    }
+    want_df = simulate_dedup(stream_batches, DELAY)
+    want = set(zip(want_df["url"], want_df["warc_ts"]))
+    assert n_before >= 3
+    assert got == want  # no dupes, no gaps
+
+
+def test_streaming_asof_join(spark, stream_corpus, stream_batches, stream_dir, tmp_path):
+    tmpl_dir = str(tmp_path / "tmpl")
+    os.makedirs(tmpl_dir)
+    tmpl_full = stream_corpus.domain_templates.copy()
+    # sentinel template rows: the query watermark is the MIN across both
+    # streams, so the template stream must also advance past the data
+    sent = pd.DataFrame(
+        {
+            "domain": ["sentinel.example.com"] * 2,
+            "valid_from": [SENTINEL_TS, SENTINEL_TS + pd.Timedelta(hours=1)],
+            "template_kind": ["header"] * 2,
+            "template_line": ["x"] * 2,
+            "shingle_hashes": [[1], [1]],
+        }
+    )
+    kw = {"index": False, "coerce_timestamps": "us", "allow_truncated_timestamps": True}
+    tmpl_full.to_parquet(os.path.join(tmpl_dir, "t0.parquet"), **kw)
+    sent.to_parquet(os.path.join(tmpl_dir, "t1.parquet"), **kw)
+
+    from watermark_remove_spark.sources.pages import stream_templates_files
+
+    pages = with_domain(stream_pages_files(spark, stream_dir, 3))
+    templates = stream_templates_files(spark, tmpl_dir)
+    joined = streaming_asof_template_join(pages, templates, watermark="10 minutes")
+    sink = _run(joined, str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = {
+        (r.url, pd.Timestamp(r.warc_ts), pd.Timestamp(r.template_valid_from))
+        for r in sink.read_committed(spark).collect()
+    }
+    assert len(got) > 0
+    # every resolved version must equal the oracle as-of resolution
+    from watermark_remove_spark.oracle import oracle_asof_template_version
+
+    pages_all = pd.concat(stream_batches, ignore_index=True).drop_duplicates(
+        subset=["url", "warc_ts"]
+    )
+    want_df = oracle_asof_template_version(pages_all, stream_corpus.domain_templates)
+    want_map = {
+        (r.url, r.warc_ts): r.template_valid_from
+        for r in want_df.itertuples(index=False)
+        if pd.notna(r.template_valid_from)
+    }
+    for url, ts, vf in got:
+        assert want_map.get((url, ts)) == vf, (url, ts)

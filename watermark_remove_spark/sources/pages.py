@@ -1,0 +1,114 @@
+"""O-1/O-2/O-3: page sources — batch scan, deterministic micro-batch
+file stream, and rate-limited synthetic stream.
+
+The reference ingests one item per call (CLI: ``remove_single_image.py
+:19-31``; API upload: ``api/main.py:33-48``); the engine's unbounded
+analog is a Structured Streaming source.  For golden-output tests the
+stream must have *deterministic micro-batch boundaries*: we persist the
+corpus as N ordered parquet files and read them back with
+``maxFilesPerTrigger=1`` so batch k always contains file k (SURVEY §7
+step 2 'pin trigger + source ordering').
+
+Production-shaped alternative (``north_star``: "rate-limited stream"):
+``rate-micro-batch`` rows joined to a deterministic page generator —
+rows/sec bounds ingest exactly like the Iceberg incremental scan would.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+TEMPLATES_DDL = (
+    "domain string, valid_from timestamp, template_kind string, "
+    "template_line string, shingle_hashes array<bigint>"
+)
+
+
+def write_ordered_batches(pages: pd.DataFrame, out_dir: str, n_files: int) -> list[str]:
+    """Split the corpus into n ordered parquet files, preserving row
+    order (arrival order).  File k = micro-batch k under
+    maxFilesPerTrigger=1."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    n = len(pages)
+    per = (n + n_files - 1) // n_files
+    kw = {"index": False, "coerce_timestamps": "us", "allow_truncated_timestamps": True}
+    for i in range(n_files):
+        chunk = pages.iloc[i * per : (i + 1) * per]
+        if chunk.empty:
+            break
+        p = os.path.join(out_dir, f"batch-{i:05d}.parquet")
+        chunk.to_parquet(p, **kw)
+        paths.append(p)
+    return paths
+
+
+def write_batch_files(batches: list[pd.DataFrame], out_dir: str) -> list[str]:
+    """Write an explicit list of micro-batch frames, one file each —
+    file k IS batch k under maxFilesPerTrigger=1 (exact oracle
+    alignment; write_ordered_batches re-chunks and may not preserve
+    caller-side batch boundaries)."""
+    os.makedirs(out_dir, exist_ok=True)
+    kw = {"index": False, "coerce_timestamps": "us", "allow_truncated_timestamps": True}
+    paths = []
+    for i, b in enumerate(batches):
+        p = os.path.join(out_dir, f"batch-{i:05d}.parquet")
+        b.to_parquet(p, **kw)
+        paths.append(p)
+    return paths
+
+
+def read_pages_batch(spark: SparkSession, path: str) -> DataFrame:
+    """O-1 batch scan with the fixed contract schema (no inference on
+    the hot path — §1.2)."""
+    return spark.read.schema(PAGES_DDL).parquet(path)
+
+
+def stream_pages_files(
+    spark: SparkSession, dir_path: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """O-2 deterministic micro-batch file stream."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("latestFirst", "false")
+        .option("maxFileAge", "3650d")
+        .parquet(dir_path)
+    )
+
+
+def stream_templates_files(
+    spark: SparkSession, dir_path: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming side of the domain-template changelog (O-15 right)."""
+    return (
+        spark.readStream.schema(TEMPLATES_DDL)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("maxFileAge", "3650d")
+        .parquet(dir_path)
+    )
+
+
+def stream_rate_limited_synthetic(
+    spark: SparkSession, corpus_path: str, rows_per_second: int = 1000
+) -> DataFrame:
+    """Rate-limited stream (north_star): a ``rate`` source metronome
+    joined to the corpus by row index — ingest throughput is bounded at
+    rows_per_second regardless of corpus size, mimicking a rate-limited
+    Iceberg incremental scan.  Used by the bench harness."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    corpus = spark.read.schema(PAGES_DDL).parquet(corpus_path)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    indexed = corpus.withColumn("idx", F.row_number().over(w).cast("bigint") - 1)
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.join(indexed, rate["value"] == indexed["idx"], "inner").drop(
+        "timestamp", "value", "idx"
+    )

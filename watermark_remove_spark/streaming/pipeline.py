@@ -1,0 +1,126 @@
+"""The end-to-end streaming pipeline (north_star order of operations):
+
+  rate-limited / file micro-batch source (O-2)
+    -> withWatermark('warc_ts', Δ)                 (O-24)
+    -> dropDuplicates(['url','warc_ts'])           (O-25, state-backed)
+    -> broadcast mask join + pandas-UDF extraction (O-8/O-10/O-16)
+    -> [branch A] cleaned rows     -> exactly-once sink (O-26/O-27)
+    -> [branch B] windowed agg     -> exactly-once sink (append mode)
+
+Replaces the reference's Celery-tier design (declared, never built:
+reference README.md:4,10, empty tasks/) with the micro-batch scheduler
+itself (SURVEY §2 O-7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import clean_pages_udf, with_domain
+from ..operators.windows import lang_window_agg
+from ..sources.pages import stream_pages_files
+from .sink import ParquetLedgerSink
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def build_clean_stream(
+    spark: SparkSession,
+    src_dir: str,
+    masks: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """source -> watermark -> dedup -> clean; masks is a static (batch)
+    DataFrame broadcast-joined onto each micro-batch."""
+    src = stream_pages_files(spark, src_dir, files_per_trigger)
+    deduped = src.withWatermark("warc_ts", watermark).dropDuplicates(["url", "warc_ts"])
+    return clean_pages_udf(deduped, masks).select(
+        "url", "warc_ts", "domain", "lang", "clean_text"
+    )
+
+
+def build_window_stream(cleaned: DataFrame, window: str = "10 minutes", slide: str | None = None) -> DataFrame:
+    """Windowed per-lang aggregate over the cleaned stream, append mode
+    (rows are final once emitted — golden-test requirement).
+
+    approx/exact: streaming uses exact count_distinct per (window,lang)
+    — it shuffles within the micro-batch only; state carries the agg.
+    NOTE: count_distinct is not supported in streaming agg, so n_urls
+    here counts rows post-dedup (equal to distinct (url,warc_ts) pairs
+    by construction after O-25)."""
+    w = F.window(F.col("warc_ts"), window, slide) if slide else F.window(F.col("warc_ts"), window)
+    return (
+        cleaned.groupBy(w.alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("clean_text")).alias("total_chars"),
+            F.approx_count_distinct("url").alias("n_urls_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "total_chars",
+            "n_urls_approx",
+        )
+    )
+
+
+def run_stream_to_sink(
+    df: DataFrame,
+    sink: ParquetLedgerSink,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+    query_name: str = "wrs-stream",
+):
+    """Start a streaming query into the exactly-once sink; availableNow
+    drains all pending files in deterministic micro-batches (respecting
+    maxFilesPerTrigger) then stops — the golden-test trigger."""
+    writer = (
+        df.writeStream.queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink.foreach_batch())
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_asof_template_join(
+    pages: DataFrame,
+    templates: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    max_version_age: str = "30 days",
+) -> DataFrame:
+    """O-15: watermark-bounded stream-stream equi join of page events
+    against the domain-template changelog, then as-of (latest
+    valid_from <= warc_ts) resolution via a streaming max aggregate.
+
+    The event-time bound (valid_from in [warc_ts - max_version_age,
+    warc_ts]) lets Spark evict join state once the watermark passes;
+    the follow-up groupBy((url, warc_ts) window) max(valid_from)
+    collapses the candidate versions to the in-force one.  Append mode:
+    resolved rows emit once the watermark closes the page's window.
+    """
+    p = pages.withWatermark("warc_ts", watermark).alias("p")
+    t = templates.withWatermark("valid_from", watermark).alias("t")
+    joined = p.join(
+        t,
+        F.expr(
+            f"""
+            p.domain = t.domain AND
+            t.valid_from <= p.warc_ts AND
+            t.valid_from >= p.warc_ts - interval {max_version_age}
+            """
+        ),
+        "inner",
+    )
+    return joined.groupBy(
+        F.col("p.url").alias("url"),
+        F.col("p.warc_ts").alias("warc_ts"),
+        F.col("p.domain").alias("domain"),
+    ).agg(F.max(F.col("t.valid_from")).alias("template_valid_from"))

@@ -1,0 +1,157 @@
+"""O-26/O-27: exactly-once sink + per-partition lineage.
+
+``north_star``: "committed exactly-once through idempotent foreachBatch
+MERGE into an Iceberg sink keyed by (batch_id, partition), resumable
+from checkpoint with per-partition lineage and row-count metrics."
+
+No Iceberg jar is installable in this offline sandbox (SURVEY header),
+so the contract is implemented behind a seam:
+
+- ``ParquetLedgerSink`` (tested here): per-batch directory written to a
+  temp path then atomically renamed to ``data/batch_id=N/``, with a
+  commit LEDGER line written only after the rename.  Readers consider
+  exactly the ledgered batches.  A replayed batch (same batch_id after
+  checkpoint recovery) sees its ledger entry and no-ops — the same
+  idempotence MERGE-on-(batch_id, partition) gives on Iceberg.
+- ``IcebergMergeSink`` (config-switchable): emits the real
+  ``MERGE INTO`` on runtimes with the Iceberg catalog jar present.
+
+Lineage (O-27): each commit also writes ``_lineage/batch_id=N`` rows
+(batch_id, spark_partition_id, n_rows) inside the same commit protocol
+— visible iff the data batch is visible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class ParquetLedgerSink:
+    """Filesystem sink with an Iceberg-MERGE-equivalent idempotence
+    contract (atomic rename + commit ledger)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "data")
+        self.lineage_dir = os.path.join(out_dir, "_lineage")
+        self.tmp_dir = os.path.join(out_dir, "_tmp")
+        self.ledger_path = os.path.join(out_dir, "_ledger.jsonl")
+        for d in (self.data_dir, self.lineage_dir, self.tmp_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- ledger ------------------------------------------------------------
+    def committed_batches(self) -> set[int]:
+        if not os.path.exists(self.ledger_path):
+            return set()
+        out = set()
+        with open(self.ledger_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.add(json.loads(line)["batch_id"])
+        return out
+
+    def _commit(self, batch_id: int, n_rows: int, partitions: list[dict]) -> None:
+        # one atomic append; the ledger line is the commit point
+        rec = json.dumps(
+            {"batch_id": batch_id, "n_rows": n_rows, "partitions": partitions}
+        )
+        with open(self.ledger_path, "a") as f:
+            f.write(rec + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    # -- the foreachBatch body --------------------------------------------
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """Idempotent micro-batch commit.  Replay of an already
+        committed batch_id is a no-op (exactly-once downstream)."""
+        if batch_id in self.committed_batches():
+            return
+
+        final = os.path.join(self.data_dir, f"batch_id={batch_id}")
+        final_lineage = os.path.join(self.lineage_dir, f"batch_id={batch_id}")
+        # stale partial dir from a crash before ledger commit: discard
+        for p in (final, final_lineage):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+
+        tmp = os.path.join(self.tmp_dir, f"b{batch_id}-{uuid.uuid4().hex}")
+        tmp_lineage = tmp + "-lineage"
+
+        # lineage BEFORE write: per-partition row counts of this batch
+        pdf = df.persist()
+        lineage = (
+            pdf.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        lineage_rows = [r.asDict() for r in lineage.collect()]
+
+        pdf.write.mode("overwrite").parquet(tmp)
+        lineage.write.mode("overwrite").parquet(tmp_lineage)
+        n_rows = sum(r["n_rows"] for r in lineage_rows)
+        pdf.unpersist()
+
+        os.rename(tmp, final)
+        os.rename(tmp_lineage, final_lineage)
+        self._commit(batch_id, n_rows, lineage_rows)
+
+    def foreach_batch(self):
+        return lambda df, bid: self.write_batch(df, bid)
+
+    # -- reader side -------------------------------------------------------
+    def read_committed(self, spark) -> DataFrame:
+        """All rows of ledgered batches (exactly-once view)."""
+        committed = sorted(self.committed_batches())
+        paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in committed]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType([]))
+        return spark.read.parquet(*paths)
+
+    def read_lineage(self, spark) -> DataFrame:
+        committed = sorted(self.committed_batches())
+        paths = [os.path.join(self.lineage_dir, f"batch_id={b}") for b in committed]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType([]))
+        return spark.read.parquet(*paths)
+
+
+class IcebergMergeSink:
+    """Real Iceberg MERGE path (requires the Iceberg runtime jar; not
+    installable in this sandbox — kept config-switchable per SURVEY §7
+    step 5).  Cited contract: reference file sink saves one artifact
+    per item (``lama_wrapper.py:57-62``); here a MERGE keyed by
+    (batch_id, partition) makes replays no-ops."""
+
+    def __init__(self, table: str):
+        self.table = table
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        view = f"__batch_{batch_id}"
+        df.withColumn("batch_id", F.lit(batch_id)).withColumn(
+            "partition", F.spark_partition_id()
+        ).createOrReplaceTempView(view)
+        spark.sql(
+            f"""
+            MERGE INTO {self.table} t
+            USING {view} s
+            ON t.batch_id = s.batch_id AND t.partition = s.partition
+              AND t.url = s.url AND t.warc_ts = s.warc_ts
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+
+    def foreach_batch(self):
+        return lambda df, bid: self.write_batch(df, bid)
