@@ -98,6 +98,22 @@ def test_clean_udf_byte_identical_to_oracle(spark, corpus, pages_sdf):
         assert r.clean_text.encode("utf-8") == want.encode("utf-8"), r.url
 
 
+def test_clean_fast_udf_byte_identical(spark, corpus, pages_sdf):
+    """Production mapInPandas path == spec-direct pandas UDF path,
+    byte for byte (including null/empty/maskless rows)."""
+    from watermark_remove_spark.operators.extract import clean_pages_udf_fast
+
+    masks = mine_masks(pages_sdf, CFG)
+    slow = clean_pages_udf(pages_sdf, masks).select("url", "warc_ts", "clean_text")
+    fast = clean_pages_udf_fast(pages_sdf, masks).select("url", "warc_ts", "clean_text")
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.exceptAll(slow).count() == 0
+    # composes with downstream aggregation (the Catalyst-extraction
+    # failure mode that motivated mapInPandas)
+    total = fast.selectExpr("sum(length(clean_text)) as t").collect()[0].t
+    assert total > 0
+
+
 def test_clean_expr_equals_clean_udf(spark, pages_sdf):
     masks = mine_masks(pages_sdf, CFG)
     a = clean_pages_udf(pages_sdf, masks).select("url", "warc_ts", "clean_text")

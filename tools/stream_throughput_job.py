@@ -28,9 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--master", default=None,
+                    help="e.g. local-cluster[4,2,4096] for true multi-executor "
+                         "JVMs (the north_rule cluster model); default local[cpus]")
     ap.add_argument("--src", required=True, help="dir of ordered batch parquet files")
     ap.add_argument("--n-pages", type=int, required=True)
     ap.add_argument("--files-per-trigger", type=int, default=1)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="state/shuffle partition count; MUST be equal across "
+                         "cluster sizes for a stateful query (state partitioning "
+                         "is immutable across checkpoint restarts)")
     args = ap.parse_args()
 
     from watermark_remove_spark.operators.extract import mine_masks
@@ -43,10 +50,16 @@ def main() -> None:
     )
     from watermark_remove_spark.streaming.sink import ParquetLedgerSink
 
+    import os as _os
+
     spark = build_session(
         app_name=f"wrs-scale-{args.cpus}",
-        master=f"local[{args.cpus}]",
-        shuffle_partitions=args.cpus,
+        master=args.master or f"local[{args.cpus}]",
+        shuffle_partitions=args.shuffle_partitions or args.cpus,
+        # executors are separate JVMs under local-cluster: they need the
+        # package on their python workers' path (spark-submit --py-files
+        # equivalent for the in-sandbox run)
+        extra_conf={"spark.executorEnv.PYTHONPATH": _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -69,6 +82,7 @@ def main() -> None:
         json.dumps(
             {
                 "cpus": args.cpus,
+                "master": args.master or f"local[{args.cpus}]",
                 "pages": args.n_pages,
                 "stream_sec": round(sec, 3),
                 "pages_per_sec": round(args.n_pages / sec, 1),

@@ -59,17 +59,27 @@ def minhash_signatures(
     doc's shingles approximates a random permutation's first element.
     Entirely Catalyst: transform + aggregate over the shingle array.
     """
-    sh = F.array_distinct(doc_shingles_expr(F.col(text_col), k))
-
-    def perm_fn(i: int):
-        # factory, not `i=i` default arg: a 2-param lambda would make
-        # pyspark pass the array index as the second argument
-        return lambda s: F.xxhash64(F.concat(F.lit(f"mh{i}#"), s))
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, perm_fn(i))) for i in range(num_hashes)]
+    # explode once, hash num_hashes ways as flat columns, then one
+    # hash-aggregate of per-column mins: stays inside whole-stage
+    # codegen (a single nested array expression tree of 32 transforms
+    # blows the codegen size limit and falls back to interpreted —
+    # ~10x slower on the bench corpus)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(doc_shingles_expr(F.col(text_col), k))).alias("s"),
+    ).select(
+        "id",
+        *[
+            F.xxhash64(F.concat(F.lit(f"mh{i}#"), F.col("s"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    agg = exploded.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -165,8 +175,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> D
     that bit of the shingle hash; fingerprint bit = majority.  The
     64-way expansion uses aggregate over the shingle-hash array.
     """
-    hs = F.transform(
-        F.array_distinct(doc_shingles_expr(F.col(text_col), k)), lambda s: F.xxhash64(s)
+    # materialize the hash array once (see minhash_signatures note)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(doc_shingles_expr(F.col(text_col), k)),
+            lambda s: F.xxhash64(s),
+        ).alias("__hs"),
     )
 
     def vote_fn(b: int):
@@ -176,13 +191,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> D
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bit_votes = [F.aggregate(hs, F.lit(0), vote_fn(b)) for b in range(64)]
+    bit_votes = [F.aggregate(F.col("__hs"), F.lit(0), vote_fn(b)) for b in range(64)]
     fp = None
     for b, vote in enumerate(bit_votes):
         bit = F.when(vote > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseXOR(term)
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+    return base.select("id", fp.alias("simhash"))
 
 
 def simhash_near_dupes(

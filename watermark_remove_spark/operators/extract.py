@@ -113,9 +113,138 @@ def make_clean_text_udf(k: int = DEFAULT_SHINGLE_K):
 
 
 def clean_pages_udf(pages: DataFrame, masks: DataFrame, k: int = DEFAULT_SHINGLE_K) -> DataFrame:
-    """O-8 via pandas UDF: adds ``clean_text`` to pages."""
+    """O-8 via pandas UDF (spec-direct reference form): adds
+    ``clean_text``.  The kernel re-hashes every shingle in Python —
+    byte-exactness anchor for tests, NOT the hot path (use
+    clean_pages_udf_fast)."""
     udf = make_clean_text_udf(k)
     return join_masks(pages, masks).withColumn("clean_text", udf(F.col("text"), F.col("mask")))
+
+
+def make_clean_text_membership_udf():
+    """The production kernel: all hashing happens JVM-side (codegen'd
+    xxhash64 inside `transform`); the Python side receives per-line
+    hash arrays and does ONLY numpy-vectorized membership against the
+    domain mask — no per-element Python in the hot loop
+    (BASELINE.json input_hint: 'no per-row Python').
+
+    Row layout in: lines array<string>, line_hashes array<array<long>>,
+    mask array<long> (nullable).  Out: clean_text string.
+    """
+    import numpy as np
+
+    @F.pandas_udf(StringType())
+    def extract_clean_text_fast(
+        lines_s: pd.Series, hashes_s: pd.Series, mask_s: pd.Series
+    ) -> pd.Series:
+        out = [None] * len(lines_s)
+        mask_cache: dict[int, np.ndarray] = {}
+        for i, (lines, lhs, mask) in enumerate(zip(lines_s, hashes_s, mask_s)):
+            if lines is None:
+                continue
+            if mask is None or len(mask) == 0:
+                out[i] = "\n".join(lines)
+                continue
+            key = id(mask)
+            m = mask_cache.get(key)
+            if m is None:
+                m = np.asarray(mask, dtype=np.int64)
+                mask_cache[key] = m
+            lens = np.fromiter((len(h) for h in lhs), dtype=np.int64, count=len(lhs))
+            if lens.sum() == 0:
+                out[i] = "\n".join(lines)
+                continue
+            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in lhs if len(h)])
+            hits = np.isin(flat, m)
+            # per-line all(hits) via reduceat over line offsets
+            nz = lens > 0
+            offsets = np.zeros(len(lhs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            allhit = np.zeros(len(lhs), dtype=bool)
+            if hits.size:
+                allhit[nz] = np.minimum.reduceat(hits, offsets[nz]).astype(bool)
+            masked = nz & allhit
+            out[i] = "\n".join(ln for ln, dead in zip(lines, masked) if not dead)
+        return pd.Series(out, dtype=object)
+
+    return extract_clean_text_fast
+
+
+def clean_pages_udf_fast(
+    pages: DataFrame,
+    masks: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    carry_cols: tuple[str, ...] = ("url", "warc_ts", "domain", "lang"),
+) -> DataFrame:
+    """O-8 production path: JVM shingle hashing + numpy membership in
+    an Arrow ``mapInPandas`` node.  Byte-identical to clean_pages_udf /
+    the oracle (cross-tested).
+
+    Why mapInPandas and not a scalar pandas UDF: a Python UDF whose
+    arguments contain higher-order-function lambdas cannot be extracted
+    out of a collapsed aggregate projection by Catalyst
+    (INTERNAL_ERROR: Cannot evaluate expression) — a map node sits in
+    the plan and composes with any downstream operator.  Bonus: the
+    fat __lines/__lh arrays never cross back from Python; only
+    clean_text does.
+    """
+    import numpy as np
+
+    from ..functions.shingles import line_shingles_expr
+
+    joined = join_masks(pages, masks)
+    lines = F.split(F.col("text"), "\n", -1)
+    line_hashes = F.transform(
+        lines,
+        lambda ln: F.transform(line_shingles_expr(ln, k), lambda s: F.xxhash64(s)),
+    )
+    stage = joined.select(
+        *carry_cols, lines.alias("__lines"), line_hashes.alias("__lh"), "mask"
+    )
+    out_schema = ", ".join(
+        f"{c} {t}"
+        for c, t in [(c, dict(joined.dtypes)[c]) for c in carry_cols]
+    ) + ", clean_text string"
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = [None] * n
+            mask_cache: dict[int, np.ndarray] = {}
+            for i, (lns, lhs, mask) in enumerate(
+                zip(pdf["__lines"], pdf["__lh"], pdf["mask"])
+            ):
+                if lns is None:
+                    continue
+                if mask is None or len(mask) == 0:
+                    out[i] = "\n".join(lns)
+                    continue
+                key = id(mask)
+                m = mask_cache.get(key)
+                if m is None:
+                    m = np.asarray(mask, dtype=np.int64)
+                    mask_cache[key] = m
+                lens = np.fromiter((len(h) for h in lhs), dtype=np.int64, count=len(lhs))
+                total = int(lens.sum())
+                if total == 0:
+                    out[i] = "\n".join(lns)
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in lhs if len(h)]
+                )
+                hits = np.isin(flat, m)
+                nz = lens > 0
+                offsets = np.zeros(len(lhs), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                allhit = np.zeros(len(lhs), dtype=bool)
+                allhit[nz] = np.minimum.reduceat(hits, offsets[nz]).astype(bool)
+                masked = nz & allhit
+                out[i] = "\n".join(ln for ln, dead in zip(lns, masked) if not dead)
+            res = pdf[list(carry_cols)].copy()
+            res["clean_text"] = out
+            yield res
+
+    return stage.mapInPandas(kernel, out_schema)
 
 
 def clean_pages_expr(pages: DataFrame, masks: DataFrame, k: int = DEFAULT_SHINGLE_K) -> DataFrame:

@@ -49,18 +49,33 @@ def write_ordered_batches(pages: pd.DataFrame, out_dir: str, n_files: int) -> li
     return paths
 
 
-def write_batch_files(batches: list[pd.DataFrame], out_dir: str) -> list[str]:
-    """Write an explicit list of micro-batch frames, one file each —
+def write_batch_files(
+    batches: list[pd.DataFrame], out_dir: str, subfiles: int = 1
+) -> list[str]:
+    """Write an explicit list of micro-batch frames — with subfiles=1,
     file k IS batch k under maxFilesPerTrigger=1 (exact oracle
     alignment; write_ordered_batches re-chunks and may not preserve
-    caller-side batch boundaries)."""
+    caller-side batch boundaries).
+
+    subfiles>1 splits each batch into that many files (consume with
+    files_per_trigger=subfiles): scan parallelism of a micro-batch is
+    bounded by its file count, exactly like Iceberg split planning —
+    one fat file per trigger caps the whole UDF stage at one task."""
     os.makedirs(out_dir, exist_ok=True)
     kw = {"index": False, "coerce_timestamps": "us", "allow_truncated_timestamps": True}
     paths = []
     for i, b in enumerate(batches):
-        p = os.path.join(out_dir, f"batch-{i:05d}.parquet")
-        b.to_parquet(p, **kw)
-        paths.append(p)
+        if subfiles == 1:
+            p = os.path.join(out_dir, f"batch-{i:05d}.parquet")
+            b.to_parquet(p, **kw)
+            paths.append(p)
+        else:
+            per = (len(b) + subfiles - 1) // subfiles
+            for j in range(subfiles):
+                chunk = b.iloc[j * per : (j + 1) * per]
+                p = os.path.join(out_dir, f"batch-{i:05d}-{j:03d}.parquet")
+                chunk.to_parquet(p, **kw)
+                paths.append(p)
     return paths
 
 

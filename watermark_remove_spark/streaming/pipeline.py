@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.extract import clean_pages_udf, with_domain
+from ..operators.extract import clean_pages_udf_fast, with_domain
 from ..operators.windows import lang_window_agg
 from ..sources.pages import stream_pages_files
 from .sink import ParquetLedgerSink
@@ -34,9 +34,20 @@ def build_clean_stream(
     """source -> watermark -> dedup -> clean; masks is a static (batch)
     DataFrame broadcast-joined onto each micro-batch."""
     src = stream_pages_files(spark, src_dir, files_per_trigger)
-    deduped = src.withWatermark("warc_ts", watermark).dropDuplicates(["url", "warc_ts"])
-    return clean_pages_udf(deduped, masks).select(
-        "url", "warc_ts", "domain", "lang", "clean_text"
+    # drop html before anything else: the extraction path reads `text`
+    # only, so the (dominant-bytes) html column must never be scanned
+    # or shuffled — Catalyst prunes it from the parquet scan.
+    slim = src.select("url", "warc_ts", "text", "lang")
+    # extraction BEFORE dedup: the map node erases the event-time tag
+    # and a watermark cannot be redefined mid-plan, so the single
+    # watermark is declared after the (stateless) extraction and both
+    # stateful operators (dedup here, windows downstream) share it.
+    # clean_text is identical for identical (url, warc_ts), so dedup
+    # placement does not change results — and the dedup shuffle now
+    # carries the smaller clean_text instead of raw text.
+    cleaned = clean_pages_udf_fast(slim, masks)
+    return cleaned.withWatermark("warc_ts", watermark).dropDuplicates(
+        ["url", "warc_ts"]
     )
 
 

@@ -83,23 +83,49 @@ class ParquetLedgerSink:
         tmp = os.path.join(self.tmp_dir, f"b{batch_id}-{uuid.uuid4().hex}")
         tmp_lineage = tmp + "-lineage"
 
-        # lineage BEFORE write: per-partition row counts of this batch
-        pdf = df.persist()
-        lineage = (
-            pdf.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        lineage_rows = [r.asDict() for r in lineage.collect()]
-
-        pdf.write.mode("overwrite").parquet(tmp)
-        lineage.write.mode("overwrite").parquet(tmp_lineage)
+        # ONE Spark job: write the batch.  Lineage (O-27 per-partition
+        # row counts) comes from the written parquet footers —
+        # part-file i IS partition i — so no persist/collect/extra
+        # aggregation jobs sit on the micro-batch critical path.
+        df.write.mode("overwrite").parquet(tmp)
+        lineage_rows = self._lineage_from_files(tmp, batch_id)
+        self._write_lineage_parquet(tmp_lineage, lineage_rows)
         n_rows = sum(r["n_rows"] for r in lineage_rows)
-        pdf.unpersist()
 
         os.rename(tmp, final)
         os.rename(tmp_lineage, final_lineage)
         self._commit(batch_id, n_rows, lineage_rows)
+
+    @staticmethod
+    def _lineage_from_files(data_dir: str, batch_id: int) -> list[dict]:
+        import re
+
+        import pyarrow.parquet as pq
+
+        rows = []
+        for name in sorted(os.listdir(data_dir)):
+            m = re.match(r"part-(\d+)", name)
+            if not m:
+                continue
+            md = pq.read_metadata(os.path.join(data_dir, name))
+            rows.append(
+                {
+                    "partition_id": int(m.group(1)),
+                    "n_rows": md.num_rows,
+                    "batch_id": batch_id,
+                }
+            )
+        return rows
+
+    @staticmethod
+    def _write_lineage_parquet(path: str, rows: list[dict]) -> None:
+        import pandas as pd_
+
+        os.makedirs(path, exist_ok=True)
+        frame = pd_.DataFrame(
+            rows, columns=["partition_id", "n_rows", "batch_id"]
+        ).astype({"partition_id": "int32", "n_rows": "int64", "batch_id": "int64"})
+        frame.to_parquet(os.path.join(path, "lineage.parquet"), index=False)
 
     def foreach_batch(self):
         return lambda df, bid: self.write_batch(df, bid)
