@@ -11,7 +11,7 @@ The headline suite covers every operator family:
 - the relational/window/dedup/similarity batch queries from the driver
   contract at the bench scale factor.
 
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+Scaling-efficiency evidence (N vs 4N executor JVMs via local-cluster) is produced by
 tools/scaling_bench.py -> BENCH/BASELINE.md.
 """
 
@@ -41,11 +41,12 @@ def _build_pages_corpus(tmp: str) -> tuple[str, int]:
         PagesConfig(n_pages=BENCH_PAGES, n_domains=50, seed=42, mean_gap_seconds=1.0)
     )
     pages = corpus.pages
-    n_files = 8
+    n_files = 4
     per = (len(pages) + n_files - 1) // n_files
     batches = [pages.iloc[i * per : (i + 1) * per] for i in range(n_files)]
     src = os.path.join(tmp, "pages_stream")
-    write_batch_files([b for b in batches if len(b)], src)
+    # 16 subfiles per micro-batch: scan parallelism within a trigger
+    write_batch_files([b for b in batches if len(b)], src, subfiles=16)
     return src, len(pages)
 
 
@@ -72,7 +73,7 @@ def bench_streaming_flagship(spark, tmp: str) -> dict:
 
     sink = ParquetLedgerSink(os.path.join(tmp, "sink"))
     ck = os.path.join(tmp, "ck")
-    cleaned = build_clean_stream(spark, src, masks, files_per_trigger=1)
+    cleaned = build_clean_stream(spark, src, masks, files_per_trigger=16)
     win = build_window_stream(cleaned)
     t0 = time.perf_counter()
     q = run_stream_to_sink(win, sink, ck)

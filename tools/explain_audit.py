@@ -1,0 +1,108 @@
+"""Plan audit: assert the physical plans are the plans we want
+(task rule: ".explain() the plan and iterate until it's the plan
+you'd want").  Checks, per headline query:
+
+- column pruning reached the scan (ReadSchema must not contain
+  columns the query doesn't need — in particular `html` must never
+  be read unless asked for);
+- predicate pushdown (PushedFilters non-empty where a filter exists);
+- broadcast joins where a small dim is joined (BroadcastHashJoin, not
+  SortMergeJoin);
+- whole-stage codegen present.
+
+Run: python tools/explain_audit.py [sf_dir]   (exit 1 on violation)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from watermark_remove_spark.queries import QUERIES
+    from watermark_remove_spark.session import build_session
+
+    spark = build_session(app_name="explain-audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures: list[str] = []
+
+    def check(name: str, plan: str, *, broadcast=False, pushed=False,
+              codegen=True, forbid_read: tuple[str, ...] = ()):
+        if broadcast and "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan:
+            failures.append(f"{name}: expected broadcast join")
+        if pushed and not re.search(r"PushedFilters: \[[^\]]+\]", plan):
+            failures.append(f"{name}: expected pushed filters")
+        if codegen and "codegen id" not in plan and "*(" not in plan:
+            # AQE formatted plans omit codegen ids before execution —
+            # informational only, not a failure
+            print(f"  (note) {name}: codegen ids not visible pre-execution")
+        for col in forbid_read:
+            for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+                if col in m.group(1):
+                    failures.append(f"{name}: scan reads forbidden column {col}")
+
+    audits = {
+        "q01_pricing_summary": dict(pushed=True),
+        "q02_segment_sales": dict(broadcast=True),
+        "q03_nations_with_buyers": dict(broadcast=True),
+        "q05_top_orders_per_priority": dict(),
+        "q09_tumbling_event_windows": dict(),
+        "q13_frequent_shingles": dict(broadcast=True),
+        "q16_jaccard_pairs": dict(),
+        "q20_cosine_topk": dict(broadcast=True),
+    }
+    for name, kw in audits.items():
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        check(name, plan, **kw)
+        print(f"audited {name}")
+
+    # extraction pipeline: html must not be read; mask join broadcast
+    from watermark_remove_spark.operators.extract import (
+        clean_pages_expr,
+        clean_pages_udf_fast,
+        mine_masks,
+    )
+    from watermark_remove_spark.fixtures import PagesConfig, generate_corpus
+    from watermark_remove_spark.sources.pages import write_batch_files
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    corpus = generate_corpus(PagesConfig(n_pages=300, n_domains=5, seed=3))
+    write_batch_files([corpus.pages], tmp)
+    pages = spark.read.parquet(tmp)
+    masks = mine_masks(pages)
+    for label, df in {
+        "extract_expr": clean_pages_expr(pages, masks).select("url", "clean_text"),
+        "extract_fast": clean_pages_udf_fast(pages, masks).select("url", "clean_text"),
+        "mine_masks": masks,
+    }.items():
+        plan = plan_of(df)
+        check(label, plan, broadcast=(label != "mine_masks"), forbid_read=("html",),
+              codegen=True)
+        print(f"audited {label}")
+
+    spark.stop()
+    if failures:
+        print("PLAN AUDIT FAILURES:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("PLAN AUDIT OK")
+
+
+if __name__ == "__main__":
+    main()
