@@ -1,0 +1,112 @@
+"""Lineage listener, quarantine contract, CLI entry, catalog seam."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from watermark_remove_spark.fixtures import PagesConfig, generate_corpus
+from watermark_remove_spark.operators.extract import (
+    clean_pages_udf_fast,
+    decode_html_expr,
+    mine_masks,
+    quarantine_split,
+)
+from watermark_remove_spark.sources.catalog import ParquetCatalog, get_catalog
+from watermark_remove_spark.sources.pages import write_batch_files
+
+
+def test_lineage_listener_records_batches(spark, tmp_path):
+    from watermark_remove_spark.sources.pages import stream_pages_files
+    from watermark_remove_spark.streaming.lineage import JsonlLineageListener
+    from watermark_remove_spark.streaming.pipeline import run_stream_to_sink
+    from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+
+    corpus = generate_corpus(PagesConfig(n_pages=120, n_domains=3, seed=5))
+    src = str(tmp_path / "src")
+    write_batch_files([corpus.pages.iloc[:60], corpus.pages.iloc[60:]], src)
+
+    path = str(tmp_path / "lineage.jsonl")
+    listener = JsonlLineageListener(path)
+    spark.streams.addListener(listener)
+    try:
+        sink = ParquetLedgerSink(str(tmp_path / "out"))
+        stream = stream_pages_files(spark, src, 1).select("url", "warc_ts")
+        q = run_stream_to_sink(stream, sink, str(tmp_path / "ck"))
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously on the bus
+        import time
+
+        for _ in range(40):
+            recs = [json.loads(l) for l in open(path)]
+            progress = [r for r in recs if r["event"] == "progress"]
+            if sum(r["num_input_rows"] for r in progress) >= len(corpus.pages):
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    recs = [json.loads(l) for l in open(path)]
+    events = {r["event"] for r in recs}
+    assert "started" in events and "progress" in events
+    progress = [r for r in recs if r["event"] == "progress"]
+    assert sum(r["num_input_rows"] for r in progress) == len(corpus.pages)
+
+
+def test_quarantine_contract(spark):
+    """Malformed html must not kill the job: decode -> clean -> split
+    routes null-text rows to quarantine (SURVEY §2.8)."""
+    rows = [
+        ("https://a.example.com/p/1", b"ok line one", "en"),
+        ("https://a.example.com/p/2", None, "en"),  # missing payload
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, lang string").select(
+        "url",
+        F.lit("2026-01-01").cast("timestamp").alias("warc_ts"),
+        decode_html_expr(F.col("html")).alias("text"),
+        "lang",
+    )
+    masks = spark.createDataFrame([], "domain string, mask array<bigint>")
+    cleaned = clean_pages_udf_fast(df, masks)
+    ok, bad = quarantine_split(cleaned)
+    assert ok.count() == 1
+    badrow = bad.collect()[0]
+    assert badrow.url.endswith("/p/2") and badrow.error == "null_text"
+
+
+def test_cli_batch_mode(spark, tmp_path):
+    from watermark_remove_spark.cli import main
+
+    corpus = generate_corpus(PagesConfig(n_pages=200, n_domains=4, seed=6))
+    src = str(tmp_path / "in")
+    write_batch_files([corpus.pages], src)
+    out = str(tmp_path / "out")
+    rc = main(["--input", src, "--output", out, "--mode", "batch"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == len(corpus.pages)
+    assert "clean_text" in got.columns
+
+
+def test_cli_stream_mode_requires_checkpoint(tmp_path):
+    from watermark_remove_spark.cli import main
+
+    corpus = generate_corpus(PagesConfig(n_pages=50, n_domains=2, seed=7))
+    src = str(tmp_path / "in")
+    write_batch_files([corpus.pages], src)
+    rc = main(["--input", src, "--output", str(tmp_path / "o"), "--mode", "stream"])
+    assert rc == 1
+
+
+def test_parquet_catalog_roundtrip(spark, tmp_path):
+    cat = get_catalog(spark, str(tmp_path / "cat"))
+    assert isinstance(cat, ParquetCatalog)  # no Iceberg jar in sandbox
+    corpus = generate_corpus(PagesConfig(n_pages=100, n_domains=3, seed=8))
+    df = spark.createDataFrame(corpus.pages)
+    cat.write_pages(df)
+    back = cat.read_table("pages")
+    assert back.count() == len(corpus.pages)
+    assert "warc_day" in back.columns  # day-partitioned layout

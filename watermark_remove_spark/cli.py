@@ -1,0 +1,106 @@
+"""O-3: the spark-submit job entry (reference counterpart:
+``scripts/remove_single_image.py:19-40`` — argparse CLI that validates
+input, runs the transform, reports the output location / exits 1).
+
+Production shape (north_rule):
+
+    spark-submit --master <cluster> --py-files watermark_remove_spark.zip \
+        -m watermark_remove_spark.cli \
+        --input /data/pages --output /data/out --checkpoint /ck \
+        [--templates /data/domain_templates] [--watermark "10 minutes"]
+
+Batch mode (``--mode batch``) runs mine → clean → write; streaming mode
+(default) runs the full exactly-once pipeline until drained
+(``--available-now``) or indefinitely.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="watermark-remove-spark")
+    ap.add_argument("--input", required=True, help="pages parquet dir / table path")
+    ap.add_argument("--output", required=True, help="sink directory")
+    ap.add_argument("--checkpoint", help="checkpoint dir (streaming mode)")
+    ap.add_argument("--mode", choices=["stream", "batch"], default="stream")
+    ap.add_argument("--watermark", default="10 minutes")
+    ap.add_argument("--window", default="10 minutes")
+    ap.add_argument("--files-per-trigger", type=int, default=16)
+    ap.add_argument("--available-now", action="store_true", default=True)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--lineage", help="JSONL lineage metrics path")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .operators.extract import clean_pages_udf_fast, mine_masks
+    from .session import build_session
+    from .sources.pages import read_pages_batch
+    from .streaming.sink import ParquetLedgerSink
+
+    from pyspark.sql import SparkSession
+
+    # getOrCreate may hand back a caller-owned session (tests, notebooks)
+    # — only stop what this entry point itself created
+    owns_session = SparkSession.getActiveSession() is None
+    spark = build_session(
+        app_name="watermark-remove-spark",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+        streaming=args.mode == "stream",
+    )
+    try:
+        pages = read_pages_batch(spark, args.input)
+        masks = mine_masks(pages)
+        masks.cache().count()
+
+        if args.mode == "batch":
+            out = clean_pages_udf_fast(pages, masks)
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"wrote cleaned pages to {args.output}")
+            return 0
+
+        if not args.checkpoint:
+            print("--checkpoint is required in stream mode", file=sys.stderr)
+            return 1
+
+        from .streaming.pipeline import (
+            build_clean_stream,
+            build_window_stream,
+            run_stream_to_sink,
+        )
+
+        if args.lineage:
+            from .streaming.lineage import attach_lineage_listener
+
+            attach_lineage_listener(spark, args.lineage)
+
+        sink = ParquetLedgerSink(args.output)
+        cleaned = build_clean_stream(
+            spark, args.input, masks, args.watermark, args.files_per_trigger
+        )
+        win = build_window_stream(cleaned, args.window)
+        q = run_stream_to_sink(
+            win, sink, args.checkpoint, available_now=args.available_now
+        )
+        q.awaitTermination()
+        print(
+            f"drained: {len(sink.committed_batches())} batches committed to {args.output}"
+        )
+        return 0
+    except Exception as e:  # CLI contract: report + exit 1 (reference :61-66)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -431,12 +431,16 @@ def q16_jaccard_pairs(spark, sf_dir):
     sets_df = docs.select(
         "doc_id", "source",
         F.array_distinct(doc_shingles_expr(F.col("text"))).alias("hs"),
-    )
+    ).withColumn("sz", F.size("hs"))
     a = sets_df.alias("a")
     b = sets_df.alias("b")
     return (
         a.join(b, "source")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        # size-ratio prefilter: J >= 0.5 requires min/max >= 0.5, so
+        # pairs outside 2x size ratio cannot qualify — prunes the
+        # quadratic candidate space before the array intersection
+        .where((F.col("a.sz") <= 2 * F.col("b.sz")) & (F.col("b.sz") <= 2 * F.col("a.sz")))
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
@@ -449,13 +453,15 @@ def q16_jaccard_pairs(spark, sf_dir):
 
 ORACLE_Q16 = f"""
 WITH sets AS (
-  SELECT doc_id, source, list_distinct({_DUCK_SHINGLES.format(col='text')}) AS hs
+  SELECT doc_id, source, list_distinct({_DUCK_SHINGLES.format(col='text')}) AS hs,
+         len(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS sz
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_intersect(a.hs, b.hs)) AS n_inter,
        len(list_distinct(list_concat(a.hs, b.hs))) AS n_union
 FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+  AND a.sz <= 2 * b.sz AND b.sz <= 2 * a.sz
 WHERE len(list_intersect(a.hs, b.hs)) * 2 >= len(list_distinct(list_concat(a.hs, b.hs)))
 """
 
