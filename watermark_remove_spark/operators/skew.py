@@ -55,6 +55,45 @@ def salted_window_domain_agg(
     )
 
 
+def salted_window_domain_agg_stream(
+    pages: DataFrame,
+    salt_buckets: int = 16,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "warc_ts",
+    text_col: str = "clean_text",
+) -> DataFrame:
+    """Streaming form of O-21 (north_star: 'salted repartition before
+    the windowed hash-aggregate'): chained stateful aggregations —
+    partial agg keyed (window, domain, salt) splits a mega-domain's
+    rows across S state partitions; the final agg merges the <=S
+    partials per (window, domain).  Spark 4 supports chained windowed
+    aggregations in append mode; both stages share one watermark.
+    """
+    salted = (
+        pages.withWatermark(ts_col, watermark)
+        .withColumn("__salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).cast("int"))
+        .repartition(F.col("domain"), F.col("__salt"))
+    )
+    partial = salted.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), "domain", "__salt"
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.length(text_col)).alias("pc"),
+    )
+    return (
+        partial.groupBy(F.window(F.col("w"), window).alias("w2"), "domain")
+        .agg(F.sum("pn").alias("n_pages"), F.sum("pc").alias("total_chars"))
+        .select(
+            F.col("w2.start").alias("window_start"),
+            F.col("w2.end").alias("window_end"),
+            "domain",
+            "n_pages",
+            "total_chars",
+        )
+    )
+
+
 def naive_window_domain_agg(
     pages: DataFrame,
     window: str = "10 minutes",

@@ -657,6 +657,140 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _stream_fixture(spark, n_pages=1500, seed=42):
+    """Deterministic mini pages stream (sentinel-terminated) in a tmp
+    dir + mined masks — shared by the rows-only streaming queries."""
+    import tempfile
+
+    import pandas as pd
+
+    from .fixtures import PagesConfig, generate_corpus
+    from .operators.extract import mine_masks
+    from .sources.pages import write_batch_files
+
+    corpus = generate_corpus(PagesConfig(n_pages=n_pages, n_domains=8, seed=seed))
+    pages = corpus.pages
+    sent = pd.DataFrame(
+        {
+            "url": ["https://sentinel.example.com/p/1", "https://sentinel.example.com/p/2"],
+            "warc_ts": [pd.Timestamp("2027-01-01"), pd.Timestamp("2027-01-01T01:00:00")],
+            "html": [b"s", b"s"],
+            "text": ["s", "s"],
+            "lang": ["en", "en"],
+        }
+    )
+    n_files = 4
+    per = (len(pages) + n_files - 1) // n_files
+    batches = [pages.iloc[i * per : (i + 1) * per] for i in range(n_files)]
+    batches = [b for b in batches if len(b)] + [sent.iloc[:1], sent.iloc[1:]]
+    src = tempfile.mkdtemp(prefix="wrs-q-stream-")
+    write_batch_files(batches, src)
+    masks = mine_masks(spark.createDataFrame(pages))
+    return src, masks
+
+
+def _drain(df, spark):
+    import tempfile
+
+    from .streaming.pipeline import run_stream_to_sink
+    from .streaming.sink import ParquetLedgerSink
+
+    sink = ParquetLedgerSink(tempfile.mkdtemp(prefix="wrs-q-sink-"))
+    q = run_stream_to_sink(df, sink, tempfile.mkdtemp(prefix="wrs-q-ck-"))
+    q.awaitTermination(600)
+    return sink.read_committed(spark)
+
+
+def q27_streaming_clean_windows(spark, sf_dir):
+    """O-2/O-8/O-24/O-25/O-18/O-26 end to end: micro-batch stream ->
+    extract -> dedup -> tumbling windows -> exactly-once sink; returns
+    the committed window rows (rows-only check; row-exactness vs the
+    watermark-semantics oracle is pytest-asserted)."""
+    from .streaming.pipeline import build_clean_stream, build_window_stream
+
+    src, masks = _stream_fixture(spark)
+    cleaned = build_clean_stream(spark, src, masks)
+    win = build_window_stream(cleaned)
+    out = _drain(win, spark)
+    return out.where(~F.col("lang").isNull()).select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "lang",
+        "n_pages",
+        "total_chars",
+    )
+
+
+def q28_stateful_sessions(spark, sf_dir):
+    """O-19 mandated form: per-domain session windows via
+    applyInPandasWithState with event-time timeout (rows-only)."""
+    from .operators.extract import with_domain
+    from .sources.pages import stream_pages_files
+    from .streaming.sessions import stateful_domain_sessions
+
+    src, _ = _stream_fixture(spark)
+    pages = with_domain(stream_pages_files(spark, src, 1))
+    sessions = stateful_domain_sessions(pages, gap_seconds=300)
+    out = _drain(sessions, spark)
+    return out.select(
+        "domain",
+        F.unix_timestamp("session_start").alias("session_start_epoch"),
+        F.unix_timestamp("session_end").alias("session_end_epoch"),
+        "n_pages",
+    )
+
+
+def q29_streaming_asof_join(spark, sf_dir):
+    """O-15: watermark-bounded stream-stream join vs the template
+    changelog with as-of resolution (rows-only)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from .fixtures import PagesConfig, generate_corpus
+    from .operators.extract import with_domain
+    from .sources.pages import stream_pages_files, stream_templates_files, write_batch_files
+    from .streaming.pipeline import streaming_asof_template_join
+
+    corpus = generate_corpus(PagesConfig(n_pages=800, n_domains=6, seed=42))
+    pages = corpus.pages
+    sent_page = pd.DataFrame(
+        {
+            "url": ["https://sentinel.example.com/p/1", "https://sentinel.example.com/p/2"],
+            "warc_ts": [pd.Timestamp("2027-01-01"), pd.Timestamp("2027-01-01T01:00:00")],
+            "html": [b"s", b"s"],
+            "text": ["s", "s"],
+            "lang": ["en", "en"],
+        }
+    )
+    src = tempfile.mkdtemp(prefix="wrs-q-asof-p-")
+    write_batch_files([pages, sent_page.iloc[:1], sent_page.iloc[1:]], src)
+
+    tmpl_dir = tempfile.mkdtemp(prefix="wrs-q-asof-t-")
+    kw = {"index": False, "coerce_timestamps": "us", "allow_truncated_timestamps": True}
+    corpus.domain_templates.to_parquet(os.path.join(tmpl_dir, "t0.parquet"), **kw)
+    sent_t = pd.DataFrame(
+        {
+            "domain": ["sentinel.example.com"] * 2,
+            "valid_from": [pd.Timestamp("2027-01-01"), pd.Timestamp("2027-01-01T01:00:00")],
+            "template_kind": ["header"] * 2,
+            "template_line": ["x"] * 2,
+            "shingle_hashes": [[1], [1]],
+        }
+    )
+    sent_t.to_parquet(os.path.join(tmpl_dir, "t1.parquet"), **kw)
+
+    p = with_domain(stream_pages_files(spark, src, 2))
+    t = stream_templates_files(spark, tmpl_dir)
+    joined = streaming_asof_template_join(p, t)
+    out = _drain(joined, spark)
+    return out.select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_ts_epoch"),
+        F.unix_timestamp("template_valid_from").alias("template_valid_from_epoch"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -683,6 +817,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_lsh_topk": q24_lsh_topk,
     "q25_media_features": q25_media_features,
     "q26_salted_domain_windows": q26_salted_domain_windows,
+    "q27_streaming_clean_windows": q27_streaming_clean_windows,
+    "q28_stateful_sessions": q28_stateful_sessions,
+    "q29_streaming_asof_join": q29_streaming_asof_join,
 }
 
 ORACLES: dict[str, str] = {
