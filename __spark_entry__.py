@@ -8,7 +8,12 @@ DuckDB-cross-checked at sf0.01 unless rows-only (non-SQL-expressible).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the package importable regardless of the driver's CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

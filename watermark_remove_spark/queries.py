@@ -522,6 +522,35 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+def q19_quality_scores(spark, sf_dir):
+    """Quality scoring (training-data pipeline): deterministic
+    length/token/line-ratio score per doc."""
+    from .functions.text import quality_score_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+ORACLE_Q19 = """
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)), l -> length(l) > 0)) AS non_empty
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(n_chars / 500.0, 1.0)
+           + 0.4 * (CASE WHEN n_tokens > 0 AND
+                              (n_chars - (n_tokens - 1.0)) / n_tokens BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (CASE WHEN n_lines > 0 THEN non_empty * 1.0 / n_lines ELSE 0.0 END), 6)
+       AS quality
+FROM m
+"""
+
+
 # --------------------------------------------------------------- embeddings
 
 def q20_cosine_topk(spark, sf_dir):
@@ -810,6 +839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_jaccard_pairs": q16_jaccard_pairs,
     "q17_lang_id": q17_lang_id,
     "q18_token_stats": q18_token_stats,
+    "q19_quality_scores": q19_quality_scores,
     "q20_cosine_topk": q20_cosine_topk,
     "q21_embedding_norm_buckets": q21_embedding_norm_buckets,
     "q22_minhash_near_dupes": q22_minhash_near_dupes,
@@ -841,6 +871,7 @@ ORACLES: dict[str, str] = {
     "q16_jaccard_pairs": ORACLE_Q16,
     "q17_lang_id": ORACLE_Q17,
     "q18_token_stats": ORACLE_Q18,
+    "q19_quality_scores": ORACLE_Q19,
     "q20_cosine_topk": ORACLE_Q20,
     "q21_embedding_norm_buckets": ORACLE_Q21,
     "q26_salted_domain_windows": ORACLE_Q26,

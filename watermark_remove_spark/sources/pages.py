@@ -117,12 +117,21 @@ def stream_rate_limited_synthetic(
     joined to the corpus by row index — ingest throughput is bounded at
     rows_per_second regardless of corpus size, mimicking a rate-limited
     Iceberg incremental scan.  Used by the bench harness."""
+    import tempfile
+
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    # index the corpus EAGERLY in a batch job and re-read as a static
+    # relation: window expressions on the static side would otherwise
+    # be re-analyzed inside the streaming plan and rejected
     corpus = spark.read.schema(PAGES_DDL).parquet(corpus_path)
-    w = Window.orderBy(F.monotonically_increasing_id())
-    indexed = corpus.withColumn("idx", F.row_number().over(w).cast("bigint") - 1)
+    w = Window.orderBy("url", "warc_ts")
+    indexed_path = tempfile.mkdtemp(prefix="wrs-rate-idx-")
+    corpus.withColumn("idx", F.row_number().over(w).cast("bigint") - 1).write.mode(
+        "overwrite"
+    ).parquet(indexed_path)
+    indexed = spark.read.parquet(indexed_path)
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
     return rate.join(indexed, rate["value"] == indexed["idx"], "inner").drop(
         "timestamp", "value", "idx"
