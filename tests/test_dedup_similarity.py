@@ -158,3 +158,48 @@ def test_real_decoder_stub_quarantines(spark):
     )
     out = extract_media_features(media, deterministic_fake_decode=False).collect()[0]
     assert out.feature is None and "Pillow" in out.error
+
+
+def test_ivf_topk_recall(spark):
+    from watermark_remove_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, n=120)
+    q = emb.limit(5)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    inter = exact.intersect(approx).count()
+    assert inter >= 10  # >=40% recall with 4/8 probes on random data
+
+
+def test_ivf_finds_injected_twin(spark):
+    from watermark_remove_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark)  # injects near-identical pair (60, 61)
+    q = emb.where(F.col("vec_id") == 60)
+    top = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).collect()
+    assert top[0].neighbor_id == 61  # full probe == exhaustive: twin found
+
+
+def test_bpe_ish_and_rolling_fingerprint(spark):
+    from watermark_remove_spark.functions.text import (
+        bpe_ish_token_count_expr,
+        rolling_fingerprint_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "Hello, world! abc123 def"), (1, ""), (2, "same text here ok fine yes"),
+         (3, "same text here ok fine yes")],
+        "id bigint, text string",
+    )
+    rows = {r.id: r for r in df.select(
+        "id",
+        bpe_ish_token_count_expr(F.col("text")).alias("bpe"),
+        rolling_fingerprint_expr(F.col("text")).alias("fp"),
+    ).collect()}
+    # Hello , world ! abc 123 def -> 7 pieces
+    assert rows[0].bpe == 7
+    assert rows[1].bpe == 0 and rows[1].fp is None
+    assert rows[2].fp == rows[3].fp  # identical text -> identical fingerprint
+    assert rows[0].fp != rows[2].fp

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+DEFAULT_FP_WINDOW = 5
+
 # tiny per-language stopword marker sets — a deterministic n-gram/stopword
 # heuristic, not a model (no external data allowed in the sandbox)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -91,6 +93,34 @@ def doc_fingerprint_expr(text: Column) -> Column:
     """64-bit document fingerprint: xxhash64 of the full text —
     content-addressed identity for exact dedup (O-25 batch analog)."""
     return F.xxhash64(text)
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """BPE-ish token estimate: word pieces split on whitespace AND
+    letter/digit/punct boundaries (a cheap deterministic proxy for
+    subword tokenizer counts — the regex is the public GPT-2-style
+    pretokenizer shape, simplified to be engine-portable)."""
+    pieces = F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def rolling_fingerprint_expr(text: Column, k: int = DEFAULT_FP_WINDOW) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): the MINIMUM
+    xxhash64 over all k-token windows — robust to local edits outside
+    the minimizing window, fully Catalyst."""
+    toks = F.filter(F.split(text, " ", -1), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    windows = F.when(n == 0, F.array().cast("array<string>")).when(
+        n <= k, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+    return F.array_min(F.transform(windows, lambda w: F.xxhash64(w)))
 
 
 def md5_fingerprint_expr(text: Column) -> Column:

@@ -111,6 +111,100 @@ def lsh_topk(
     )
 
 
+def _centroid_assign_exprs(vec, centroids: list[list[float]]):
+    """Distance columns to each centroid (literal arrays, JVM math)."""
+    dists = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        dists.append(d)
+    return dists
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k (the second scale path next to LSH):
+
+    - coarse quantizer: n_centroids deterministic sample vectors
+      (lowest xxhash64(id) — seedless, reproducible, no external model);
+    - every corpus vector is assigned to its nearest centroid (inverted
+      list id) with pure Catalyst arithmetic;
+    - a query probes its n_probe nearest lists only, so the search join
+      is an equi-join on the small int list id — never a cross join.
+
+    At 100 TB the inverted lists are the partitioning key: corpus
+    bucketed by list id makes the probe join shuffle-free on the big
+    side.
+    """
+    centroids = [
+        [float(x) for x in r.v]
+        for r in corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    ]
+
+    def with_lists(df, n_lists):
+        v = F.col(vec_col).cast("array<double>")
+        dists = _centroid_assign_exprs(v, centroids)
+        darr = F.array(*dists)
+        ranked = F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        darr,
+                        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+            1,
+            n_lists,
+        )
+        return df.withColumn("__lists", ranked)
+
+    c = with_lists(corpus, 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at("__lists", 1).alias("list_id"),
+    )
+    q = with_lists(queries, n_probe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode("__lists").alias("list_id"),
+    )
+    scored = c.join(F.broadcast(q), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.withColumn(
+        "cosine",
+        F.round(cosine_expr(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+        .distinct()
+    )
+
+
 def embedding_near_dupes(
     corpus: DataFrame,
     id_col: str = "vec_id",
