@@ -445,8 +445,11 @@ def q16_jaccard_pairs(spark, sf_dir):
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             F.size(F.array_intersect("a.hs", "b.hs")).alias("n_inter"),
-            F.size(F.array_union("a.hs", "b.hs")).alias("n_union"),
+            (F.col("a.sz") + F.col("b.sz")).alias("sz_sum"),
         )
+        # |A∪B| = |A|+|B|-|A∩B| (hs are distinct) — no array_union pass
+        .withColumn("n_union", F.col("sz_sum") - F.col("n_inter"))
+        .drop("sz_sum")
         .where(F.col("n_inter") * 2 >= F.col("n_union"))
     )
 
@@ -459,10 +462,10 @@ WITH sets AS (
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_intersect(a.hs, b.hs)) AS n_inter,
-       len(list_distinct(list_concat(a.hs, b.hs))) AS n_union
+       a.sz + b.sz - len(list_intersect(a.hs, b.hs)) AS n_union
 FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
   AND a.sz <= 2 * b.sz AND b.sz <= 2 * a.sz
-WHERE len(list_intersect(a.hs, b.hs)) * 2 >= len(list_distinct(list_concat(a.hs, b.hs)))
+WHERE len(list_intersect(a.hs, b.hs)) * 2 >= a.sz + b.sz - len(list_intersect(a.hs, b.hs))
 """
 
 
