@@ -172,6 +172,23 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q30_order_cube(spark, sf_dir):
+    """O-23 cube: all grouping-set combinations of (priority, status)
+    in one pass (Catalyst Expand)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("sales"),
+    )
+
+
+ORACLE_Q30 = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sales
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
 def q07_part_setops(spark, sf_dir):
     """O-30 set ops: brands selling large parts EXCEPT brands selling
     small parts, via exceptAll on distinct projections."""
@@ -853,6 +870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_streaming_clean_windows": q27_streaming_clean_windows,
     "q28_stateful_sessions": q28_stateful_sessions,
     "q29_streaming_asof_join": q29_streaming_asof_join,
+    "q30_order_cube": q30_order_cube,
 }
 
 ORACLES: dict[str, str] = {
@@ -878,4 +896,5 @@ ORACLES: dict[str, str] = {
     "q20_cosine_topk": ORACLE_Q20,
     "q21_embedding_norm_buckets": ORACLE_Q21,
     "q26_salted_domain_windows": ORACLE_Q26,
+    "q30_order_cube": ORACLE_Q30,
 }
