@@ -15,10 +15,14 @@ sys.path.insert(0, ".")
 
 
 def norm_cell(v):
+    # RAW reprs, exactly as strict as the driver's canonical string
+    # hash: Decimal('1.80') != float 1.8 here, by design (round-1
+    # verdict: the old Decimal.normalize() lenience reported OK where
+    # the driver failed — queries must emit double, never Decimal)
     if isinstance(v, Decimal):
-        return f"{v.normalize():f}"
+        return f"DECIMAL:{v}"
     if isinstance(v, float):
-        return f"{v:.9g}"
+        return repr(v)
     if v is None:
         return "NULL"
     if isinstance(v, bytes):

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -47,21 +47,28 @@ FEATURES_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("kind", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("feature", ArrayType(FloatType())),
+        # double, not float: float32 truncation is irreversible and
+        # would make the q25 oracle (exact int-sum/int-count math)
+        # unmatchable; real decoders can still emit float32 downstream
+        StructField("feature", ArrayType(DoubleType())),
         StructField("error", StringType()),
     ]
 )
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in feature: byte-histogram moments."""
+    """Deterministic stand-in feature: byte-histogram moments.
+
+    Unrounded a/n (exact-int sum / exact-int count = identical double
+    bits in any engine); rounding happens at the query layer so Python
+    round-half-even never enters the oracle-checked path."""
     if not payload:
         return [0.0] * dim
     acc = [0] * dim
     for i, b in enumerate(payload):
         acc[i % dim] += b
     n = len(payload)
-    return [round(a / n, 6) for a in acc]
+    return [a / n for a in acc]
 
 
 def _decode_image(payload: bytes) -> list[float]:

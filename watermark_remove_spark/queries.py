@@ -4,8 +4,14 @@ matching DuckDB oracle SQL string.
 
 Conventions that make the driver's value-hash compare exact:
 - every computed column aliased identically in Spark and SQL;
-- money/qty aggregates go through DECIMAL casts (associative, exact —
-  no float-sum order sensitivity across 32 shuffle partitions);
+- money/qty aggregates SUM through DECIMAL casts (associative, exact —
+  no float-sum order sensitivity across 32 shuffle partitions), then
+  the FINAL decimal is cast to double on BOTH sides: Spark would
+  otherwise collect java Decimal ('…​.80') while DuckDB's wide
+  DECIMAL(38,x) fetches as float64 ('…​.8'), and the driver's string
+  hash sees different reprs for equal values (round-1 verdict #1;
+  both engines convert the same exact decimal to identical float64
+  bits, so repr matches deterministically);
 - timestamps leave as epoch BIGINT (cross-engine representation-safe);
 - per-row float math (cosine) is rounded; cross-row float sums avoided.
 """
@@ -47,13 +53,13 @@ def q01_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(
                     "decimal(18,4)"
                 )
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -61,9 +67,9 @@ def q01_pricing_summary(spark, sf_dir):
 
 ORACLE_Q01 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -78,14 +84,14 @@ def q02_segment_sales(spark, sf_dir):
     j = broadcast_join(orders, cust, orders.o_custkey == cust.c_custkey)
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("total_sales"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_sales"),
     )
 
 
 ORACLE_Q02 = """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -139,7 +145,7 @@ def q05_top_orders_per_priority(spark, sf_dir):
         .select(
             "o_orderpriority",
             "o_orderkey",
-            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("totalprice"),
             "rk",
         )
     )
@@ -147,7 +153,7 @@ def q05_top_orders_per_priority(spark, sf_dir):
 
 ORACLE_Q05 = """
 SELECT o_orderpriority, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rk
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rk
 FROM (
   SELECT *, row_number() OVER (PARTITION BY o_orderpriority
                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
@@ -161,13 +167,16 @@ def q06_order_rollup(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("o_totalprice").cast(DEC)).alias("sales"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sales"),
+        )
     )
 
 
 ORACLE_Q06 = """
 SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sales
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
 FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
@@ -178,13 +187,13 @@ def q30_order_cube(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("sales"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sales"),
     )
 
 
 ORACLE_Q30 = """
 SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sales
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
 FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
 """
 
@@ -212,7 +221,7 @@ def q08_top_lineitems(spark, sf_dir):
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.col("l_extendedprice").cast(DEC).alias("price"),
+            F.col("l_extendedprice").cast(DEC).cast("double").alias("price"),
         )
         .orderBy(F.col("price").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
         .limit(10)
@@ -220,7 +229,7 @@ def q08_top_lineitems(spark, sf_dir):
 
 
 ORACLE_Q08 = """
-SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
 FROM lineitem ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10
 """
 
@@ -233,7 +242,7 @@ def q09_tumbling_event_windows(spark, sf_dir):
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("total_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
@@ -247,7 +256,7 @@ def q09_tumbling_event_windows(spark, sf_dir):
 ORACLE_Q09 = """
 SELECT epoch(time_bucket(INTERVAL 10 minutes, ts))::BIGINT AS window_start_epoch,
        event_type, count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -441,48 +450,78 @@ FROM documents GROUP BY 1, 2
 
 
 def q16_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs within source (>= 0.5):
-    the SQL-checkable verification stage of the MinHash pipeline
-    (integer outputs only — no float hashing concerns)."""
+    """Exact n-gram Jaccard near-dup pairs within source (J >= 0.5)
+    over NON-BOILERPLATE shingles — integer outputs only.
+
+    Round-1 verdict #3 fix: the old within-source self-join generated
+    O(n²/source) pairs (29% of bench wall time, a scale-killer).  Now
+    candidate pairs come from a self-equi-join on the SHARED shingle
+    itself, and |A∩B| is the pair's group count — no array_intersect,
+    no quadratic stage.  Shingles that are source boilerplate (df >=
+    60% of the source's docs, the q13/mask threshold) are pruned first,
+    so 'watermarks' never vote for similarity AND no single ubiquitous
+    shingle can fan out df² candidate pairs.  Every stage is a
+    fixed-width equi-join / hash-agg on (source, shingle) or (id, id) —
+    shuffle-partitionable at 100 TB.
+    """
     docs = _t(spark, sf_dir, "documents")
-    sets_df = docs.select(
+    shings = docs.select(
         "doc_id", "source",
-        F.array_distinct(doc_shingles_expr(F.col("text"))).alias("hs"),
-    ).withColumn("sz", F.size("hs"))
-    a = sets_df.alias("a")
-    b = sets_df.alias("b")
+        F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle"),
+    )
+    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = shings.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    keep = (
+        dfreq.join(F.broadcast(n_docs), "source")
+        .where(F.col("df") < 0.6 * F.col("n_docs"))
+        .select("source", "shingle")
+    )
+    kept = shings.join(keep, ["source", "shingle"])
+    sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select("source", "shingle", F.col("doc_id").alias("id_a"))
+    b = kept.select("source", "shingle", F.col("doc_id").alias("id_b"))
+    inter = (
+        a.join(b, ["source", "shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     return (
-        a.join(b, "source")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        # size-ratio prefilter: J >= 0.5 requires min/max >= 0.5, so
-        # pairs outside 2x size ratio cannot qualify — prunes the
-        # quadratic candidate space before the array intersection
-        .where((F.col("a.sz") <= 2 * F.col("b.sz")) & (F.col("b.sz") <= 2 * F.col("a.sz")))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.size(F.array_intersect("a.hs", "b.hs")).alias("n_inter"),
-            (F.col("a.sz") + F.col("b.sz")).alias("sz_sum"),
-        )
-        # |A∪B| = |A|+|B|-|A∩B| (hs are distinct) — no array_union pass
-        .withColumn("n_union", F.col("sz_sum") - F.col("n_inter"))
-        .drop("sz_sum")
-        .where(F.col("n_inter") * 2 >= F.col("n_union"))
+        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        .where(2 * F.col("n_inter") >= F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union")
     )
 
 
 ORACLE_Q16 = f"""
-WITH sets AS (
-  SELECT doc_id, source, list_distinct({_DUCK_SHINGLES.format(col='text')}) AS hs,
-         len(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS sz
+WITH shings AS (
+  SELECT doc_id, source, unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS shingle
   FROM documents
+), nd AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), dfq AS (
+  SELECT source, shingle, count(*) AS df FROM shings GROUP BY 1, 2
+), keep AS (
+  SELECT dfq.source, shingle FROM dfq JOIN nd ON dfq.source = nd.source
+  WHERE df < 0.6 * n_docs
+), kept AS (
+  SELECT s.doc_id, s.source, s.shingle
+  FROM shings s JOIN keep k ON s.source = k.source AND s.shingle = k.shingle
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM kept a JOIN kept b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       len(list_intersect(a.hs, b.hs)) AS n_inter,
-       a.sz + b.sz - len(list_intersect(a.hs, b.hs)) AS n_union
-FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
-  AND a.sz <= 2 * b.sz AND b.sz <= 2 * a.sz
-WHERE len(list_intersect(a.hs, b.hs)) * 2 >= a.sz + b.sz - len(list_intersect(a.hs, b.hs))
+SELECT id_a, id_b, n_inter, sa.sz + sb.sz - n_inter AS n_union
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE 2 * n_inter >= sa.sz + sb.sz - n_inter
 """
 
 
@@ -665,7 +704,14 @@ def q24_lsh_topk(spark, sf_dir):
 
 def q25_media_features(spark, sf_dir):
     """Multimodal plumbing: documents' text bytes as opaque media
-    payloads through the Arrow mapInPandas feature extractor."""
+    payloads through the Arrow mapInPandas feature extractor.
+
+    Driver-facing output is SCALAR-ONLY (round-1 verdict #2: an
+    array<float> column crashes the driver's pandas canonicalizer) —
+    the 8-dim feature comes out as f0..f7 double columns, rounded at
+    the query layer.  The oracle recomputes the byte-histogram feature
+    in pure SQL (documents.text is ASCII, so char ords == payload
+    bytes)."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -676,7 +722,39 @@ def q25_media_features(spark, sf_dir):
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("bigint").alias("duration_ms"),
     )
-    return extract_media_features(media)
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", j + 1).cast("double"), 6).alias(f"f{j}")
+            for j in range(8)
+        ],
+        "error",
+    )
+
+
+def _duck_fake_feature(j: int) -> str:
+    """Byte-histogram moment f<j> = mean of byte values at 0-based
+    positions ≡ j (mod 8) — mirrors multimodal._fake_feature for ASCII
+    payloads (ord(char) == utf-8 byte)."""
+    return (
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE round("
+        "list_sum(list_transform(generate_series(1, length(text)), "
+        f"i -> CASE WHEN (i-1) % 8 = {j} THEN ord(substr(text, i, 1)) ELSE 0 END))"
+        f" / length(text), 6) END AS f{j}"
+    )
+
+
+ORACLE_Q25 = f"""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       {", ".join(_duck_fake_feature(j) for j in range(8))},
+       CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
 
 
 def q26_salted_domain_windows(spark, sf_dir):
@@ -895,6 +973,7 @@ ORACLES: dict[str, str] = {
     "q19_quality_scores": ORACLE_Q19,
     "q20_cosine_topk": ORACLE_Q20,
     "q21_embedding_norm_buckets": ORACLE_Q21,
+    "q25_media_features": ORACLE_Q25,
     "q26_salted_domain_windows": ORACLE_Q26,
     "q30_order_cube": ORACLE_Q30,
 }
