@@ -8,9 +8,11 @@ SimHash:   64-bit weighted bit-vote fingerprint, near-dup = small
 Jaccard:   n-gram set overlap verification on LSH candidate pairs.
 
 All built from DataFrame ops + Catalyst higher-order functions —
-no Python in the candidate-generation hot path; hashing is xxhash64
-with per-permutation seeds derived by hashing the shingle with a salt
-prefix (keeps everything JVM-side and deterministic).
+no Python in the candidate-generation hot path; hashing is the
+PORTABLE md5-derived 60-bit scheme (``functions.portable_hash``) with
+per-permutation salt prefixes, so every stage has an exact DuckDB
+oracle (round-1 verdict #4: xxhash64 left q22/q23 un-checkable).
+Exact-content dedup keeps xxhash64 (no oracle needs its raw value).
 
 Scale: LSH banding keeps the join keyed on (band_id, band_hash) so
 candidate generation is an equi-join, never a cross join.  Exact
@@ -21,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.portable_hash import HEX_BIT_CHARS, md5_i64_expr
 from ..functions.shingles import doc_shingles_expr
 
 
@@ -53,11 +56,12 @@ def dedup_exact_content(df: DataFrame, id_col: str, text_col: str = "text") -> D
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32, k: int = 3
 ) -> DataFrame:
-    """(id, sig array<bigint>[num_hashes]) via per-seed xxhash64 min.
+    """(id, sig array<bigint>[num_hashes]) via per-salt portable-hash min.
 
-    Permutation i = xxhash64(concat('mh<i>#', shingle)); the min over a
-    doc's shingles approximates a random permutation's first element.
-    Entirely Catalyst: transform + aggregate over the shingle array.
+    Permutation i = md5_i64('mh<i>#' || shingle); the min over a doc's
+    shingles approximates a random permutation's first element.
+    Entirely Catalyst: flat columns + hash-aggregate, DuckDB-mirrorable
+    (ORACLE_Q22).
     """
     # explode once, hash num_hashes ways as flat columns, then one
     # hash-aggregate of per-column mins: stays inside whole-stage
@@ -70,7 +74,7 @@ def minhash_signatures(
     ).select(
         "id",
         *[
-            F.xxhash64(F.concat(F.lit(f"mh{i}#"), F.col("s"))).alias(f"h{i}")
+            md5_i64_expr(F.col("s"), salt=f"mh{i}#").alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -98,7 +102,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
+                        md5_i64_expr(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -128,15 +132,16 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
-    Joins shingle-hash sets onto both sides of the (small) candidate
-    pair table; set ops run as Catalyst array intersect/union on
-    fixed-width hashes.
+    Joins shingle STRING sets onto both sides of the (small) candidate
+    pair table; set ops run as Catalyst array intersect/union.  Strings
+    instead of hashes: the verify stage touches only candidate pairs
+    (tiny vs corpus), and strings make the DuckDB oracle collision-free
+    and exact.  (For a hash-set variant at extreme scale, swap in
+    md5_i64_expr per shingle — ordering/equality semantics identical.)
     """
     sets_df = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(doc_shingles_expr(F.col(text_col), k), lambda s: F.xxhash64(s))
-        ).alias("hs"),
+        F.array_distinct(doc_shingles_expr(F.col(text_col), k)).alias("hs"),
     )
     out = (
         pairs.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a"), "id_a")
@@ -168,67 +173,89 @@ def minhash_near_dupes(
     return verified.where(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> DataFrame:
-    """64-bit SimHash fingerprint per doc, fully Catalyst.
+def simhash_bands(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> DataFrame:
+    """64-bit SimHash per doc as FOUR 16-bit band values (bv0..bv3),
+    fully Catalyst and DuckDB-mirrorable (ORACLE_Q23).
 
-    For each of 64 bit positions, vote +1/-1 per shingle depending on
-    that bit of the shingle hash; fingerprint bit = majority.  The
-    64-way expansion uses aggregate over the shingle-hash array.
+    For each of 64 bit positions, vote +1/-1 per distinct shingle
+    depending on that bit of md5(shingle); band value bit = majority.
+    Bit r of a hex digit is tested by plain character-set membership
+    (``HEX_BIT_CHARS``) — no base conversion in either engine.  Four
+    16-bit values instead of one 64-bit int: assembling bit 63 would
+    overflow-wrap differently across engines; bands avoid it AND are
+    exactly the LSH join key.
+
+    Shape: explode distinct shingles -> 64 flat ±1 vote columns (the
+    wide-flat-column pattern — a nested 64-transform tree falls back to
+    interpreted mode) -> one hash-aggregate of sums -> band assembly.
     """
-    # materialize the hash array once (see minhash_signatures note)
-    base = df.select(
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(doc_shingles_expr(F.col(text_col), k)),
-            lambda s: F.xxhash64(s),
-        ).alias("__hs"),
+        F.explode(F.array_distinct(doc_shingles_expr(F.col(text_col), k))).alias("s"),
+    ).select(
+        "id", F.md5("s").alias("h")
+    ).select(
+        "id",
+        *[
+            F.when(
+                F.substring("h", 1 + b // 4, 1).isin(*HEX_BIT_CHARS[b % 4]), 1
+            ).otherwise(-1).alias(f"v{b}")
+            for b in range(64)
+        ],
     )
-
-    def vote_fn(b: int):
-        # NB: closing over b via factory — a `b=b` default arg would give
-        # the lambda 3 params and pyspark would bind b as a Column
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_votes = [F.aggregate(F.col("__hs"), F.lit(0), vote_fn(b)) for b in range(64)]
-    fp = None
-    for b, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return base.select("id", fp.alias("simhash"))
+    votes = exploded.groupBy("id").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(64)]
+    )
+    bands = [
+        sum(
+            [
+                F.when(F.col(f"v{16 * i + r}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+                for r in range(16)
+            ],
+            F.lit(0),
+        ).cast("bigint").alias(f"bv{i}")
+        for i in range(4)
+    ]
+    return votes.select("id", *bands)
 
 
 def simhash_near_dupes(
     df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, k: int = 3
 ) -> DataFrame:
     """Near-dups = same 16-bit band (pigeonhole: hamming<=3 over 4
-    bands guarantees one identical band) + verified Hamming distance."""
-    fps = simhash(df, id_col, text_col, k)
+    bands guarantees one identical band) + verified Hamming distance
+    summed over the four band values."""
+    fps = simhash_bands(df, id_col, text_col, k)
     banded = fps.select(
         "id",
-        "simhash",
+        *[f"bv{i}" for i in range(4)],
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                        F.col(f"bv{i}").alias("band_val"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("b"),
-    ).select("id", "simhash", "b.band_id", "b.band_val")
+    ).select("id", *[f"bv{i}" for i in range(4)], "b.band_id", "b.band_val")
     a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        [
+            F.bit_count(F.col(f"a.bv{i}").bitwiseXOR(F.col(f"b.bv{i}")))
+            for i in range(1, 4)
+        ],
+        F.bit_count(F.col("a.bv0").bitwiseXOR(F.col("b.bv0"))),
+    )
     pairs = (
         a.join(b, ["band_id", "band_val"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            hamming.cast("bigint").alias("hamming"),
         )
         .distinct()
     )

@@ -8,16 +8,29 @@ pure Catalyst (zip_with/aggregate), no Python.
 
 The scale path is random-hyperplane LSH (SimHash for vectors): b
 signed projections → b-bit bucket; near vectors collide w.h.p.  The
-hyperplanes are deterministic pseudo-vectors derived from xxhash64 so
-no external randomness or model is needed.  At 100 TB the bucket join
-is an equi-join on an int key — shuffle-partitionable, never O(n²).
+hyperplanes are deterministic ±1 pseudo-vectors derived from the
+portable md5 hash (``functions.portable_hash.plane_signs``) and
+materialized as LITERAL arrays — no per-row hashing at all, and the
+same literals are embeddable in the DuckDB oracle (ORACLE_Q24).  At
+100 TB the bucket join is an equi-join on an int key —
+shuffle-partitionable, never O(n²).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.portable_hash import md5_i64_expr, plane_signs
 from ..functions.vectors import cosine_expr
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from one row (bounded driver action —
+    metadata-scale, like reading a table schema)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(f"cannot infer dimension of vector column {vec_col!r}")
+    return int(row.d)
 
 
 def brute_force_topk(
@@ -48,29 +61,22 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec, plane_id: int):
-    """Sign of <v, h_p> where h_p[i] = deterministic ±1 pseudo-plane:
-    sign derived from xxhash64(plane_id # dim_index).  Computed as an
-    aggregate over the vector with posexplode-free zip on indices."""
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    signs = F.transform(
-        idx,
-        lambda i: F.when(
-            F.pmod(F.xxhash64(F.concat(F.lit(f"hp{plane_id}#"), i.cast("string"))), F.lit(2)) == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+def _hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
+    """Sign-bit of <v, h_p> where h_p = plane_signs(plane_id, dim), a
+    literal ±1 array.  x * (±1) is exact, so the only rounding is the
+    sequential sum — identical fold order in Spark and DuckDB."""
+    signs = F.array(*[F.lit(s) for s in plane_signs(plane_id, dim)])
     dot = F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x * s), F.lit(0.0), lambda a, v: a + v
     )
     return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket_expr(vec, n_planes: int = 8):
+def lsh_bucket_expr(vec: Column, n_planes: int, dim: int) -> Column:
     """b-bit random-hyperplane bucket id (int)."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        bucket = bucket * 2 + _hyperplane_sign(vec, p)
+        bucket = bucket * 2 + _hyperplane_sign(vec, p, dim)
     return bucket
 
 
@@ -85,17 +91,19 @@ def lsh_topk(
     """Approximate top-k: compare only within the query's LSH bucket.
 
     Recall is traded for a bucket-equi-join; tested against the brute
-    force baseline for recall@k, not exactness.
+    force baseline for recall@k, not exactness; values are exactly
+    DuckDB-mirrorable (ORACLE_Q24) via the literal hyperplanes.
     """
+    dim = _vec_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        lsh_bucket_expr(F.col(vec_col), n_planes).alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        lsh_bucket_expr(F.col(vec_col).cast("array<double>"), n_planes, dim).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        lsh_bucket_expr(F.col(vec_col), n_planes).alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        lsh_bucket_expr(F.col(vec_col).cast("array<double>"), n_planes, dim).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").where(
         F.col("neighbor_id") != F.col("query_id")
@@ -151,7 +159,7 @@ def ivf_topk(
         [float(x) for x in r.v]
         for r in corpus.select(
             F.col(vec_col).cast("array<double>").alias("v"),
-            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+            md5_i64_expr(F.col(id_col).cast("string"), salt="ivf#").alias("h"),
         )
         .orderBy("h")
         .limit(n_centroids)
@@ -213,10 +221,11 @@ def embedding_near_dupes(
     n_planes: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH self-join + verify."""
+    dim = _vec_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket_expr(F.col(vec_col), n_planes).alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_expr(F.col(vec_col).cast("array<double>"), n_planes, dim).alias("bucket"),
     )
     a, b = c.alias("a"), c.alias("b")
     pairs = (

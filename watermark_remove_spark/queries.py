@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .functions.portable_hash import HEX_BIT_CHARS, duck_md5_i64, plane_signs
 from .functions.shingles import doc_shingles_expr
 from .functions.text import (
     LANG_MARKERS,
@@ -676,30 +677,157 @@ SELECT label, CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::D
 FROM embeddings GROUP BY 1, 2
 """
 
-# ------------------------------------------- rows-only (non-SQL-expressible)
+# ---------------------------------------- portable-hash near-dup / ANN
 
 def q22_minhash_near_dupes(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline on documents (xxhash64-based —
-    no portable SQL oracle; exactness covered by pytest vs exact
-    Jaccard)."""
+    """MinHash+LSH near-dup pipeline on documents.  Portable
+    md5-derived hashing (round-2): the full pipeline — 32 permutation
+    mins, 8-band LSH candidates, exact-Jaccard verify — is mirrored
+    stage-for-stage in ORACLE_Q22, so the DRIVER checks not just the
+    verified pairs but the banding itself."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_near_dupes(docs, "doc_id", "text", threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
+def _duck_minhash_oracle(num_hashes: int = 32, bands: int = 8, rpb: int = 4) -> str:
+    sh = _DUCK_SHINGLES.format(col="text")
+    mins = ",\n         ".join(
+        f"min({duck_md5_i64('s', salt=f'mh{i}#')}) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = " || ',' || ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb))
+        band_selects.append(
+            f"SELECT id, {b} AS band_id, {duck_md5_i64('(' + concat + ')')} AS band_hash FROM mins"
+        )
+    banded = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH shings AS (
+  SELECT doc_id AS id, unnest(list_distinct({sh})) AS s FROM documents
+), mins AS (
+  SELECT id, {mins}
+  FROM shings GROUP BY id
+), banded AS (
+  {banded}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+), sets AS (
+  SELECT doc_id AS id, list_distinct({sh}) AS hs FROM documents
+), v AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.hs, sb.hs)) AS i_,
+         len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)) AS u_
+  FROM cand JOIN sets sa ON cand.id_a = sa.id JOIN sets sb ON cand.id_b = sb.id
+)
+SELECT id_a, id_b, round(CASE WHEN u_ = 0 THEN 1.0 ELSE i_ / u_ END, 6) AS jaccard
+FROM v WHERE u_ = 0 OR 2 * i_ >= u_
+"""
+
+
+ORACLE_Q22 = _duck_minhash_oracle()
+
+
 def q23_simhash_near_dupes(spark, sf_dir):
-    """SimHash banded near-dup pairs (rows-only check)."""
+    """SimHash banded near-dup pairs — portable md5-bit votes, mirrored
+    bit-for-bit in ORACLE_Q23 (hex-digit set membership, no base
+    conversion in either engine)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dupes(docs, "doc_id", "text", max_hamming=8)
 
 
+def _duck_simhash_oracle(max_hamming: int = 8) -> str:
+    sh = _DUCK_SHINGLES.format(col="text")
+    votes = ",\n         ".join(
+        "sum(CASE WHEN substr(h, {c}, 1) IN ({chars}) THEN 1 ELSE -1 END) AS v{b}".format(
+            c=1 + b // 4,
+            chars=", ".join(f"'{ch}'" for ch in HEX_BIT_CHARS[b % 4]),
+            b=b,
+        )
+        for b in range(64)
+    )
+    band_cols = ",\n         ".join(
+        "CAST("
+        + " + ".join(f"CASE WHEN v{16 * i + r} > 0 THEN {1 << r} ELSE 0 END" for r in range(16))
+        + f" AS BIGINT) AS bv{i}"
+        for i in range(4)
+    )
+    banded = "\n  UNION ALL\n  ".join(
+        f"SELECT id, bv0, bv1, bv2, bv3, {i} AS band_id, bv{i} AS band_val FROM bands"
+        for i in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a.bv{i}, b.bv{i}))" for i in range(4))
+    return f"""
+WITH shings AS (
+  SELECT doc_id AS id, md5(unnest(list_distinct({sh}))) AS h FROM documents
+), votes AS (
+  SELECT id, {votes}
+  FROM shings GROUP BY id
+), bands AS (
+  SELECT id, {band_cols}
+  FROM votes
+), banded AS (
+  {banded}
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST({hamming} AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+ORACLE_Q23 = _duck_simhash_oracle()
+
+
 def q24_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbors (rows-only; recall
-    vs brute force asserted in pytest)."""
+    """LSH-bucketed approximate nearest neighbors — literal ±1
+    hyperplanes shared verbatim with ORACLE_Q24; recall vs brute force
+    additionally asserted in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 3)
     return lsh_topk(emb, q, k=5, n_planes=4)
+
+
+def _duck_lsh_bucket(vexpr: str, n_planes: int, dim: int) -> str:
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in plane_signs(p, dim)) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vexpr}, {arr}) >= 0"
+            f" THEN {1 << (n_planes - 1 - p)} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duck_lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    bucket = _duck_lsh_bucket("embedding::DOUBLE[]", n_planes, dim)
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, {bucket} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, {bucket} AS bucket
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+ORACLE_Q24 = _duck_lsh_oracle()
 
 
 def q25_media_features(spark, sf_dir):
@@ -973,6 +1101,9 @@ ORACLES: dict[str, str] = {
     "q19_quality_scores": ORACLE_Q19,
     "q20_cosine_topk": ORACLE_Q20,
     "q21_embedding_norm_buckets": ORACLE_Q21,
+    "q22_minhash_near_dupes": ORACLE_Q22,
+    "q23_simhash_near_dupes": ORACLE_Q23,
+    "q24_lsh_topk": ORACLE_Q24,
     "q25_media_features": ORACLE_Q25,
     "q26_salted_domain_windows": ORACLE_Q26,
     "q30_order_cube": ORACLE_Q30,
