@@ -123,6 +123,24 @@ def rolling_fingerprint_expr(text: Column, k: int = DEFAULT_FP_WINDOW) -> Column
     return F.array_min(F.transform(windows, lambda w: F.xxhash64(w)))
 
 
+def rolling_fingerprint_md5_expr(text: Column, k: int = DEFAULT_FP_WINDOW) -> Column:
+    """Portable rolling fingerprint (q32 oracle path): the MINIMUM md5
+    hex string over all k-token windows — same winnowing robustness as
+    :func:`rolling_fingerprint_expr`, but lexicographic-min over
+    fixed-width hex is identical in Spark and DuckDB."""
+    toks = F.filter(F.split(text, " ", -1), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    windows = F.when(n == 0, F.array().cast("array<string>")).when(
+        n <= k, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+    return F.array_min(F.transform(windows, lambda w: F.md5(w)))
+
+
 def md5_fingerprint_expr(text: Column) -> Column:
     """Portable hex fingerprint (md5) — identical in DuckDB, used on
     oracle-checked paths where xxhash64 has no SQL counterpart."""

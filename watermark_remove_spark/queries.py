@@ -1134,6 +1134,150 @@ def q29_streaming_asof_join(spark, sf_dir):
     )
 
 
+# ----------------------------------------- round-2 additions (q31-q34)
+
+def q31_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k (second ANN scale path next to LSH):
+    16 portable-hash-selected sample centroids, corpus assigned to its
+    nearest inverted list, queries probe their 4 nearest lists.
+    ORACLE_Q31 recomputes the whole thing — centroid selection,
+    assignment argmin, probe lists, cosine rank — in DuckDB."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+
+
+_DUCK_IVF_DIST = (
+    "list_sum(list_transform(generate_series(1, len(e.v)), "
+    "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])))"
+)
+
+ORACLE_Q31 = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT row_number() OVER (ORDER BY h) AS cid, v
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {duck_md5_i64("vec_id::VARCHAR", salt="ivf#")} AS h
+    FROM embeddings ORDER BY h LIMIT 16
+  )
+), dists AS (
+  SELECT e.vec_id, c.cid, {_DUCK_IVF_DIST} AS d
+  FROM emb e CROSS JOIN cent c
+), corpus_assign AS (
+  SELECT vec_id AS neighbor_id, cid AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM dists)
+  WHERE rk = 1
+), query_probe AS (
+  SELECT vec_id AS query_id, cid AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM dists)
+  WHERE rk <= 4 AND vec_id < 3
+), scored AS (
+  SELECT q.query_id, ca.neighbor_id,
+         round(list_dot_product(qe.v, ne.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))), 6)
+           AS cosine
+  FROM query_probe q
+  JOIN corpus_assign ca ON q.list_id = ca.list_id
+  JOIN emb qe ON qe.vec_id = q.query_id
+  JOIN emb ne ON ne.vec_id = ca.neighbor_id
+  WHERE ca.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+def q32_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling fingerprint per doc: minimum hash over
+    all 5-token windows — robust to local edits outside the minimizing
+    window.  Portable md5 variant (string min), mirrored in SQL."""
+    from .functions.text import rolling_fingerprint_md5_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint_md5_expr(F.col("text")).alias("fingerprint")
+    )
+
+
+def _duck_kgrams(col: str, k: int) -> str:
+    """DuckDB k-token-window fragment (generalized _DUCK_SHINGLES)."""
+    toks = f"list_filter(string_split({col}, ' '), t -> t <> '')"
+    return f"""
+CASE WHEN len({toks}) = 0 THEN []::VARCHAR[]
+     WHEN len({toks}) <= {k} THEN [array_to_string({toks}, ' ')]
+     ELSE list_transform(
+            generate_series(1, len({toks}) - {k - 1}),
+            i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))
+END
+"""
+
+
+ORACLE_Q32 = f"""
+SELECT doc_id,
+       list_min(list_transform({_duck_kgrams("text", 5)}, w -> md5(w))) AS fingerprint
+FROM documents
+"""
+
+
+def q33_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword token estimate per doc (GPT-2-style pretokenizer
+    shape, simplified to an engine-portable regex)."""
+    from .functions.text import bpe_ish_token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count_expr(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_Q33 = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q34_embedding_near_dupes(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH self-join + verify;
+    literal hyperplanes shared with ORACLE_Q34.  Threshold 0.4 here
+    (operator default 0.95): the synthetic embeddings have no true
+    near-dupes (max pairwise cosine ~0.51), so the check uses the top
+    of the observed similarity range to stay non-vacuous."""
+    from .operators.similarity import embedding_near_dupes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dupes(emb, threshold=0.4, n_planes=6)
+
+
+def _duck_embedding_near_dupes(threshold: float = 0.4, n_planes: int = 6, dim: int = 64) -> str:
+    bucket = _duck_lsh_bucket("embedding::DOUBLE[]", n_planes, dim)
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         AS cosine
+FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= {threshold}
+"""
+
+
+ORACLE_Q34 = _duck_embedding_near_dupes()
+
+
 # DuckDB mirror of _derived_pages_pandas (pre-dup-injection: dups are
 # collapsed by streaming dedup / never injected, so the oracle works on
 # one row per doc)
@@ -1271,6 +1415,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_stateful_sessions": q28_stateful_sessions,
     "q29_streaming_asof_join": q29_streaming_asof_join,
     "q30_order_cube": q30_order_cube,
+    "q31_ivf_topk": q31_ivf_topk,
+    "q32_rolling_fingerprint": q32_rolling_fingerprint,
+    "q33_bpe_tokens": q33_bpe_tokens,
+    "q34_embedding_near_dupes": q34_embedding_near_dupes,
 }
 
 ORACLES: dict[str, str] = {
@@ -1304,4 +1452,8 @@ ORACLES: dict[str, str] = {
     "q28_stateful_sessions": ORACLE_Q28,
     "q29_streaming_asof_join": ORACLE_Q29,
     "q30_order_cube": ORACLE_Q30,
+    "q31_ivf_topk": ORACLE_Q31,
+    "q32_rolling_fingerprint": ORACLE_Q32,
+    "q33_bpe_tokens": ORACLE_Q33,
+    "q34_embedding_near_dupes": ORACLE_Q34,
 }
