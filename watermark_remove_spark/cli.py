@@ -29,7 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--watermark", default="10 minutes")
     ap.add_argument("--window", default="10 minutes")
     ap.add_argument("--files-per-trigger", type=int, default=16)
-    ap.add_argument("--available-now", action="store_true", default=True)
+    # BooleanOptionalAction: --no-available-now switches to continuous
+    # streaming (round-1 advice: store_true+default=True could never be
+    # turned off, making the documented 'run indefinitely' unreachable)
+    ap.add_argument(
+        "--available-now", action=argparse.BooleanOptionalAction, default=True
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--lineage", help="JSONL lineage metrics path")

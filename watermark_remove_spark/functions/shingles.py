@@ -7,7 +7,7 @@ whole-stage codegen with zero Python.  The Python spec functions are
 only used in the pandas-UDF *application* path and the oracle.
 
 Parity with ``spec.tokenize`` / ``spec.shingles`` is asserted in
-``tests/test_shingles.py``.
+``tests/test_spec.py`` and ``tests/test_extract.py``.
 """
 
 from __future__ import annotations

@@ -33,6 +33,17 @@ def assert_pushed_filters(df: DataFrame) -> None:
         raise AssertionError("expected pushed filters in plan:\n" + plan[:2000])
 
 
+def assert_no_single_partition_stage(df: DataFrame) -> None:
+    """No stage may funnel the whole dataset through one task (global
+    no-partition sorts/windows show up as an `Exchange SinglePartition`
+    feeding a Sort/Window — the round-1 rate-source scale bug)."""
+    plan = plan_of(df)
+    if "Exchange SinglePartition" in plan:
+        raise AssertionError(
+            "plan funnels data through a single partition:\n" + plan[:2000]
+        )
+
+
 def assert_no_column_read(df: DataFrame, column: str) -> None:
     plan = plan_of(df)
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):

@@ -110,28 +110,68 @@ def stream_templates_files(
     )
 
 
+def with_row_index(df: DataFrame) -> DataFrame:
+    """Contiguous 0-based ``idx`` without a global sort (round-1
+    verdict #4 fix: the old no-partition ``Window.orderBy`` funneled
+    the whole corpus through ONE task).
+
+    Per-partition offsets: one tiny count job collects #rows per scan
+    partition, then each partition numbers its own rows in parallel
+    (window partitioned by the scan partition id, ordered by the
+    partition-local monotonic id).  One partition-parallel shuffle,
+    no single-task stage — the same trick Iceberg split planning uses
+    for _pos-derived row ids.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    counts = base.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).orderBy("__pid").collect()
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((int(r["__pid"]), acc))
+        acc += r["cnt"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __off bigint")
+    w = Window.partitionBy("__pid").orderBy("__mid")
+    return (
+        base.join(F.broadcast(off_df), "__pid")
+        .withColumn("idx", F.col("__off") + F.row_number().over(w).cast("bigint") - 1)
+        .drop("__pid", "__mid", "__off")
+    )
+
+
 def stream_rate_limited_synthetic(
-    spark: SparkSession, corpus_path: str, rows_per_second: int = 1000
+    spark: SparkSession,
+    corpus_path: str,
+    rows_per_second: int = 1000,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Rate-limited stream (north_star): a ``rate`` source metronome
     joined to the corpus by row index — ingest throughput is bounded at
     rows_per_second regardless of corpus size, mimicking a rate-limited
-    Iceberg incremental scan.  Used by the bench harness."""
-    import tempfile
+    Iceberg incremental scan.  Used by the bench harness.
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+    The corpus is indexed EAGERLY in a batch job (partition-parallel,
+    see :func:`with_row_index`) and re-read as a static relation:
+    window expressions on the static side would otherwise be
+    re-analyzed inside the streaming plan and rejected.  Pass
+    ``index_dir`` to own the staging directory; otherwise a temp dir is
+    created and removed at interpreter exit.
+    """
+    if index_dir is None:
+        import atexit
+        import shutil
+        import tempfile
 
-    # index the corpus EAGERLY in a batch job and re-read as a static
-    # relation: window expressions on the static side would otherwise
-    # be re-analyzed inside the streaming plan and rejected
+        index_dir = tempfile.mkdtemp(prefix="wrs-rate-idx-")
+        atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
+
     corpus = spark.read.schema(PAGES_DDL).parquet(corpus_path)
-    w = Window.orderBy("url", "warc_ts")
-    indexed_path = tempfile.mkdtemp(prefix="wrs-rate-idx-")
-    corpus.withColumn("idx", F.row_number().over(w).cast("bigint") - 1).write.mode(
-        "overwrite"
-    ).parquet(indexed_path)
-    indexed = spark.read.parquet(indexed_path)
+    with_row_index(corpus).write.mode("overwrite").parquet(index_dir)
+    indexed = spark.read.parquet(index_dir)
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
     return rate.join(indexed, rate["value"] == indexed["idx"], "inner").drop(
         "timestamp", "value", "idx"
