@@ -111,6 +111,7 @@ def main() -> None:
         "q20_cosine_topk",
         "q22_minhash_near_dupes",
         "q26_salted_domain_windows",
+        "q31_ivf_topk",
     ]
 
     timings: dict[str, float] = {}

@@ -54,6 +54,34 @@ def plane_signs(plane_id: int, dim: int) -> list[float]:
     ]
 
 
+MERSENNE_P = (1 << 31) - 1
+
+
+def md5_i28_expr(col: Column, salt: str = "") -> Column:
+    """28-bit portable hash (first 7 hex chars) — the base value x for
+    the universal-hash permutation family.  28 bits keep a*x + b under
+    2^60, so the arithmetic never overflows int64 in either engine
+    (DuckDB ERRORS on bigint overflow; Java would silently wrap —
+    either way the engines would diverge)."""
+    s = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
+
+
+def duck_md5_i28(expr: str, salt: str = "") -> str:
+    inner = f"'{salt}' || {expr}" if salt else expr
+    return f"(('0x' || substr(md5({inner}), 1, 7))::BIGINT)"
+
+
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i of the universal family
+    h_i(x) = (a*x + b) mod (2^31 - 1) — ONE md5 per shingle feeds all
+    permutations (the 32-md5s-per-shingle variant benchmarked 2.6x
+    slower end to end)."""
+    a = md5_i64_py(f"mha{i}") % (MERSENNE_P - 1) + 1
+    b = md5_i64_py(f"mhb{i}") % MERSENNE_P
+    return a, b
+
+
 # hex-char bit membership: HEX_BIT_CHARS[r] = hex digits whose bit r is
 # set — lets both engines test "bit r of a hex digit" with a plain IN
 # list, no base conversion (used by the portable SimHash)

@@ -23,7 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.portable_hash import HEX_BIT_CHARS, md5_i64_expr
+from ..functions.portable_hash import (
+    HEX_BIT_CHARS,
+    MERSENNE_P,
+    md5_i28_expr,
+    md5_i64_expr,
+    perm_coeffs,
+)
 from ..functions.shingles import doc_shingles_expr
 
 
@@ -56,26 +62,30 @@ def dedup_exact_content(df: DataFrame, id_col: str, text_col: str = "text") -> D
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32, k: int = 3
 ) -> DataFrame:
-    """(id, sig array<bigint>[num_hashes]) via per-salt portable-hash min.
+    """(id, sig array<bigint>[num_hashes]) via universal-hash mins.
 
-    Permutation i = md5_i64('mh<i>#' || shingle); the min over a doc's
-    shingles approximates a random permutation's first element.
-    Entirely Catalyst: flat columns + hash-aggregate, DuckDB-mirrorable
-    (ORACLE_Q22).
+    Permutation i = (a_i * x + b_i) mod (2^31-1) over the 28-bit
+    portable base hash x = md5_i28(shingle): ONE md5 per shingle feeds
+    all permutations (32 salted md5s benchmarked 2.6x slower), and the
+    integer arithmetic is bit-identical in DuckDB (ORACLE_Q22).
+    Entirely Catalyst: flat columns + hash-aggregate.
     """
-    # explode once, hash num_hashes ways as flat columns, then one
+    # explode once, permute num_hashes ways as flat columns, then one
     # hash-aggregate of per-column mins: stays inside whole-stage
     # codegen (a single nested array expression tree of 32 transforms
     # blows the codegen size limit and falls back to interpreted —
     # ~10x slower on the bench corpus)
+    coeffs = [perm_coeffs(i) for i in range(num_hashes)]
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(doc_shingles_expr(F.col(text_col), k))).alias("s"),
     ).select(
+        "id", md5_i28_expr(F.col("s")).alias("x")
+    ).select(
         "id",
         *[
-            md5_i64_expr(F.col("s"), salt=f"mh{i}#").alias(f"h{i}")
-            for i in range(num_hashes)
+            F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MERSENNE_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ],
     )
     agg = exploded.groupBy("id").agg(

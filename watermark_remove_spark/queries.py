@@ -471,13 +471,20 @@ def q16_jaccard_pairs(spark, sf_dir):
         F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle"),
     )
     n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    dfreq = shings.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
-    keep = (
-        dfreq.join(F.broadcast(n_docs), "source")
+    # df via a window over the SAME (source, shingle) partitioning the
+    # pair join needs (one shuffle, no extra join), then persist: kept
+    # feeds three consumers (sizes, both pair-join sides) and the
+    # shingle explode is the expensive part — without persist Spark
+    # recomputes it per consumer (benchmarked 2x slower).  At 100 TB
+    # this intermediate is exactly what you'd materialize/checkpoint.
+    w_sh = Window.partitionBy("source", "shingle")
+    kept = (
+        shings.withColumn("df", F.count(F.lit(1)).over(w_sh))
+        .join(F.broadcast(n_docs), "source")
         .where(F.col("df") < 0.6 * F.col("n_docs"))
-        .select("source", "shingle")
+        .select("doc_id", "source", "shingle")
+        .persist()
     )
-    kept = shings.join(keep, ["source", "shingle"])
     sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = kept.select("source", "shingle", F.col("doc_id").alias("id_a"))
     b = kept.select("source", "shingle", F.col("doc_id").alias("id_b"))
@@ -692,9 +699,15 @@ def q22_minhash_near_dupes(spark, sf_dir):
 
 
 def _duck_minhash_oracle(num_hashes: int = 32, bands: int = 8, rpb: int = 4) -> str:
+    from .functions.portable_hash import MERSENNE_P, duck_md5_i28, perm_coeffs
+
     sh = _DUCK_SHINGLES.format(col="text")
+    x = duck_md5_i28("s")
     mins = ",\n         ".join(
-        f"min({duck_md5_i64('s', salt=f'mh{i}#')}) AS h{i}" for i in range(num_hashes)
+        "min(({a} * {x} + {b}) % {p}) AS h{i}".format(
+            a=perm_coeffs(i)[0], b=perm_coeffs(i)[1], x=x, p=MERSENNE_P, i=i
+        )
+        for i in range(num_hashes)
     )
     band_selects = []
     for b in range(bands):
