@@ -139,3 +139,96 @@ def test_iceberg_merge_sql_generation(spark, monkeypatch):
     # checkpoint replay re-issues the SAME statement -> MERGE no-ops
     sink.foreach_batch()(df, 7)
     assert recorded[1] == sql
+
+
+def test_serve_query_committed(spark, tmp_path):
+    """Serving surface (reference api/main.py:33-59 analog): query the
+    exactly-once committed view with predicate/projection/limit, plus
+    the lineage view and csv export."""
+    from watermark_remove_spark.serve import (
+        ServeError,
+        export_result,
+        query_committed,
+    )
+    from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+
+    sink = ParquetLedgerSink(str(tmp_path / "sink"))
+    df0 = spark.createDataFrame(
+        [("https://a/p/%d" % i, "en" if i % 2 else "de", i) for i in range(10)],
+        "url string, lang string, n int",
+    )
+    sink.write_batch(df0.filter("n < 6"), 0)
+    sink.write_batch(df0.filter("n >= 6"), 1)
+    # uncommitted garbage must be invisible to the read API
+    os.makedirs(os.path.join(sink.data_dir, "batch_id=99"), exist_ok=True)
+
+    got = query_committed(spark, str(tmp_path / "sink"))
+    assert got.count() == 10
+
+    en = query_committed(
+        spark, str(tmp_path / "sink"), where="lang = 'en'", columns=["url", "n"]
+    )
+    assert en.columns == ["url", "n"] and en.count() == 5
+
+    lim = query_committed(spark, str(tmp_path / "sink"), limit=3)
+    assert lim.count() == 3
+
+    lin = query_committed(spark, str(tmp_path / "sink"), lineage=True)
+    assert set(lin.columns) == {"partition_id", "n_rows", "batch_id"}
+    assert lin.agg(F.sum("n_rows")).collect()[0][0] == 10
+
+    out = str(tmp_path / "export.csv")
+    export_result(en, out, "csv")
+    assert len(open(out).read().strip().splitlines()) == 6  # header + 5
+
+    import pytest
+
+    with pytest.raises(ServeError):
+        query_committed(spark, str(tmp_path / "missing"))
+    with pytest.raises(ServeError):
+        query_committed(spark, str(tmp_path / "sink"), where="no_such_col = 1")
+
+
+def test_serve_process_single(spark, tmp_path):
+    """One-shot request loop: pages in -> cleaned parquet out, temp
+    state removed on success AND on failure (reference finally block
+    api/main.py:71-77)."""
+    import pytest
+
+    from watermark_remove_spark.serve import ServeError, process_single
+
+    corpus = generate_corpus(PagesConfig(n_pages=100, n_domains=3, seed=11))
+    src = str(tmp_path / "in")
+    write_batch_files([corpus.pages], src)
+    out = str(tmp_path / "cleaned")
+
+    assert process_single(spark, src, out) == out
+    back = spark.read.parquet(out)
+    assert back.count() == len(corpus.pages) and "clean_text" in back.columns
+    assert not os.path.exists(str(tmp_path / "_serve_tmp"))
+
+    with pytest.raises(ServeError):
+        process_single(spark, str(tmp_path / "nope"), out)
+
+
+def test_cli_query_subcommand(spark, tmp_path, capsys):
+    from watermark_remove_spark.cli import main
+    from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+
+    sink = ParquetLedgerSink(str(tmp_path / "sink"))
+    df0 = spark.createDataFrame(
+        [("https://a/p/%d" % i, i) for i in range(8)], "url string, n int"
+    )
+    sink.write_batch(df0, 0)
+
+    rc = main(["query", str(tmp_path / "sink"), "--where", "n >= 4", "--format", "count"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "4"
+
+    out = str(tmp_path / "resp.json")
+    rc = main(["query", str(tmp_path / "sink"), "--format", "json", "--output", out])
+    assert rc == 0
+    assert len(open(out).read().strip().splitlines()) == 8
+
+    rc = main(["query", str(tmp_path / "does-not-exist")])
+    assert rc == 1

@@ -12,6 +12,13 @@ Production shape (north_rule):
 Batch mode (``--mode batch``) runs mine → clean → write; streaming mode
 (default) runs the full exactly-once pipeline until drained
 (``--available-now``) or indefinitely.
+
+Serving subcommands (reference counterpart ``api/main.py:33-59``,
+implemented in ``serve.py``):
+
+    ... cli query <sink_dir> [--where SQL] [--select c1,c2] [--limit N]
+        [--lineage] [--format table|csv|json|parquet|count] [--output PATH]
+    ... cli process --input pages.parquet --output cleaned.parquet
 """
 
 from __future__ import annotations
@@ -41,7 +48,91 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def build_query_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="watermark-remove-spark query")
+    ap.add_argument("sink_dir", help="exactly-once sink directory (ledgered)")
+    ap.add_argument("--where", help="SQL predicate (pushed down to the scan)")
+    ap.add_argument("--select", help="comma-separated column projection")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--lineage", action="store_true", help="query lineage/metrics")
+    ap.add_argument(
+        "--format",
+        choices=["table", "csv", "json", "parquet", "count"],
+        default="table",
+    )
+    ap.add_argument("--output", help="required for csv/json/parquet export")
+    ap.add_argument("--master", default=None)
+    return ap
+
+
+def query_main(argv: list[str]) -> int:
+    args = build_query_parser().parse_args(argv)
+    from .serve import ServeError, export_result, query_committed
+    from .session import build_session
+
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = build_session(app_name="wrs-query", master=args.master)
+    try:
+        cols = args.select.split(",") if args.select else None
+        df = query_committed(
+            spark,
+            args.sink_dir,
+            where=args.where,
+            columns=cols,
+            limit=args.limit,
+            lineage=args.lineage,
+        )
+        if args.format == "count":
+            print(df.count())
+        elif args.format == "table":
+            df.show(args.limit or 20, truncate=40)
+        else:
+            if not args.output:
+                print("--output is required for export formats", file=sys.stderr)
+                return 1
+            print(export_result(df, args.output, args.format))
+        return 0
+    except ServeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+def process_main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="watermark-remove-spark process")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    from .serve import ServeError, process_single
+    from .session import build_session
+
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = build_session(app_name="wrs-process", master=args.master)
+    try:
+        print(process_single(spark, args.input, args.output))
+        return 0
+    except ServeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
+    if argv and argv[0] == "process":
+        return process_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     from .operators.extract import clean_pages_udf_fast, mine_masks
