@@ -245,3 +245,138 @@ def test_streaming_asof_join(spark, stream_corpus, stream_batches, stream_dir, t
     }
     for url, ts, vf in got:
         assert want_map.get((url, ts)) == vf, (url, ts)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas state server needs protobuf "
+    "(absent in this sandbox; see sessions_tws.py docstring)",
+)
+def test_tws_sessions_match_oracle(spark, stream_corpus, stream_batches, stream_dir, tmp_path):
+    """O-19 on the new API: transformWithStateInPandas session windows
+    must emit the SAME closed-session rows as the applyInPandasWithState
+    engine and the pandas oracle on the same multi-batch input."""
+    from watermark_remove_spark.streaming.sessions_tws import tws_domain_sessions
+
+    src = stream_pages_files(spark, stream_dir, 1)
+    pages = with_domain(src)
+    sessions = tws_domain_sessions(pages, gap_seconds=300, watermark="10 minutes")
+    sink = _run(sessions, str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = {
+        (r.domain, pd.Timestamp(r.session_start), pd.Timestamp(r.session_end), r.n_pages)
+        for r in sink.read_committed(spark).collect()
+    }
+    batches = [b.assign(domain=b["url"].map(domain_of)) for b in stream_batches]
+    want_df = simulate_sessions(batches, DELAY, pd.Timedelta(minutes=5))
+    want = {
+        (r.domain, r.session_start, r.session_end, r.n_pages)
+        for r in want_df.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_tws_processor_semantics(stream_batches):
+    """SessionProcessor's merge/supersede/timer logic replayed against
+    the pandas oracle with a fake state handle — covers every line of
+    sessions_tws.py except the plan call (which needs protobuf; see
+    module docstring)."""
+    from watermark_remove_spark.oracle_stream import (
+        watermark_timeline,
+        with_flush_batches,
+    )
+    from watermark_remove_spark.streaming.sessions_tws import SessionProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.timers = set()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.discard(t)
+
+        def registerTimer(self, t):
+            self.timers.add(t)
+
+    class FakeExpiry:
+        def __init__(self, ms):
+            self.ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self.ms
+
+    gap = pd.Timedelta(minutes=5)
+    batches = [
+        b.assign(domain=b["url"].map(domain_of))[["warc_ts", "domain"]]
+        for b in stream_batches
+    ]
+    flushed = with_flush_batches(batches, 3)
+    wms = watermark_timeline(flushed, DELAY, "warc_ts")
+
+    procs: dict[str, tuple[SessionProcessor, FakeHandle]] = {}
+
+    def proc_for(domain):
+        if domain not in procs:
+            p = SessionProcessor(300)
+            h = FakeHandle()
+            p.init(h)
+            procs[domain] = (p, h)
+        return procs[domain]
+
+    emitted = []
+    for k, b in enumerate(flushed):
+        wm = wms[k]
+        live = b[b["warc_ts"] >= wm] if len(b) else b
+        for domain, grp in live.groupby("domain"):
+            p, _ = proc_for(domain)
+            emitted.extend(p.handleInputRows((domain,), iter([grp]), None))
+        wm_ms = wm.value // 1_000_000
+        for domain, (p, h) in procs.items():
+            for t in sorted(h.listTimers()):
+                if t <= wm_ms:
+                    h.deleteTimer(t)
+                    emitted.extend(
+                        p.handleExpiredTimer((domain,), None, FakeExpiry(t))
+                    )
+
+    got_df = pd.concat(emitted, ignore_index=True)
+    got = {
+        (r.domain, r.session_start, r.session_end, r.n_pages)
+        for r in got_df.itertuples(index=False)
+    }
+    want_df = simulate_sessions(batches, DELAY, gap)
+    want = {
+        (r.domain, r.session_start, r.session_end, r.n_pages)
+        for r in want_df.itertuples(index=False)
+    }
+    assert got == want

@@ -69,8 +69,15 @@ class ParquetLedgerSink:
     # -- the foreachBatch body --------------------------------------------
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """Idempotent micro-batch commit.  Replay of an already
-        committed batch_id is a no-op (exactly-once downstream)."""
+        committed batch_id writes nothing (exactly-once downstream)."""
         if batch_id in self.committed_batches():
+            # Do NOT simply return: Spark 4.x validates that every
+            # partition of a stateful query committed its state store
+            # each batch (STATE_STORE_COMMIT_VALIDATION_FAILED when a
+            # foreachBatch skips the action on replay).  Consume the
+            # batch through the built-in `noop` source — all
+            # partitions run, state commits, nothing is written.
+            df.write.format("noop").mode("overwrite").save()
             return
 
         final = os.path.join(self.data_dir, f"batch_id={batch_id}")
