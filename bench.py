@@ -114,6 +114,11 @@ def main() -> None:
         "q31_ivf_topk",
     ]
 
+    # Warm the JVM once before timing: the first Spark action pays
+    # ~3-4 s of whole-stage-codegen/JIT compilation that belongs to
+    # process startup, not to any query (it touches no bench input).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="wrs-bench-")
     try:

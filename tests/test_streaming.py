@@ -380,3 +380,41 @@ def test_tws_processor_semantics(stream_batches):
         for r in want_df.itertuples(index=False)
     }
     assert got == want
+
+
+def test_stream_sliding_windows_match_oracle(spark, stream_corpus, stream_batches, stream_dir, tmp_path):
+    """O-18 sliding variant in STREAMING mode (previously only the batch
+    form q10 was checked): window 10 min, slide 5 min — every row feeds
+    two overlapping windows; append emission at window_end <= wm."""
+    masks = mine_masks(spark.createDataFrame(stream_corpus.pages))
+    cleaned = build_clean_stream(spark, stream_dir, masks)
+    win = build_window_stream(cleaned, "10 minutes", slide="5 minutes")
+    sink = _run(win, str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = {
+        (pd.Timestamp(r.window_start), r.lang, r.n_pages, r.total_chars)
+        for r in sink.read_committed(spark).collect()
+    }
+
+    from watermark_remove_spark.oracle import oracle_mine_masks
+
+    omasks = oracle_mine_masks(stream_corpus.pages)
+    deduped_batches = []
+    survivors = simulate_dedup(stream_batches, DELAY)
+    surv_keys = set(zip(survivors["url"], survivors["warc_ts"]))
+    for b in stream_batches:
+        bb = b[[((u, t) in surv_keys) for u, t in zip(b["url"], b["warc_ts"])]].copy()
+        bb = bb.drop_duplicates(subset=["url", "warc_ts"])
+        surv_keys -= set(zip(bb["url"], bb["warc_ts"]))
+        bb["clean_text"] = [
+            clean_text(t, omasks.get(domain_of(u), frozenset()))
+            for u, t in zip(bb["url"], bb["text"])
+        ]
+        deduped_batches.append(bb)
+    want_df = simulate_tumbling_agg(
+        deduped_batches, DELAY, pd.Timedelta(minutes=10), slide=pd.Timedelta(minutes=5)
+    )
+    want = {
+        (r.window_start, r.lang, r.n_pages, r.total_chars)
+        for r in want_df.itertuples(index=False)
+    }
+    assert got == want

@@ -41,7 +41,11 @@ def main() -> None:
     failures: list[str] = []
 
     def check(name: str, plan: str, *, broadcast=False, pushed=False,
-              codegen=True, forbid_read: tuple[str, ...] = ()):
+              codegen=True, forbid_read: tuple[str, ...] = (),
+              forbid_node: tuple[str, ...] = ()):
+        for node in forbid_node:
+            if node in plan:
+                failures.append(f"{name}: forbidden plan node {node}")
         if broadcast and "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan:
             failures.append(f"{name}: expected broadcast join")
         if pushed and not re.search(r"PushedFilters: \[[^\]]+\]", plan):
@@ -62,8 +66,18 @@ def main() -> None:
         "q05_top_orders_per_priority": dict(),
         "q09_tumbling_event_windows": dict(),
         "q13_frequent_shingles": dict(broadcast=True),
-        "q16_jaccard_pairs": dict(),
+        # dedup/ANN candidate generators must be equi-joins, never
+        # all-pairs: a CartesianProduct in any of these is a 100-TB
+        # scale-killer (broadcast NLJ is allowed only for the bounded
+        # query side of brute-force top-k)
+        "q16_jaccard_pairs": dict(forbid_node=("CartesianProduct",)),
         "q20_cosine_topk": dict(broadcast=True),
+        "q22_minhash_near_dupes": dict(forbid_node=("CartesianProduct",)),
+        "q23_simhash_near_dupes": dict(forbid_node=("CartesianProduct",)),
+        "q24_lsh_topk": dict(forbid_node=("CartesianProduct",)),
+        "q26_salted_domain_windows": dict(),
+        "q31_ivf_topk": dict(forbid_node=("CartesianProduct",)),
+        "q34_embedding_near_dupes": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -8,6 +8,9 @@ scaling efficiency >= 0.8".  In-sandbox evidence model:
 - **4N = local-cluster[4,1,4096]** — 4 executor JVMs x 1 core
   (1-core executors keep even the 4N level far below the sandbox VM's
   ~22-core sustained-CPU budget, so neither level is machine-throttled)
+- launched via `spark-submit --py-files watermark_remove_spark.zip`
+  (the rule's literal wording); executors resolve the package from the
+  shipped zip, not a shared filesystem path
 
 local-cluster spawns REAL separate executor JVMs (own heap, own GC,
 RPC shuffle), which is the honest analog of adding executors —
@@ -45,9 +48,32 @@ from datetime import datetime, timezone
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-def run_level(master: str, cpus: int, src: str, n_pages: int) -> dict:
+def make_pyfiles_zip(tmpdir: str) -> str:
+    """Package watermark_remove_spark into the --py-files zip the
+    north_rule names ('run via spark-submit --py-files')."""
+    import zipfile
+
+    zpath = os.path.join(tmpdir, "watermark_remove_spark.zip")
+    pkg = os.path.join(ROOT, "watermark_remove_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirs, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, ROOT))
+    return zpath
+
+
+def run_level(master: str, cpus: int, src: str, n_pages: int, pyfiles: str) -> dict:
+    spark_submit = os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
     cmd = [
-        sys.executable,
+        spark_submit,
+        "--master", master,
+        "--py-files", pyfiles,
         os.path.join(ROOT, "tools", "stream_throughput_job.py"),
         "--cpus", str(cpus),
         "--master", master,
@@ -55,6 +81,7 @@ def run_level(master: str, cpus: int, src: str, n_pages: int) -> dict:
         "--n-pages", str(n_pages),
         "--files-per-trigger", "64",
         "--shuffle-partitions", "32",
+        "--pyfiles-mode",
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT, timeout=3600)
     for line in out.stdout.strip().splitlines()[::-1]:
@@ -94,12 +121,15 @@ def main() -> None:
     n_pages = len(pages)
     print(f"corpus: {n_pages} heavy pages, {n_files} logical batches x 64 subfiles")
 
+    pyfiles = make_pyfiles_zip(tmp)
+    print(f"spark-submit --py-files {pyfiles}")
+
     levels = {"N": ("local-cluster[1,1,4096]", 1), "4N": ("local-cluster[4,1,4096]", 4)}
     results = {}
     for label, (master, cpus) in levels.items():
         best = None
         for r in range(args.runs):
-            res = run_level(master, cpus, src, n_pages)
+            res = run_level(master, cpus, src, n_pages, pyfiles)
             print(f"{label} ({master}) run {r}: {res}")
             if best is None or res["pages_per_sec"] > best["pages_per_sec"]:
                 best = res
@@ -132,7 +162,11 @@ spark.sql.shuffle.partitions=32 held FIXED across cluster sizes
 restarts; clusters scale executors, not state partitions).
 
 Cluster model: local-cluster — real separate executor JVMs with RPC
-shuffle, the honest in-sandbox analog of executor scaling.
+shuffle, the honest in-sandbox analog of executor scaling.  Invoked
+literally as the north_rule states: `spark-submit --master
+local-cluster[...] --py-files watermark_remove_spark.zip
+tools/stream_throughput_job.py` — executors import the package from
+the shipped zip only (no PYTHONPATH fallback in this mode).
 
 Generated: {datetime.now(timezone.utc).isoformat()}
 

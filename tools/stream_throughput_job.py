@@ -38,6 +38,10 @@ def main() -> None:
                     help="state/shuffle partition count; MUST be equal across "
                          "cluster sizes for a stateful query (state partitioning "
                          "is immutable across checkpoint restarts)")
+    ap.add_argument("--pyfiles-mode", action="store_true",
+                    help="running under spark-submit --py-files: do NOT set "
+                         "spark.executorEnv.PYTHONPATH — executors must import "
+                         "the package from the shipped zip alone")
     args = ap.parse_args()
 
     from watermark_remove_spark.operators.extract import mine_masks
@@ -52,14 +56,19 @@ def main() -> None:
 
     import os as _os
 
+    # Under spark-submit --py-files (the north_rule protocol) executors
+    # import the package from the shipped zip; the PYTHONPATH fallback
+    # exists only for the plain-`python` invocation path.
+    extra_conf = {}
+    if not args.pyfiles_mode:
+        extra_conf["spark.executorEnv.PYTHONPATH"] = _os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))
+        )
     spark = build_session(
         app_name=f"wrs-scale-{args.cpus}",
         master=args.master or f"local[{args.cpus}]",
         shuffle_partitions=args.shuffle_partitions or args.cpus,
-        # executors are separate JVMs under local-cluster: they need the
-        # package on their python workers' path (spark-submit --py-files
-        # equivalent for the in-sandbox run)
-        extra_conf={"spark.executorEnv.PYTHONPATH": _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))},
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -93,9 +93,15 @@ def simulate_tumbling_agg(
     agg_cols=("lang",),
     value_col: str | None = "clean_text",
     n_flush: int = 3,
+    slide: pd.Timedelta | None = None,
 ) -> pd.DataFrame:
-    """Emitted rows of the append-mode tumbling agg (n_pages,
-    total_chars) keyed by (window_start, *agg_cols)."""
+    """Emitted rows of the append-mode windowed agg (n_pages,
+    total_chars) keyed by (window_start, *agg_cols).  With ``slide``
+    (must divide ``window``) each row contributes to window/slide
+    overlapping windows — Spark's sliding ``F.window(ts, W, S)``."""
+    slide = slide or window
+    n_off = int(window / slide)
+    assert n_off * slide == window, "slide must divide window"
     batches = with_flush_batches(batches, n_flush)
     wms = watermark_timeline(batches, delay, ts_col)
     state: dict[tuple, list] = {}
@@ -104,15 +110,17 @@ def simulate_tumbling_agg(
         wm = wms[k]
         for row in b.itertuples(index=False):
             ts = getattr(row, ts_col)
-            wstart = ts.floor(window)
-            wend = wstart + window
-            if wend <= wm:
-                continue  # late: window already finalized
-            key = (wstart, *[getattr(row, c) for c in agg_cols])
-            acc = state.setdefault(key, [0, 0])
-            acc[0] += 1
-            if value_col is not None:
-                acc[1] += len(getattr(row, value_col))
+            base = ts.floor(slide)
+            for j in range(n_off):
+                wstart = base - slide * j
+                wend = wstart + window
+                if wend <= wm:
+                    continue  # late: window already finalized
+                key = (wstart, *[getattr(row, c) for c in agg_cols])
+                acc = state.setdefault(key, [0, 0])
+                acc[0] += 1
+                if value_col is not None:
+                    acc[1] += len(getattr(row, value_col))
         done = [kk for kk in state if kk[0] + window <= wm]
         for kk in done:
             emitted[kk] = state.pop(kk)
