@@ -232,3 +232,93 @@ def test_cli_query_subcommand(spark, tmp_path, capsys):
 
     rc = main(["query", str(tmp_path / "does-not-exist")])
     assert rc == 1
+
+
+def test_sink_quarantine_split(spark, tmp_path):
+    """Quarantine rows commit atomically with data under one ledger
+    line; replay is a no-op for both outputs; empty-quarantine batches
+    create no quarantine dir."""
+    from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+
+    sink = ParquetLedgerSink(str(tmp_path / "sink"), quarantine_col="error")
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", "null_text"), ("u3", None), ("u4", "bad_enc")],
+        "url string, error string",
+    )
+    sink.write_batch(df, 0)
+    sink.write_batch(spark.createDataFrame([("u5", None)], "url string, error string"), 1)
+
+    good = sink.read_committed(spark)
+    assert {r.url for r in good.collect()} == {"u1", "u3", "u5"}
+    bad = sink.read_quarantined(spark)
+    assert {(r.url, r.error) for r in bad.collect()} == {
+        ("u2", "null_text"),
+        ("u4", "bad_enc"),
+    }
+    # batch 1 had nothing to quarantine -> no dir for it
+    assert not os.path.exists(os.path.join(sink.quarantine_dir, "batch_id=1"))
+
+    # ledger records the split
+    recs = [json.loads(l) for l in open(sink.ledger_path)]
+    assert {r["batch_id"]: r["n_quarantined"] for r in recs} == {0: 2, 1: 0}
+    assert {r["batch_id"]: r["n_rows"] for r in recs} == {0: 2, 1: 1}
+
+    # replay: both views unchanged
+    sink.write_batch(df, 0)
+    assert sink.read_committed(spark).count() == 3
+    assert sink.read_quarantined(spark).count() == 2
+
+
+def test_streaming_quarantine_e2e(spark, tmp_path):
+    """Poison pages (undecodable html) flow through the full streaming
+    pipeline into the quarantine output — the stream survives and good
+    rows are unaffected (SURVEY §2.8 in streaming mode)."""
+    from watermark_remove_spark.streaming.pipeline import (
+        build_decode_clean_stream,
+        run_stream_to_sink,
+    )
+    from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+
+    corpus = generate_corpus(PagesConfig(n_pages=200, n_domains=4, seed=13))
+    pages = corpus.pages.copy().reset_index(drop=True)
+    bad_idx = [3, 57, 111]
+    pages.loc[bad_idx, "html"] = None
+    bad_urls = set(pages.loc[bad_idx, "url"])
+    src = str(tmp_path / "src")
+    write_batch_files([pages.iloc[:100], pages.iloc[100:]], src)
+
+    masks = mine_masks(
+        spark.createDataFrame(pages[pages["html"].notna()])
+    )
+    stream = build_decode_clean_stream(spark, src, masks)
+    sink = ParquetLedgerSink(str(tmp_path / "out"), quarantine_col="error")
+    q = run_stream_to_sink(stream, sink, str(tmp_path / "ck"))
+    q.awaitTermination(300)
+
+    quarantined = sink.read_quarantined(spark)
+    assert {r.url for r in quarantined.collect()} == bad_urls
+    assert {r.error for r in quarantined.collect()} == {"null_text"}
+    good = sink.read_committed(spark)
+    assert good.where(F.col("clean_text").isNull()).count() == 0
+    n_unique = pages.drop_duplicates(["url", "warc_ts"]).shape[0]
+    assert good.count() == n_unique - len(bad_idx)
+
+
+def test_cli_stream_quarantine_mode(spark, tmp_path):
+    from watermark_remove_spark.cli import main
+    from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+
+    corpus = generate_corpus(PagesConfig(n_pages=120, n_domains=3, seed=17))
+    pages = corpus.pages.copy().reset_index(drop=True)
+    pages.loc[[5, 40], "html"] = None
+    src = str(tmp_path / "in")
+    write_batch_files([pages], src)
+    out = str(tmp_path / "out")
+    rc = main(
+        ["--input", src, "--output", out, "--mode", "stream",
+         "--checkpoint", str(tmp_path / "ck"), "--quarantine"]
+    )
+    assert rc == 0
+    sink = ParquetLedgerSink(out, quarantine_col="error")
+    assert sink.read_quarantined(spark).count() == 2
+    assert sink.read_committed(spark).where("clean_text is null").count() == 0

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--lineage", help="JSONL lineage metrics path")
+    ap.add_argument(
+        "--quarantine",
+        action="store_true",
+        help="stream mode: decode html in-stream and route undecodable "
+        "pages to the sink's quarantine output instead of failing",
+    )
     return ap
 
 
@@ -168,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from .streaming.pipeline import (
             build_clean_stream,
+            build_decode_clean_stream,
             build_window_stream,
             run_stream_to_sink,
         )
@@ -177,13 +184,21 @@ def main(argv: list[str] | None = None) -> int:
 
             attach_lineage_listener(spark, args.lineage)
 
-        sink = ParquetLedgerSink(args.output)
-        cleaned = build_clean_stream(
-            spark, args.input, masks, args.watermark, args.files_per_trigger
-        )
-        win = build_window_stream(cleaned, args.window)
+        if args.quarantine:
+            # cleaned-rows sink with quarantine routing (no window agg:
+            # the error column must survive to the sink)
+            sink = ParquetLedgerSink(args.output, quarantine_col="error")
+            out_stream = build_decode_clean_stream(
+                spark, args.input, masks, args.watermark, args.files_per_trigger
+            )
+        else:
+            sink = ParquetLedgerSink(args.output)
+            cleaned = build_clean_stream(
+                spark, args.input, masks, args.watermark, args.files_per_trigger
+            )
+            out_stream = build_window_stream(cleaned, args.window)
         q = run_stream_to_sink(
-            win, sink, args.checkpoint, available_now=args.available_now
+            out_stream, sink, args.checkpoint, available_now=args.available_now
         )
         q.awaitTermination()
         print(

@@ -51,6 +51,40 @@ def build_clean_stream(
     )
 
 
+def build_decode_clean_stream(
+    spark: SparkSession,
+    src_dir: str,
+    masks: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Production-shaped variant of ``build_clean_stream``: pages carry
+    raw ``html:binary`` (input_hint shape); text is decoded in-stream
+    and rows that decode to nothing are TAGGED, not dropped — the
+    ``error`` column routes them to the sink's quarantine output
+    (``ParquetLedgerSink(quarantine_col='error')``), so one poison page
+    degrades to a quarantine record instead of killing the query
+    (SURVEY §2.8; the reference instead 500s the request,
+    ``api/main.py:61-70``)."""
+    from ..operators.extract import decode_html_expr
+
+    src = stream_pages_files(spark, src_dir, files_per_trigger)
+    decoded = src.select(
+        "url",
+        "warc_ts",
+        decode_html_expr(F.col("html")).alias("text"),
+        "lang",
+    )
+    cleaned = clean_pages_udf_fast(decoded, masks)
+    flagged = cleaned.withColumn(
+        "error",
+        F.when(F.col("clean_text").isNull(), F.lit("null_text")),
+    )
+    return flagged.withWatermark("warc_ts", watermark).dropDuplicates(
+        ["url", "warc_ts"]
+    )
+
+
 def build_window_stream(cleaned: DataFrame, window: str = "10 minutes", slide: str | None = None) -> DataFrame:
     """Windowed per-lang aggregate over the cleaned stream, append mode
     (rows are final once emitted — golden-test requirement).

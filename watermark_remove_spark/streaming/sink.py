@@ -35,12 +35,20 @@ class ParquetLedgerSink:
     """Filesystem sink with an Iceberg-MERGE-equivalent idempotence
     contract (atomic rename + commit ledger)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, quarantine_col: str | None = None):
+        """``quarantine_col``: when set and present in the batch, rows
+        with a non-null value in that column are committed to
+        ``quarantine/batch_id=N`` instead of ``data/`` — under the SAME
+        ledger line, so the good/bad split is atomic and replay-safe
+        (SURVEY §2.8: a poison page must not kill the stream, and its
+        quarantine record must be exactly-once like everything else)."""
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "data")
+        self.quarantine_dir = os.path.join(out_dir, "quarantine")
         self.lineage_dir = os.path.join(out_dir, "_lineage")
         self.tmp_dir = os.path.join(out_dir, "_tmp")
         self.ledger_path = os.path.join(out_dir, "_ledger.jsonl")
+        self.quarantine_col = quarantine_col
         for d in (self.data_dir, self.lineage_dir, self.tmp_dir):
             os.makedirs(d, exist_ok=True)
 
@@ -56,10 +64,21 @@ class ParquetLedgerSink:
                     out.add(json.loads(line)["batch_id"])
         return out
 
-    def _commit(self, batch_id: int, n_rows: int, partitions: list[dict]) -> None:
+    def _commit(
+        self,
+        batch_id: int,
+        n_rows: int,
+        partitions: list[dict],
+        n_quarantined: int = 0,
+    ) -> None:
         # one atomic append; the ledger line is the commit point
         rec = json.dumps(
-            {"batch_id": batch_id, "n_rows": n_rows, "partitions": partitions}
+            {
+                "batch_id": batch_id,
+                "n_rows": n_rows,
+                "partitions": partitions,
+                "n_quarantined": n_quarantined,
+            }
         )
         with open(self.ledger_path, "a") as f:
             f.write(rec + "\n")
@@ -81,27 +100,53 @@ class ParquetLedgerSink:
             return
 
         final = os.path.join(self.data_dir, f"batch_id={batch_id}")
+        final_quar = os.path.join(self.quarantine_dir, f"batch_id={batch_id}")
         final_lineage = os.path.join(self.lineage_dir, f"batch_id={batch_id}")
         # stale partial dir from a crash before ledger commit: discard
-        for p in (final, final_lineage):
+        for p in (final, final_quar, final_lineage):
             if os.path.exists(p):
                 shutil.rmtree(p)
 
         tmp = os.path.join(self.tmp_dir, f"b{batch_id}-{uuid.uuid4().hex}")
+        tmp_quar = tmp + "-quar"
         tmp_lineage = tmp + "-lineage"
 
-        # ONE Spark job: write the batch.  Lineage (O-27 per-partition
-        # row counts) comes from the written parquet footers —
-        # part-file i IS partition i — so no persist/collect/extra
-        # aggregation jobs sit on the micro-batch critical path.
-        df.write.mode("overwrite").parquet(tmp)
+        split = self.quarantine_col is not None and self.quarantine_col in df.columns
+        if split:
+            # pin the micro-batch so the two filtered writes don't
+            # recompute the upstream plan twice
+            df = df.persist()
+
+        # ONE Spark job per output: write the batch.  Lineage (O-27
+        # per-partition row counts) comes from the written parquet
+        # footers — part-file i IS partition i — so no
+        # persist/collect/extra aggregation jobs sit on the
+        # micro-batch critical path.
+        n_quarantined = 0
+        try:
+            good = df.where(F.col(self.quarantine_col).isNull()) if split else df
+            good.write.mode("overwrite").parquet(tmp)
+            if split:
+                bad = df.where(F.col(self.quarantine_col).isNotNull())
+                bad.write.mode("overwrite").parquet(tmp_quar)
+                n_quarantined = sum(
+                    r["n_rows"] for r in self._lineage_from_files(tmp_quar, batch_id)
+                )
+        finally:
+            if split:
+                df.unpersist()
         lineage_rows = self._lineage_from_files(tmp, batch_id)
         self._write_lineage_parquet(tmp_lineage, lineage_rows)
         n_rows = sum(r["n_rows"] for r in lineage_rows)
 
         os.rename(tmp, final)
+        if split and n_quarantined > 0:
+            os.makedirs(self.quarantine_dir, exist_ok=True)
+            os.rename(tmp_quar, final_quar)
+        elif split:
+            shutil.rmtree(tmp_quar, ignore_errors=True)  # empty: no dir
         os.rename(tmp_lineage, final_lineage)
-        self._commit(batch_id, n_rows, lineage_rows)
+        self._commit(batch_id, n_rows, lineage_rows, n_quarantined)
 
     @staticmethod
     def _lineage_from_files(data_dir: str, batch_id: int) -> list[dict]:
@@ -142,6 +187,19 @@ class ParquetLedgerSink:
         """All rows of ledgered batches (exactly-once view)."""
         committed = sorted(self.committed_batches())
         paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in committed]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType([]))
+        return spark.read.parquet(*paths)
+
+    def read_quarantined(self, spark) -> DataFrame:
+        """Exactly-once view of quarantined rows (ledgered batches)."""
+        committed = sorted(self.committed_batches())
+        paths = [
+            os.path.join(self.quarantine_dir, f"batch_id={b}") for b in committed
+        ]
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             from pyspark.sql.types import StructType
