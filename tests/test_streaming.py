@@ -418,3 +418,48 @@ def test_stream_sliding_windows_match_oracle(spark, stream_corpus, stream_batche
         for r in want_df.itertuples(index=False)
     }
     assert got == want
+
+
+def test_sink_compaction_and_vacuum(spark, tmp_path):
+    """Small-file maintenance: many batch dirs -> one generation, same
+    exactly-once view; vacuum removes superseded dirs and orphans;
+    replay of a compacted batch is still a no-op."""
+    sink = ParquetLedgerSink(str(tmp_path / "out"))
+    for b in range(6):
+        sink.write_batch(
+            spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "v"), b
+        )
+    before = {r.v for r in sink.read_committed(spark).collect()}
+    assert len(before) == 60
+
+    rec = sink.compact(spark)
+    assert rec is not None and rec["batches"] == list(range(6)) and rec["n_rows"] == 60
+    # the view is unchanged and now served from the generation
+    assert {r.v for r in sink.read_committed(spark).collect()} == before
+    gen_dir = os.path.join(sink.compacted_dir, f"gen={rec['compaction']}")
+    n_parts = len([f for f in os.listdir(gen_dir) if f.startswith("part-")])
+    assert n_parts == 1  # tiny data -> one consolidated file
+
+    # nothing left to compact
+    assert sink.compact(spark) is None
+
+    # new batches append after compaction; a second generation covers them
+    sink.write_batch(spark.range(60, 70).withColumnRenamed("id", "v"), 6)
+    assert sink.read_committed(spark).count() == 70
+    rec2 = sink.compact(spark)
+    assert rec2["batches"] == [6]
+    assert sink.read_committed(spark).count() == 70
+
+    # replay of a compacted batch: still a ledger no-op
+    sink.write_batch(spark.range(0, 10).withColumnRenamed("id", "v"), 3)
+    assert sink.read_committed(spark).count() == 70
+
+    # orphan gen (crash before ledger commit) + superseded batch dirs
+    os.makedirs(os.path.join(sink.compacted_dir, "gen=deadbeef"))
+    removed = sink.vacuum()
+    assert not any(
+        d.startswith("batch_id=") for d in os.listdir(sink.data_dir)
+    )
+    assert not os.path.exists(os.path.join(sink.compacted_dir, "gen=deadbeef"))
+    assert sink.read_committed(spark).count() == 70
+    assert len(removed) >= 7

@@ -19,6 +19,7 @@ implemented in ``serve.py``):
     ... cli query <sink_dir> [--where SQL] [--select c1,c2] [--limit N]
         [--lineage] [--format table|csv|json|parquet|count] [--output PATH]
     ... cli process --input pages.parquet --output cleaned.parquet
+    ... cli compact <sink_dir> [--vacuum]   # small-file maintenance
 """
 
 from __future__ import annotations
@@ -132,6 +133,40 @@ def process_main(argv: list[str]) -> int:
             spark.stop()
 
 
+def compact_main(argv: list[str]) -> int:
+    """Maintenance: consolidate per-micro-batch dirs into one
+    generation; --vacuum removes superseded dirs afterwards."""
+    ap = argparse.ArgumentParser(prog="watermark-remove-spark compact")
+    ap.add_argument("sink_dir")
+    ap.add_argument("--vacuum", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    from .session import build_session
+    from .streaming.sink import ParquetLedgerSink
+
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = build_session(app_name="wrs-compact", master=args.master)
+    try:
+        sink = ParquetLedgerSink(args.sink_dir)
+        rec = sink.compact(spark)
+        if rec is None:
+            print("nothing to compact")
+        else:
+            print(
+                f"compacted {len(rec['batches'])} batches "
+                f"({rec['n_rows']} rows) -> gen={rec['compaction']}"
+            )
+        if args.vacuum:
+            removed = sink.vacuum()
+            print(f"vacuumed {len(removed)} superseded dirs")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -139,6 +174,8 @@ def main(argv: list[str] | None = None) -> int:
         return query_main(argv[1:])
     if argv and argv[0] == "process":
         return process_main(argv[1:])
+    if argv and argv[0] == "compact":
+        return compact_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     from .operators.extract import clean_pages_udf_fast, mine_masks

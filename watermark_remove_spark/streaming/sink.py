@@ -44,6 +44,7 @@ class ParquetLedgerSink:
         quarantine record must be exactly-once like everything else)."""
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "data")
+        self.compacted_dir = os.path.join(out_dir, "compacted")
         self.quarantine_dir = os.path.join(out_dir, "quarantine")
         self.lineage_dir = os.path.join(out_dir, "_lineage")
         self.tmp_dir = os.path.join(out_dir, "_tmp")
@@ -53,16 +54,28 @@ class ParquetLedgerSink:
             os.makedirs(d, exist_ok=True)
 
     # -- ledger ------------------------------------------------------------
-    def committed_batches(self) -> set[int]:
+    def _ledger_records(self) -> list[dict]:
         if not os.path.exists(self.ledger_path):
-            return set()
-        out = set()
+            return []
+        out = []
         with open(self.ledger_path) as f:
             for line in f:
                 line = line.strip()
                 if line:
-                    out.add(json.loads(line)["batch_id"])
+                    out.append(json.loads(line))
         return out
+
+    def committed_batches(self) -> set[int]:
+        return {
+            r["batch_id"] for r in self._ledger_records() if "batch_id" in r
+        }
+
+    def compactions(self) -> list[dict]:
+        """Committed compaction generations, in commit order."""
+        return [r for r in self._ledger_records() if "compaction" in r]
+
+    def _compacted_away(self) -> set[int]:
+        return {b for r in self.compactions() for b in r["batches"]}
 
     def _commit(
         self,
@@ -184,15 +197,93 @@ class ParquetLedgerSink:
 
     # -- reader side -------------------------------------------------------
     def read_committed(self, spark) -> DataFrame:
-        """All rows of ledgered batches (exactly-once view)."""
-        committed = sorted(self.committed_batches())
-        paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in committed]
+        """All rows of ledgered batches (exactly-once view): committed
+        compaction generations plus batches not yet compacted."""
+        covered = self._compacted_away()
+        paths = [
+            os.path.join(self.compacted_dir, f"gen={r['compaction']}")
+            for r in self.compactions()
+        ]
+        paths += [
+            os.path.join(self.data_dir, f"batch_id={b}")
+            for b in sorted(self.committed_batches() - covered)
+        ]
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType([]))
         return spark.read.parquet(*paths)
+
+    # -- maintenance: small-file compaction --------------------------------
+    def compact(self, spark, target_bytes_per_file: int = 256 * 1024 * 1024):
+        """Rewrite all committed-but-uncompacted micro-batch dirs into
+        one consolidated generation (``compacted/gen=<id>``).
+
+        At 10^12-doc scale a long-running stream accumulates thousands
+        of per-batch directories — a metadata and open-file problem for
+        every downstream scan.  Same commit protocol as write_batch:
+        write to _tmp, atomic rename, ONE ledger line
+        (``{"compaction": gen, "batches": [...], "n_rows": n}``) as the
+        commit point.  Readers switch to the generation atomically;
+        superseded batch dirs stay on disk (exactly-once history)
+        until ``vacuum()``.  Crash before the ledger line leaves an
+        orphan gen dir that vacuum removes.  Returns the ledger record
+        or None if there was nothing to compact."""
+        todo = sorted(self.committed_batches() - self._compacted_away())
+        paths = [
+            p
+            for b in todo
+            if os.path.exists(p := os.path.join(self.data_dir, f"batch_id={b}"))
+        ]
+        if not paths:
+            return None
+        total_bytes = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d in paths
+            for f in os.listdir(d)
+            if f.startswith("part-")
+        )
+        n_files = max(1, -(-total_bytes // target_bytes_per_file))
+
+        gen = uuid.uuid4().hex
+        tmp = os.path.join(self.tmp_dir, f"gen-{gen}")
+        spark.read.parquet(*paths).coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        n_rows = sum(r["n_rows"] for r in self._lineage_from_files(tmp, -1))
+        os.makedirs(self.compacted_dir, exist_ok=True)
+        final = os.path.join(self.compacted_dir, f"gen={gen}")
+        os.rename(tmp, final)
+        rec = {"compaction": gen, "batches": todo, "n_rows": n_rows}
+        with open(self.ledger_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return rec
+
+    def vacuum(self) -> list[str]:
+        """Delete batch dirs superseded by a committed compaction and
+        any orphan (uncommitted) generation or _tmp dirs.  Safe at any
+        time: only the ledger defines visibility."""
+        removed = []
+        for b in self._compacted_away():
+            p = os.path.join(self.data_dir, f"batch_id={b}")
+            if os.path.exists(p):
+                shutil.rmtree(p)
+                removed.append(p)
+        live_gens = {r["compaction"] for r in self.compactions()}
+        if os.path.isdir(self.compacted_dir):
+            for name in os.listdir(self.compacted_dir):
+                if name.startswith("gen=") and name[4:] not in live_gens:
+                    p = os.path.join(self.compacted_dir, name)
+                    shutil.rmtree(p)
+                    removed.append(p)
+        for name in os.listdir(self.tmp_dir):
+            p = os.path.join(self.tmp_dir, name)
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+        return removed
 
     def read_quarantined(self, spark) -> DataFrame:
         """Exactly-once view of quarantined rows (ledgered batches)."""
