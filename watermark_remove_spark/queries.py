@@ -1397,6 +1397,88 @@ GROUP BY url, warc_ts
 """
 
 
+# ------------------------------------------------ composite prep pipeline
+
+def q35_corpus_prep(spark, sf_dir):
+    """Composite training-data prep pipeline — the end-to-end use case
+    the engine exists for, as ONE oracle-checked query:
+
+      quality gate (>= 0.5)  ->  exact content dedup (min-doc_id
+      keeper per md5 fingerprint)  ->  per-(source, lang_pred) corpus
+      budget (docs, tokens, quality min/max).
+
+    Scale shape: per-doc scoring is pure Catalyst (no shuffle); dedup
+    is one hash-agg on the 16-byte fingerprint + an equi-join back
+    (never on text); the final agg is a partial-aggregated groupBy on
+    two low-cardinality keys.  min/max(quality) instead of avg: both
+    engines produce bit-identical per-doc doubles (q19-verified), and
+    min/max are order-independent so the hash compare stays exact.
+    """
+    from .functions.text import lang_id_expr, quality_score_expr, token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score_expr(F.col("text")).alias("quality"),
+        lang_id_expr(F.col("text")).alias("lang_pred"),
+        F.md5(F.col("text")).alias("fp"),
+        token_count_expr(F.col("text")).alias("n_tokens"),
+    ).where(F.col("quality") >= 0.5)
+    keeper = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = scored.join(keeper, ["fp", "doc_id"], "inner")
+    return deduped.groupBy("source", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
+ORACLE_Q35 = f"""
+WITH m AS (
+  SELECT doc_id, source, text,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)), l -> length(l) > 0)) AS non_empty,
+         replace(' ' || lower(text) || ' ', chr(10), ' ') AS padded
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, text, n_tokens,
+         round(0.4 * least(n_chars / 500.0, 1.0)
+             + 0.4 * (CASE WHEN n_tokens > 0 AND
+                                (n_chars - (n_tokens - 1.0)) / n_tokens BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.2 * (CASE WHEN n_lines > 0 THEN non_empty * 1.0 / n_lines ELSE 0.0 END), 6)
+         AS quality,
+         {_duck_hits('de')} AS h_de,
+         {_duck_hits('en')} AS h_en,
+         {_duck_hits('es')} AS h_es,
+         {_duck_hits('fr')} AS h_fr
+  FROM m
+), base AS (
+  SELECT doc_id, source, n_tokens, quality, md5(text) AS fp,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+              WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+              WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+              WHEN h_es >= h_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM scored
+  WHERE quality >= 0.5
+), keeper AS (
+  SELECT fp, min(doc_id) AS doc_id FROM base GROUP BY fp
+)
+SELECT b.source, b.lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+       min(b.quality) AS min_quality,
+       max(b.quality) AS max_quality
+FROM base b JOIN keeper k ON b.fp = k.fp AND b.doc_id = k.doc_id
+GROUP BY b.source, b.lang_pred
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -1432,6 +1514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_rolling_fingerprint": q32_rolling_fingerprint,
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_embedding_near_dupes": q34_embedding_near_dupes,
+    "q35_corpus_prep": q35_corpus_prep,
 }
 
 ORACLES: dict[str, str] = {
@@ -1469,4 +1552,5 @@ ORACLES: dict[str, str] = {
     "q32_rolling_fingerprint": ORACLE_Q32,
     "q33_bpe_tokens": ORACLE_Q33,
     "q34_embedding_near_dupes": ORACLE_Q34,
+    "q35_corpus_prep": ORACLE_Q35,
 }
