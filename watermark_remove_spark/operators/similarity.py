@@ -119,18 +119,25 @@ def lsh_topk(
     )
 
 
-def _centroid_assign_exprs(vec, centroids: list[list[float]]):
-    """Distance columns to each centroid (literal arrays, JVM math)."""
-    dists = []
-    for c in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+def _centroid_dists_expr(vec, centroids: list[list[float]]):
+    """array<double> of squared distances to every centroid.
+
+    ONE ``transform`` over a constant array<array<double>> (Catalyst
+    constant-folds the nested literal into a single Literal) holding
+    ONE zip_with+aggregate — not n_centroids separate aggregate
+    expressions, whose combined tree made analysis/codegen take
+    seconds per plan (the round-1 'giant expression tree' trap, hit
+    again here in round 2 at 16 centroids x 64 dims).  Same sequential
+    fold per element, so distance bits and tie-breaks are unchanged."""
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda a, v: a + v,
-        )
-        dists.append(d)
-    return dists
+        ),
+    )
 
 
 def ivf_topk(
@@ -168,8 +175,7 @@ def ivf_topk(
 
     def with_lists(df, n_lists):
         v = F.col(vec_col).cast("array<double>")
-        dists = _centroid_assign_exprs(v, centroids)
-        darr = F.array(*dists)
+        darr = _centroid_dists_expr(v, centroids)
         ranked = F.slice(
             F.transform(
                 F.array_sort(
@@ -205,11 +211,12 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # no trailing distinct: row_number is unique per (query_id, rk)
+    # already — a distinct here would be a pure extra shuffle
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
-        .distinct()
     )
 
 
@@ -228,12 +235,13 @@ def embedding_near_dupes(
         lsh_bucket_expr(F.col(vec_col).cast("array<double>"), n_planes, dim).alias("bucket"),
     )
     a, b = c.alias("a"), c.alias("b")
+    # each id hashes to exactly ONE bucket, so a pair can meet in at
+    # most one bucket — no distinct needed (it was an extra shuffle)
     pairs = (
         a.join(b, "bucket")
         .where(F.col("a.id") < F.col("b.id"))
         .withColumn("cosine", F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6))
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
-        .distinct()
     )
     return pairs
