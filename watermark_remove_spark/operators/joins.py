@@ -89,3 +89,25 @@ def asof_join_latest_by_key(
         .drop("__rn", "__k")
         .withColumnRenamed("__vf", right_ts)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by ``key``.
+
+    The 100-TB co-location pattern: two tables bucketed identically on
+    the join key are joined WITHOUT any Exchange (and, when sorted,
+    without a Sort) — the scan itself satisfies the join's required
+    distribution.  The plan guarantee is asserted in
+    ``tests/test_bucketing.py::test_bucketed_join_is_shuffle_free``.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

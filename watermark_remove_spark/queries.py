@@ -1479,6 +1479,39 @@ GROUP BY b.source, b.lang_pred
 """
 
 
+def q36_value_percentiles(spark, sf_dir):
+    """Exact ordered-statistics aggregate (O-20 family): p50/p90/p99 of
+    event value per type.  Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` both use the p*(n-1) linear-interpolation
+    definition; outputs rounded to 6dp.  At scale this is a single
+    partial-aggregated shuffle on the low-cardinality type key (exact
+    percentile state is the sorted value multiset per group —
+    ``approx_percentile`` is the sketch alternative when groups are
+    huge; exact is used here so the oracle can be exact too)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", [0.5, 0.9, 0.99])
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p90"),
+        F.round(F.element_at(pct, 3), 6).alias("p99"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+ORACLE_Q36 = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(min(value), 6) AS min_value,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -1515,6 +1548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_bpe_tokens": q33_bpe_tokens,
     "q34_embedding_near_dupes": q34_embedding_near_dupes,
     "q35_corpus_prep": q35_corpus_prep,
+    "q36_value_percentiles": q36_value_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -1553,4 +1587,5 @@ ORACLES: dict[str, str] = {
     "q33_bpe_tokens": ORACLE_Q33,
     "q34_embedding_near_dupes": ORACLE_Q34,
     "q35_corpus_prep": ORACLE_Q35,
+    "q36_value_percentiles": ORACLE_Q36,
 }
