@@ -1512,6 +1512,32 @@ FROM events GROUP BY event_type
 """
 
 
+def q37_json_props(spark, sf_dir):
+    """Semi-structured projection (O-12/O-14 family): extract a typed
+    field from the JSON ``props`` column and aggregate it.  Catalyst's
+    ``get_json_object`` is JVM-side and prunes to the single path; at
+    scale the JSON string never leaves the scan stage — only the
+    extracted bigint is shuffled."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_Q37 = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -1549,6 +1575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_embedding_near_dupes": q34_embedding_near_dupes,
     "q35_corpus_prep": q35_corpus_prep,
     "q36_value_percentiles": q36_value_percentiles,
+    "q37_json_props": q37_json_props,
 }
 
 ORACLES: dict[str, str] = {
@@ -1588,4 +1615,5 @@ ORACLES: dict[str, str] = {
     "q34_embedding_near_dupes": ORACLE_Q34,
     "q35_corpus_prep": ORACLE_Q35,
     "q36_value_percentiles": ORACLE_Q36,
+    "q37_json_props": ORACLE_Q37,
 }
