@@ -42,6 +42,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like ``_t`` but guarantees the per-row hot path that follows is
+    spread across the cluster.  Small-SF test files are a single
+    parquet file with ONE row group — unsplittable, so Spark plans one
+    scan task and a shingle/HOF-heavy query runs single-threaded no
+    matter how many cores exist.  The guard makes this adaptive: with
+    production-scale inputs (many files ⇒ scan parallelism ≥ cores) no
+    repartition happens and no extra shuffle is paid."""
+    df = _t(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, p // 2):
+        df = df.repartition(p)
+    return df
+
+
 DEC = "decimal(18,2)"
 
 # ---------------------------------------------------------------- relational
@@ -365,7 +380,7 @@ END
 def q13_frequent_shingles(spark, sf_dir):
     """O-9/O-20 mask mining (string form, SQL-checkable): shingles with
     document frequency >= 60% of the source's docs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     exploded = docs.select(
         "source", F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle")
     )
@@ -396,7 +411,7 @@ WHERE df >= 0.6 * n_docs
 def q14_boiler_ratio(spark, sf_dir):
     """O-10 relational form: per-doc count of distinct shingles that are
     source-frequent ('boilerplate') vs total distinct shingles."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     exploded = docs.select(
         "doc_id", "source",
         F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle"),
@@ -465,7 +480,7 @@ def q16_jaccard_pairs(spark, sf_dir):
     fixed-width equi-join / hash-agg on (source, shingle) or (id, id) —
     shuffle-partitionable at 100 TB.
     """
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     shings = docs.select(
         "doc_id", "source",
         F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle"),
@@ -692,7 +707,7 @@ def q22_minhash_near_dupes(spark, sf_dir):
     mins, 8-band LSH candidates, exact-Jaccard verify — is mirrored
     stage-for-stage in ORACLE_Q22, so the DRIVER checks not just the
     verified pairs but the banding itself."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return minhash_near_dupes(docs, "doc_id", "text", threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -748,7 +763,7 @@ def q23_simhash_near_dupes(spark, sf_dir):
     """SimHash banded near-dup pairs — portable md5-bit votes, mirrored
     bit-for-bit in ORACLE_Q23 (hex-digit set membership, no base
     conversion in either engine)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return simhash_near_dupes(docs, "doc_id", "text", max_hamming=8)
 
 
@@ -1213,7 +1228,7 @@ def q32_rolling_fingerprint(spark, sf_dir):
     window.  Portable md5 variant (string min), mirrored in SQL."""
     from .functions.text import rolling_fingerprint_md5_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", rolling_fingerprint_md5_expr(F.col("text")).alias("fingerprint")
     )
@@ -1416,7 +1431,7 @@ def q35_corpus_prep(spark, sf_dir):
     """
     from .functions.text import lang_id_expr, quality_score_expr, token_count_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         "source",
