@@ -322,3 +322,36 @@ def test_cli_stream_quarantine_mode(spark, tmp_path):
     sink = ParquetLedgerSink(out, quarantine_col="error")
     assert sink.read_quarantined(spark).count() == 2
     assert sink.read_committed(spark).where("clean_text is null").count() == 0
+
+
+def test_cli_continuous_mode_bounded(spark, tmp_path):
+    """--no-available-now runs the documented continuous trigger;
+    --timeout-sec bounds it for tests/ops.  All input present at start
+    is drained and committed before the deadline stop."""
+    from watermark_remove_spark.cli import main
+    from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+
+    corpus = generate_corpus(PagesConfig(n_pages=100, n_domains=3, seed=19))
+    pages = corpus.pages
+    # two far-future sentinel batches: append-mode windows only emit
+    # once the (two-batch-lagged) watermark passes them
+    sent = pages.iloc[:1].assign(
+        url="https://sentinel.example.com/p/1",
+        warc_ts=pd.Timestamp("2027-01-01"),
+    )
+    sent2 = sent.assign(
+        url="https://sentinel.example.com/p/2",
+        warc_ts=pd.Timestamp("2027-01-01 01:00:00"),
+    )
+    src = str(tmp_path / "in")
+    write_batch_files([pages.iloc[:50], pages.iloc[50:], sent, sent2], src)
+    out = str(tmp_path / "out")
+    rc = main(
+        ["--input", src, "--output", out, "--mode", "stream",
+         "--checkpoint", str(tmp_path / "ck"), "--files-per-trigger", "1",
+         "--no-available-now", "--timeout-sec", "25"]
+    )
+    assert rc == 0
+    sink = ParquetLedgerSink(out)
+    got = sink.read_committed(spark)
+    assert got.count() > 0  # windowed rows for the drained corpus

@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="stream mode: decode html in-stream and route undecodable "
         "pages to the sink's quarantine output instead of failing",
     )
+    ap.add_argument(
+        "--timeout-sec",
+        type=float,
+        default=None,
+        help="continuous mode (--no-available-now): stop gracefully "
+        "after this many seconds instead of running forever",
+    )
     return ap
 
 
@@ -237,7 +244,15 @@ def main(argv: list[str] | None = None) -> int:
         q = run_stream_to_sink(
             out_stream, sink, args.checkpoint, available_now=args.available_now
         )
-        q.awaitTermination()
+        if args.timeout_sec is not None:
+            # bounded continuous run: drain until the deadline, then a
+            # clean stop (checkpoint stays resumable)
+            q.awaitTermination(args.timeout_sec)
+            if q.isActive:
+                q.stop()
+                q.awaitTermination(60)
+        else:
+            q.awaitTermination()
         print(
             f"drained: {len(sink.committed_batches())} batches committed to {args.output}"
         )
