@@ -73,11 +73,18 @@ def _hyperplane_sign(vec: Column, plane_id: int, dim: int) -> Column:
 
 
 def lsh_bucket_expr(vec: Column, n_planes: int, dim: int) -> Column:
-    """b-bit random-hyperplane bucket id (int)."""
+    """b-bit random-hyperplane bucket id (int).
+
+    NULL — not bucket 0 — for vectors whose length differs from the
+    planes' ``dim``: zip_with null-pads a shorter side, the dot goes
+    null, and every sign would read 0, silently colliding all
+    mismatched vectors into one mega-bucket.  A null bucket instead
+    drops the row from the bucket equi-join (no false results); the
+    caller's corpus row-1 dim is the contract."""
     bucket = F.lit(0)
     for p in range(n_planes):
         bucket = bucket * 2 + _hyperplane_sign(vec, p, dim)
-    return bucket
+    return F.when(F.size(vec) == dim, bucket)
 
 
 def lsh_topk(

@@ -59,6 +59,9 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 DEC = "decimal(18,2)"
 
+# q16's persisted intermediate from the previous invocation (see q16)
+_Q16_KEPT_CACHE = None
+
 # ---------------------------------------------------------------- relational
 
 def q01_pricing_summary(spark, sf_dir):
@@ -500,6 +503,13 @@ def q16_jaccard_pairs(spark, sf_dir):
         .select("doc_id", "source", "shingle")
         .persist()
     )
+    # the returned plan is consumed by the caller, so this function
+    # can't unpersist after use — instead release the PREVIOUS call's
+    # cache, capping the leak at one live copy per session
+    global _Q16_KEPT_CACHE
+    if _Q16_KEPT_CACHE is not None:
+        _Q16_KEPT_CACHE.unpersist()
+    _Q16_KEPT_CACHE = kept
     sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = kept.select("source", "shingle", F.col("doc_id").alias("id_a"))
     b = kept.select("source", "shingle", F.col("doc_id").alias("id_b"))

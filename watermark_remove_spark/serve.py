@@ -42,6 +42,16 @@ class ServeError(RuntimeError):
     failures to HTTP 4xx/5xx (``api/main.py:61-70``)."""
 
 
+def _remove_path(path: str) -> None:
+    """Remove a previous output whatever its kind — a parquet export is
+    a directory, a csv/json export is a file, and callers may switch
+    formats between runs against the same path."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+
+
 def process_single(
     spark: SparkSession, input_path: str, output_path: str, work_dir: str | None = None
 ) -> str:
@@ -65,8 +75,7 @@ def process_single(
         masks = mine_masks(pages)
         cleaned = clean_pages_udf_fast(pages, masks)
         cleaned.write.mode("overwrite").parquet(tmp_out)
-        if os.path.exists(output_path):
-            shutil.rmtree(output_path)
+        _remove_path(output_path)
         os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
         os.rename(tmp_out, output_path)
         return output_path
@@ -131,8 +140,7 @@ def export_result(df: DataFrame, output_path: str, fmt: str = "parquet") -> str:
         part = next(
             p for p in sorted(os.listdir(tmp)) if p.startswith("part-")
         )
-        if os.path.exists(output_path):
-            os.remove(output_path)
+        _remove_path(output_path)
         os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
         os.rename(os.path.join(tmp, part), output_path)
         return output_path

@@ -121,6 +121,14 @@ def with_row_index(df: DataFrame) -> DataFrame:
     partition-local monotonic id).  One partition-parallel shuffle,
     no single-task stage — the same trick Iceberg split planning uses
     for _pos-derived row ids.
+
+    CONTRACT: ``df`` must evaluate deterministically — same partition
+    count AND same per-partition row assignment on every evaluation —
+    because the input is computed twice (the offsets count job, then
+    the numbering job).  File scans qualify (fixed split planning);
+    anything downstream of ``sample()``/``rand()``/unstable shuffles
+    does not, and would yield gaps/duplicate idx values.  All callers
+    here feed it parquet scans.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window

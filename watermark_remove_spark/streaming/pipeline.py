@@ -30,22 +30,43 @@ def build_clean_stream(
     masks: DataFrame,
     watermark: str = DEFAULT_WATERMARK,
     files_per_trigger: int = 1,
+    decode_html: bool = False,
+    tag_errors: bool = False,
 ) -> DataFrame:
-    """source -> watermark -> dedup -> clean; masks is a static (batch)
-    DataFrame broadcast-joined onto each micro-batch."""
+    """source -> clean -> watermark -> dedup; masks is a static (batch)
+    DataFrame broadcast-joined onto each micro-batch.
+
+    ``decode_html=True`` is the production input shape: text is decoded
+    from the raw ``html:binary`` column in-stream.  ``tag_errors=True``
+    adds an ``error`` column marking rows that cleaned to nothing, for
+    the sink's quarantine routing (``quarantine_col='error'``).
+
+    Ordering constraints encoded ONCE here (both variants share them):
+    - html is pruned from the scan unless it is the decode source — the
+      dominant-bytes column must never be scanned or shuffled idly;
+    - extraction runs BEFORE the watermark: the map node erases the
+      event-time tag and a watermark cannot be redefined mid-plan, so
+      the single watermark is declared after the (stateless) extraction
+      and both stateful operators (dedup here, windows downstream)
+      share it;
+    - dedup after clean is result-identical (clean_text is a function
+      of (url, warc_ts) content) and the dedup shuffle carries the
+      smaller clean_text instead of raw text.
+    """
     src = stream_pages_files(spark, src_dir, files_per_trigger)
-    # drop html before anything else: the extraction path reads `text`
-    # only, so the (dominant-bytes) html column must never be scanned
-    # or shuffled — Catalyst prunes it from the parquet scan.
-    slim = src.select("url", "warc_ts", "text", "lang")
-    # extraction BEFORE dedup: the map node erases the event-time tag
-    # and a watermark cannot be redefined mid-plan, so the single
-    # watermark is declared after the (stateless) extraction and both
-    # stateful operators (dedup here, windows downstream) share it.
-    # clean_text is identical for identical (url, warc_ts), so dedup
-    # placement does not change results — and the dedup shuffle now
-    # carries the smaller clean_text instead of raw text.
+    if decode_html:
+        from ..operators.extract import decode_html_expr
+
+        text = decode_html_expr(F.col("html")).alias("text")
+    else:
+        text = F.col("text")
+    slim = src.select("url", "warc_ts", text, "lang")
     cleaned = clean_pages_udf_fast(slim, masks)
+    if tag_errors:
+        cleaned = cleaned.withColumn(
+            "error",
+            F.when(F.col("clean_text").isNull(), F.lit("null_text")),
+        )
     return cleaned.withWatermark("warc_ts", watermark).dropDuplicates(
         ["url", "warc_ts"]
     )
@@ -58,30 +79,20 @@ def build_decode_clean_stream(
     watermark: str = DEFAULT_WATERMARK,
     files_per_trigger: int = 1,
 ) -> DataFrame:
-    """Production-shaped variant of ``build_clean_stream``: pages carry
-    raw ``html:binary`` (input_hint shape); text is decoded in-stream
-    and rows that decode to nothing are TAGGED, not dropped — the
-    ``error`` column routes them to the sink's quarantine output
-    (``ParquetLedgerSink(quarantine_col='error')``), so one poison page
-    degrades to a quarantine record instead of killing the query
+    """Production-shaped clean stream: decode ``html:binary`` in-stream
+    and TAG (not drop) rows that decode to nothing — the ``error``
+    column routes them to the sink's quarantine output, so one poison
+    page degrades to a quarantine record instead of killing the query
     (SURVEY §2.8; the reference instead 500s the request,
     ``api/main.py:61-70``)."""
-    from ..operators.extract import decode_html_expr
-
-    src = stream_pages_files(spark, src_dir, files_per_trigger)
-    decoded = src.select(
-        "url",
-        "warc_ts",
-        decode_html_expr(F.col("html")).alias("text"),
-        "lang",
-    )
-    cleaned = clean_pages_udf_fast(decoded, masks)
-    flagged = cleaned.withColumn(
-        "error",
-        F.when(F.col("clean_text").isNull(), F.lit("null_text")),
-    )
-    return flagged.withWatermark("warc_ts", watermark).dropDuplicates(
-        ["url", "warc_ts"]
+    return build_clean_stream(
+        spark,
+        src_dir,
+        masks,
+        watermark,
+        files_per_trigger,
+        decode_html=True,
+        tag_errors=True,
     )
 
 

@@ -262,10 +262,17 @@ class ParquetLedgerSink:
             os.fsync(f.fileno())
         return rec
 
-    def vacuum(self) -> list[str]:
-        """Delete batch dirs superseded by a committed compaction and
-        any orphan (uncommitted) generation or _tmp dirs.  Safe at any
-        time: only the ledger defines visibility."""
+    def vacuum(self, tmp_min_age_sec: float = 3600.0) -> list[str]:
+        """Delete batch dirs superseded by a committed compaction, any
+        orphan (uncommitted) generation dirs, and _tmp staging dirs
+        older than ``tmp_min_age_sec``.
+
+        Visibility is ledger-defined, so removing superseded/orphan
+        dirs is safe while a stream is running — but _tmp holds the
+        LIVE staging dirs of in-flight ``write_batch``/``compact``
+        calls (written there, then renamed out), so only stale entries
+        (crash leftovers) are removed; pass ``tmp_min_age_sec=0`` only
+        when no writer can be active."""
         removed = []
         for b in self._compacted_away():
             p = os.path.join(self.data_dir, f"batch_id={b}")
@@ -279,8 +286,16 @@ class ParquetLedgerSink:
                     p = os.path.join(self.compacted_dir, name)
                     shutil.rmtree(p)
                     removed.append(p)
+        import time as _time
+
+        now = _time.time()
         for name in os.listdir(self.tmp_dir):
             p = os.path.join(self.tmp_dir, name)
+            try:
+                if now - os.path.getmtime(p) < tmp_min_age_sec:
+                    continue  # possibly an in-flight staging dir
+            except OSError:
+                continue  # vanished: a concurrent writer renamed it out
             shutil.rmtree(p, ignore_errors=True)
             removed.append(p)
         return removed
