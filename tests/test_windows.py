@@ -90,3 +90,49 @@ def test_rollup_totals(spark, corpus, pages_sdf):
     assert len(grand) == 1 and grand[0].n_pages == len(corpus.pages)
     per_lang = {x.lang: x.n_pages for x in r if x.lang is not None and x.domain is None}
     assert sum(per_lang.values()) == len(corpus.pages)
+
+
+def test_scd2_apply_semantics(spark):
+    """MERGE-free SCD2: history preserved, current rows closed by new
+    versions, same-instant conflicts resolved updates-win, valid_to =
+    next version's valid_from (NULL for current)."""
+    import pandas as pd
+
+    from watermark_remove_spark.operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": ["a", "a", "b"],
+                "fp": ["a-v1", "a-v2", "b-v1"],
+                "valid_from": pd.to_datetime(
+                    ["2026-01-01", "2026-02-01", "2026-01-01"]
+                ),
+                "valid_to": pd.to_datetime(["2026-02-01", pd.NaT, pd.NaT]),
+            }
+        )
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": ["a", "b", "c"],
+                "fp": ["a-v3", "b-v1-fixed", "c-v1"],
+                "valid_from": pd.to_datetime(
+                    ["2026-03-01", "2026-01-01", "2026-01-15"]
+                ),
+            }
+        )
+    )
+    out = scd2_apply(dim, updates, ["domain"])
+    got = {
+        (r.domain, r.fp, str(r.valid_from.date()), str(r.valid_to.date()) if r.valid_to else None)
+        for r in out.collect()
+    }
+    want = {
+        ("a", "a-v1", "2026-01-01", "2026-02-01"),
+        ("a", "a-v2", "2026-02-01", "2026-03-01"),  # re-closed by update
+        ("a", "a-v3", "2026-03-01", None),
+        ("b", "b-v1-fixed", "2026-01-01", None),    # same-instant: update wins
+        ("c", "c-v1", "2026-01-15", None),          # brand-new key
+    }
+    assert got == want

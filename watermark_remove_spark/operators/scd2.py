@@ -1,0 +1,51 @@
+"""SCD2 / CDC upsert without MERGE (O-11 family).
+
+The reference's artifact versioning is one-file-per-request
+(``api/main.py:39-40`` uuid temp names); the engine's mask/template
+changelog needs real slowly-changing-dimension semantics: apply a
+batch of updates to a versioned dimension, closing superseded rows
+and keeping full history.
+
+No Delta/Iceberg MERGE is available offline (SURVEY header), and the
+public guide pattern is the portable emulation: union the incoming
+versions with the existing ones, resolve same-instant conflicts
+(updates win), and recompute ``valid_to`` as ``lead(valid_from)`` per
+key.  Every step is a partial-aggregated shuffle/window on the
+dimension key — no driver loops, no MERGE dependency — and the whole
+transform is expressible in ANSI SQL, so it is oracle-checked exactly
+(q39).
+
+Scale note: dimensions are small relative to the fact stream (domains,
+not pages); the two windows shuffle only the dimension.  With an
+actual Iceberg catalog the same plan feeds ``MERGE INTO`` via
+``IcebergMergeSink``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Return the new SCD2 table: ``dim`` (history, ``end_col`` may be
+    stale) + ``updates`` (new versions, no ``end_col``), with
+    ``end_col`` recomputed as the next version's ``ts_col`` (NULL for
+    the current row).  An update at an instant that already has a
+    version replaces it (updates win)."""
+    d = dim.drop(end_col).withColumn("__pri", F.lit(0))
+    u = updates.withColumn("__pri", F.lit(1))
+    versions = d.unionByName(u)
+    w_dup = Window.partitionBy(*key_cols, ts_col).orderBy(F.col("__pri").desc())
+    dedup = (
+        versions.withColumn("__rn", F.row_number().over(w_dup))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__pri")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    return dedup.withColumn(end_col, F.lead(ts_col).over(w))

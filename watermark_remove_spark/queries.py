@@ -1563,6 +1563,110 @@ FROM events GROUP BY event_type
 """
 
 
+def q38_status_pivot(spark, sf_dir):
+    """Pivot (O-23 family): per-returnflag quantity/count matrix over
+    linestatus.  Explicit pivot values keep the output schema static —
+    at scale an unconstrained pivot would first run a distinct scan to
+    discover columns.  Nulls become 0 so the matrix is total."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum("l_quantity").cast("double").alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce("F_qty", F.lit(0.0)).alias("f_qty"),
+        F.coalesce("F_cnt", F.lit(0)).alias("f_cnt"),
+        F.coalesce("O_qty", F.lit(0.0)).alias("o_qty"),
+        F.coalesce("O_cnt", F.lit(0)).alias("o_cnt"),
+    )
+
+
+ORACLE_Q38 = """
+SELECT l_returnflag,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0) AS DOUBLE) AS f_qty,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) AS BIGINT) AS f_cnt,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0) AS DOUBLE) AS o_qty,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) AS BIGINT) AS o_cnt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q39_scd2_templates(spark, sf_dir):
+    """SCD2/CDC upsert (O-11 family, MERGE-free emulation): apply a
+    deterministic batch of template-changelog updates — one new
+    version per source, plus same-instant replacements for
+    even-length sources (updates-win conflict rule) — and recompute
+    validity intervals.  Exercises ``operators/scd2.scd2_apply``."""
+    from .operators.scd2 import scd2_apply
+
+    src = _t(spark, sf_dir, "documents").select("source").distinct()
+    v1_ts = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    dim = src.select(
+        "source",
+        F.md5(F.concat("source", F.lit("#v1"))).alias("template_fp"),
+        v1_ts.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    v2 = src.select(
+        "source",
+        F.md5(F.concat("source", F.lit("#v2"))).alias("template_fp"),
+        F.expr(
+            "timestamp '2026-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, (length(source) * 3) % 29 + 1, 0, 0, 0)"
+        ).alias("valid_from"),
+    )
+    v1b = src.where(F.length("source") % 2 == 0).select(
+        "source",
+        F.md5(F.concat("source", F.lit("#v1b"))).alias("template_fp"),
+        v1_ts.alias("valid_from"),
+    )
+    out = scd2_apply(dim, v2.unionByName(v1b), ["source"])
+    return out.select(
+        "source",
+        "template_fp",
+        F.floor(F.unix_timestamp("valid_from")).cast("bigint").alias("valid_from_epoch"),
+        F.floor(F.unix_timestamp("valid_to")).cast("bigint").alias("valid_to_epoch"),
+    )
+
+
+ORACLE_Q39 = """
+WITH src AS (SELECT DISTINCT source FROM documents),
+dim AS (
+  SELECT source, md5(source || '#v1') AS template_fp,
+         TIMESTAMP '2026-01-01 00:00:00' AS valid_from, 0 AS pri
+  FROM src
+), upd AS (
+  SELECT source, md5(source || '#v2') AS template_fp,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + ((length(source) * 3) % 29 + 1) * INTERVAL 1 DAY AS valid_from,
+         1 AS pri
+  FROM src
+  UNION ALL
+  SELECT source, md5(source || '#v1b'),
+         TIMESTAMP '2026-01-01 00:00:00', 1
+  FROM src WHERE length(source) % 2 = 0
+), allv AS (
+  SELECT * FROM dim UNION ALL SELECT * FROM upd
+), dedup AS (
+  SELECT source, template_fp, valid_from FROM (
+    SELECT *, row_number() OVER (PARTITION BY source, valid_from
+                                 ORDER BY pri DESC) AS rn
+    FROM allv
+  ) WHERE rn = 1
+)
+SELECT source, template_fp,
+       CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_epoch,
+       CAST(floor(epoch(lead(valid_from) OVER (
+            PARTITION BY source ORDER BY valid_from))) AS BIGINT) AS valid_to_epoch
+FROM dedup
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -1601,6 +1705,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_corpus_prep": q35_corpus_prep,
     "q36_value_percentiles": q36_value_percentiles,
     "q37_json_props": q37_json_props,
+    "q38_status_pivot": q38_status_pivot,
+    "q39_scd2_templates": q39_scd2_templates,
 }
 
 ORACLES: dict[str, str] = {
@@ -1641,4 +1747,6 @@ ORACLES: dict[str, str] = {
     "q35_corpus_prep": ORACLE_Q35,
     "q36_value_percentiles": ORACLE_Q36,
     "q37_json_props": ORACLE_Q37,
+    "q38_status_pivot": ORACLE_Q38,
+    "q39_scd2_templates": ORACLE_Q39,
 }
