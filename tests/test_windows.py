@@ -136,3 +136,66 @@ def test_scd2_apply_semantics(spark):
         ("c", "c-v1", "2026-01-15", None),          # brand-new key
     }
     assert got == want
+
+
+def test_scd2_apply_randomized_vs_model(spark):
+    """Seeded randomized SCD2 check vs a pure-pandas reference model:
+    many keys, random version instants, random same-instant conflicts."""
+    import numpy as np
+    import pandas as pd
+
+    from watermark_remove_spark.operators.scd2 import scd2_apply
+
+    rng = np.random.default_rng(42)
+    base = pd.Timestamp("2026-01-01")
+    dim_rows, upd_rows = [], []
+    for k in range(60):
+        key = f"d{k:02d}"
+        n_dim = rng.integers(1, 4)
+        dim_ts = sorted(rng.choice(90, size=n_dim, replace=False))
+        for i, t in enumerate(dim_ts):
+            dim_rows.append((key, f"{key}-dim{i}", base + pd.Timedelta(days=int(t))))
+        n_upd = rng.integers(0, 3)
+        for j in range(n_upd):
+            # half the updates deliberately collide with an existing instant
+            if rng.random() < 0.5 and len(dim_ts):
+                t = int(rng.choice(dim_ts))
+            else:
+                t = int(rng.integers(0, 120))
+            upd_rows.append((key, f"{key}-upd{j}", base + pd.Timedelta(days=t)))
+    # updates colliding with each other at the same instant would be an
+    # ill-defined input (no arrival order): drop such dups
+    upd = pd.DataFrame(upd_rows, columns=["domain", "fp", "valid_from"])
+    upd = upd.drop_duplicates(subset=["domain", "valid_from"], keep="first")
+    dim = pd.DataFrame(dim_rows, columns=["domain", "fp", "valid_from"])
+    dim["valid_to"] = pd.NaT
+
+    # reference model: updates replace dim rows at the same instant,
+    # then valid_to = next valid_from per key
+    merged = pd.concat(
+        [dim.drop(columns="valid_to").assign(pri=0), upd.assign(pri=1)]
+    )
+    merged = (
+        merged.sort_values("pri", ascending=False)
+        .drop_duplicates(subset=["domain", "valid_from"], keep="first")
+        .sort_values(["domain", "valid_from"])
+    )
+    merged["valid_to"] = merged.groupby("domain")["valid_from"].shift(-1)
+    want = {
+        (r.domain, r.fp, r.valid_from, r.valid_to if pd.notna(r.valid_to) else None)
+        for r in merged.itertuples(index=False)
+    }
+
+    out = scd2_apply(
+        spark.createDataFrame(dim), spark.createDataFrame(upd), ["domain"]
+    )
+    got = {
+        (
+            r.domain,
+            r.fp,
+            pd.Timestamp(r.valid_from),
+            pd.Timestamp(r.valid_to) if r.valid_to else None,
+        )
+        for r in out.collect()
+    }
+    assert got == want
