@@ -125,15 +125,18 @@ def main() -> None:
     print(f"spark-submit --py-files {pyfiles}")
 
     levels = {"N": ("local-cluster[1,1,4096]", 1), "4N": ("local-cluster[4,1,4096]", 4)}
+    # INTERLEAVE levels across repeat rounds (N,4N,N,4N...) and keep
+    # the best per level: host-level noise windows (shared-VM
+    # neighbors) then bias both sides of the efficiency ratio rather
+    # than silently sinking one level's only measurement.
     results = {}
-    for label, (master, cpus) in levels.items():
-        best = None
-        for r in range(args.runs):
+    for r in range(args.runs):
+        for label, (master, cpus) in levels.items():
             res = run_level(master, cpus, src, n_pages, pyfiles)
             print(f"{label} ({master}) run {r}: {res}")
+            best = results.get(label)
             if best is None or res["pages_per_sec"] > best["pages_per_sec"]:
-                best = res
-        results[label] = best
+                results[label] = res
 
     tN, t4N = results["N"]["pages_per_sec"], results["4N"]["pages_per_sec"]
     eff = (t4N / tN) / 4.0
