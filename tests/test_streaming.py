@@ -238,13 +238,21 @@ def test_streaming_asof_join(spark, stream_corpus, stream_batches, stream_dir, t
         subset=["url", "warc_ts"]
     )
     want_df = oracle_asof_template_version(pages_all, stream_corpus.domain_templates)
+    # leftOuter semantics (matches the batch as-of form): pages with NO
+    # version in range emit with NULL valid_from instead of vanishing
     want_map = {
-        (r.url, r.warc_ts): r.template_valid_from
+        (r.url, r.warc_ts): (
+            r.template_valid_from if pd.notna(r.template_valid_from) else None
+        )
         for r in want_df.itertuples(index=False)
-        if pd.notna(r.template_valid_from)
     }
+    unresolved = 0
     for url, ts, vf in got:
-        assert want_map.get((url, ts)) == vf, (url, ts)
+        assert (url, ts) in want_map, (url, ts)
+        vf_norm = vf if pd.notna(vf) else None
+        assert want_map[(url, ts)] == vf_norm, (url, ts)
+        unresolved += vf_norm is None
+    assert unresolved > 0  # the no-template case is actually exercised
 
 
 def _has_protobuf() -> bool:
@@ -335,6 +343,16 @@ def test_tws_processor_semantics(stream_batches):
         def getExpiryTimeInMs(self):
             return self.ms
 
+    class FakeTimerValues:
+        def __init__(self, wm_ms):
+            self.wm_ms = wm_ms
+
+        def getCurrentWatermarkInMs(self):
+            return self.wm_ms
+
+        def getCurrentProcessingTimeInMs(self):
+            return self.wm_ms
+
     gap = pd.Timedelta(minutes=5)
     batches = [
         b.assign(domain=b["url"].map(domain_of))[["warc_ts", "domain"]]
@@ -357,16 +375,17 @@ def test_tws_processor_semantics(stream_batches):
     for k, b in enumerate(flushed):
         wm = wms[k]
         live = b[b["warc_ts"] >= wm] if len(b) else b
+        wm_ms = wm.value // 1_000_000
+        tv = FakeTimerValues(wm_ms)
         for domain, grp in live.groupby("domain"):
             p, _ = proc_for(domain)
-            emitted.extend(p.handleInputRows((domain,), iter([grp]), None))
-        wm_ms = wm.value // 1_000_000
+            emitted.extend(p.handleInputRows((domain,), iter([grp]), tv))
         for domain, (p, h) in procs.items():
             for t in sorted(h.listTimers()):
                 if t <= wm_ms:
                     h.deleteTimer(t)
                     emitted.extend(
-                        p.handleExpiredTimer((domain,), None, FakeExpiry(t))
+                        p.handleExpiredTimer((domain,), tv, FakeExpiry(t))
                     )
 
     got_df = pd.concat(emitted, ignore_index=True)
@@ -456,10 +475,60 @@ def test_sink_compaction_and_vacuum(spark, tmp_path):
 
     # orphan gen (crash before ledger commit) + superseded batch dirs
     os.makedirs(os.path.join(sink.compacted_dir, "gen=deadbeef"))
-    removed = sink.vacuum()
+    removed = sink.vacuum(tmp_min_age_sec=0)  # test: no live writers
     assert not any(
         d.startswith("batch_id=") for d in os.listdir(sink.data_dir)
     )
     assert not os.path.exists(os.path.join(sink.compacted_dir, "gen=deadbeef"))
     assert sink.read_committed(spark).count() == 70
     assert len(removed) >= 7
+
+
+def test_stateful_sessions_equal_batch_session_window(
+    spark, stream_corpus, stream_batches, stream_dir, tmp_path
+):
+    """The stateful session engine must produce EXACTLY the rows of the
+    built-in batch F.session_window over the rows the stream admitted
+    (ts >= watermark at arrival) — the principled cross-engine parity
+    the round-2 review demanded (out-of-order admissible events must
+    extend sessions backward / bridge, not be absorbed forward)."""
+    from watermark_remove_spark.oracle_stream import (
+        watermark_timeline,
+        with_flush_batches,
+    )
+
+    src = stream_pages_files(spark, stream_dir, 1)
+    pages = with_domain(src)
+    sessions = stateful_domain_sessions(pages, gap_seconds=300, watermark="10 minutes")
+    sink = _run(sessions, str(tmp_path / "out"), str(tmp_path / "ck"))
+    got = {
+        (r.domain, pd.Timestamp(r.session_start), pd.Timestamp(r.session_end), r.n_pages)
+        for r in sink.read_committed(spark).collect()
+    }
+
+    # the admission model: a row survives iff ts >= in-force watermark
+    batches = [b.assign(domain=b["url"].map(domain_of)) for b in stream_batches]
+    flushed = with_flush_batches(batches, 3)
+    wms = watermark_timeline(flushed, DELAY, "warc_ts")
+    admitted = pd.concat(
+        [b[b["warc_ts"] >= wms[k]] for k, b in enumerate(flushed) if len(b)],
+        ignore_index=True,
+    )[["domain", "warc_ts"]]
+
+    batch_out = (
+        spark.createDataFrame(admitted)
+        .groupBy(F.session_window("warc_ts", "5 minutes").alias("sw"), "domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select("domain", "sw.start", "sw.end", "n_pages")
+    )
+    # sessions the watermark never passed (the final sentinel's own
+    # session) legitimately stay open in the stream — batch sees them
+    # closed; compare only watermark-finalized sessions
+    final_wm = wms[-1]
+    want = {
+        (r.domain, pd.Timestamp(r.start), pd.Timestamp(r.end), r.n_pages)
+        for r in batch_out.collect()
+        if pd.Timestamp(r.end) <= final_wm
+    }
+    assert {g for g in got if g[2] <= final_wm} == want
+    assert got - want == set()  # stream emitted nothing extra

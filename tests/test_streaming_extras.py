@@ -114,7 +114,7 @@ def test_parquet_catalog_roundtrip(spark, tmp_path):
 
 def test_iceberg_merge_sql_generation(spark, monkeypatch):
     """O-26 Iceberg path: no jar offline, but the MERGE text must be
-    the idempotent (batch_id, partition)-keyed statement (round-1
+    the idempotent (batch_id, url, warc_ts)-keyed statement (round-1
     verdict 'What's missing' #3 — previously untested)."""
     from pyspark.sql import SparkSession
 
@@ -134,7 +134,9 @@ def test_iceberg_merge_sql_generation(spark, monkeypatch):
     assert "MERGE INTO cat.db.pages_clean t" in sql
     assert "USING __batch_7 s" in sql
     assert "t.batch_id = s.batch_id" in sql
-    assert "t.partition = s.partition" in sql
+    # partition ids are replay-unstable: lineage column only, NOT a key
+    assert "t.partition" not in sql
+    assert "t.url = s.url" in sql
     assert "WHEN NOT MATCHED THEN INSERT *" in sql
     # checkpoint replay re-issues the SAME statement -> MERGE no-ops
     sink.foreach_batch()(df, 7)

@@ -34,10 +34,11 @@ from ..functions.shingles import doc_shingles_expr
 
 
 def dedup_exact(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """First occurrence per key — batch analog of streaming
-    dropDuplicates (O-25).  Deterministic: lowest xxhash64 of the whole
-    row's stable identity wins via row_number ordered by key_cols'
-    natural ordering (here: arbitrary but stable = min content hash)."""
+    """One row per key — batch analog of streaming dropDuplicates
+    (O-25).  Like dropDuplicates, WHICH row survives among key-equal
+    rows that differ in other columns is partitioning-dependent (not
+    deterministic across runs); when the non-key columns matter, use
+    ``dedup_exact_content`` (min-id keeper via row_number) instead."""
     return df.dropDuplicates(key_cols)
 
 

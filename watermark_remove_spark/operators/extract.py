@@ -121,55 +121,6 @@ def clean_pages_udf(pages: DataFrame, masks: DataFrame, k: int = DEFAULT_SHINGLE
     return join_masks(pages, masks).withColumn("clean_text", udf(F.col("text"), F.col("mask")))
 
 
-def make_clean_text_membership_udf():
-    """The production kernel: all hashing happens JVM-side (codegen'd
-    xxhash64 inside `transform`); the Python side receives per-line
-    hash arrays and does ONLY numpy-vectorized membership against the
-    domain mask — no per-element Python in the hot loop
-    (BASELINE.json input_hint: 'no per-row Python').
-
-    Row layout in: lines array<string>, line_hashes array<array<long>>,
-    mask array<long> (nullable).  Out: clean_text string.
-    """
-    import numpy as np
-
-    @F.pandas_udf(StringType())
-    def extract_clean_text_fast(
-        lines_s: pd.Series, hashes_s: pd.Series, mask_s: pd.Series
-    ) -> pd.Series:
-        out = [None] * len(lines_s)
-        mask_cache: dict[int, np.ndarray] = {}
-        for i, (lines, lhs, mask) in enumerate(zip(lines_s, hashes_s, mask_s)):
-            if lines is None:
-                continue
-            if mask is None or len(mask) == 0:
-                out[i] = "\n".join(lines)
-                continue
-            key = id(mask)
-            m = mask_cache.get(key)
-            if m is None:
-                m = np.asarray(mask, dtype=np.int64)
-                mask_cache[key] = m
-            lens = np.fromiter((len(h) for h in lhs), dtype=np.int64, count=len(lhs))
-            if lens.sum() == 0:
-                out[i] = "\n".join(lines)
-                continue
-            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in lhs if len(h)])
-            hits = np.isin(flat, m)
-            # per-line all(hits) via reduceat over line offsets
-            nz = lens > 0
-            offsets = np.zeros(len(lhs), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            allhit = np.zeros(len(lhs), dtype=bool)
-            if hits.size:
-                allhit[nz] = np.minimum.reduceat(hits, offsets[nz]).astype(bool)
-            masked = nz & allhit
-            out[i] = "\n".join(ln for ln, dead in zip(lines, masked) if not dead)
-        return pd.Series(out, dtype=object)
-
-    return extract_clean_text_fast
-
-
 def clean_pages_udf_fast(
     pages: DataFrame,
     masks: DataFrame,

@@ -42,6 +42,10 @@ def asof_join_latest(
     the range join broadcasts and the window dedup touches only
     left×versions rows, never exploding beyond #versions per row.
     """
+    # a synthetic row id makes the dedup window safe for DUPLICATE
+    # left rows (e.g. pre-dedup pages): without it, N identical left
+    # rows would collapse to one output row — silent data loss
+    left = left.withColumn("__rid", F.monotonically_increasing_id())
     r = right.select(
         F.col(partition_col).alias("__k"), F.col(right_ts).alias("__vf"), *[
             c for c in right.columns if c not in (partition_col, right_ts)
@@ -52,13 +56,13 @@ def asof_join_latest(
         (left[partition_col] == F.col("__k")) & (F.col("__vf") <= left[left_ts]),
         "left",
     )
-    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(F.col("__vf").desc())
-    # partitioning by every left column is correct but heavy; callers
-    # with a unique key should prefer asof_join_latest_by_key
+    w = Window.partitionBy(F.col("__rid")).orderBy(F.col("__vf").desc())
+    # per-row-id partitioning is heavy at scale; callers with a unique
+    # key should prefer asof_join_latest_by_key
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn", "__k")
+        .drop("__rn", "__k", "__rid")
         .withColumnRenamed("__vf", right_ts)
     )
 

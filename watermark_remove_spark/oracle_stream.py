@@ -146,29 +146,37 @@ def simulate_sessions(
     n_flush: int = 3,
 ) -> pd.DataFrame:
     """Closed sessions emitted by the stateful per-domain session
-    operator: in-batch supersession + watermark (event-time) timeout."""
+    operator.  Shares the ONE canonical merge with both engines
+    (``streaming.sessions.merge_sessions``): multiple open sessions
+    per key, out-of-order admissible events extend backward / bridge,
+    close only when the watermark passes ``last + gap``."""
+    from .streaming.sessions import merge_sessions, split_closed
+
     batches = with_flush_batches(batches, n_flush)
     wms = watermark_timeline(batches, delay, ts_col)
     open_s: dict[str, list] = {}
     closed = []
 
-    def close(k):
-        s, l, n = open_s.pop(k)
-        closed.append({key_col: k, "session_start": s, "session_end": l + gap, "n_pages": n})
-
     for k, b in enumerate(batches):
         wm = wms[k]
         live = b[b[ts_col] >= wm] if len(b) else b
         for kk, grp in live.groupby(key_col):
-            for ts in sorted(grp[ts_col]):
-                if kk not in open_s:
-                    open_s[kk] = [ts, ts, 1]
-                elif ts - open_s[kk][1] <= gap:
-                    open_s[kk][1] = max(open_s[kk][1], ts)
-                    open_s[kk][2] += 1
-                else:
-                    close(kk)
-                    open_s[kk] = [ts, ts, 1]
-        for kk in [kk for kk, (s, l, n) in open_s.items() if l + gap <= wm]:
-            close(kk)
+            open_s[kk] = merge_sessions(
+                open_s.get(kk, []), list(grp[ts_col]), gap
+            )
+        for kk in list(open_s):
+            done, still = split_closed(open_s[kk], gap, wm)
+            for s, l, n in done:
+                closed.append(
+                    {
+                        key_col: kk,
+                        "session_start": s,
+                        "session_end": l + gap,
+                        "n_pages": n,
+                    }
+                )
+            if still:
+                open_s[kk] = still
+            else:
+                del open_s[kk]
     return pd.DataFrame(closed)

@@ -100,28 +100,13 @@ def build_window_stream(cleaned: DataFrame, window: str = "10 minutes", slide: s
     """Windowed per-lang aggregate over the cleaned stream, append mode
     (rows are final once emitted — golden-test requirement).
 
-    approx/exact: streaming uses exact count_distinct per (window,lang)
-    — it shuffles within the micro-batch only; state carries the agg.
-    NOTE: count_distinct is not supported in streaming agg, so n_urls
-    here counts rows post-dedup (equal to distinct (url,warc_ts) pairs
-    by construction after O-25)."""
-    w = F.window(F.col("warc_ts"), window, slide) if slide else F.window(F.col("warc_ts"), window)
-    return (
-        cleaned.groupBy(w.alias("w"), "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_pages"),
-            F.sum(F.length("clean_text")).alias("total_chars"),
-            F.approx_count_distinct("url").alias("n_urls_approx"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "lang",
-            "n_pages",
-            "total_chars",
-            "n_urls_approx",
-        )
-    )
+    ONE aggregate definition serves batch and streaming: this is
+    ``operators.windows.lang_window_agg`` with the approx-distinct
+    sketch (exact ``count_distinct`` is unsupported in streaming
+    aggregation), renamed ``n_urls_approx`` to mark the estimate."""
+    return lang_window_agg(
+        cleaned, window, slide, exact_distinct=False
+    ).withColumnRenamed("n_urls", "n_urls_approx")
 
 
 def run_stream_to_sink(
@@ -173,7 +158,10 @@ def streaming_asof_template_join(
             t.valid_from >= p.warc_ts - interval {max_version_age}
             """
         ),
-        "inner",
+        # leftOuter, matching the batch as-of form: a page with no
+        # template version in range still emits (NULL valid_from) once
+        # the watermark closes it, instead of silently vanishing
+        "leftOuter",
     )
     return joined.groupBy(
         F.col("p.url").alias("url"),

@@ -1,15 +1,21 @@
 """O-19 (mandated form): session windows per domain via
 ``applyInPandasWithState`` with event-time timeout.
 
-Semantics (identical to F.session_window + the pandas oracle):
-events of a domain whose gaps are <= gap merge into one session;
-session_end = last event + gap.  A session is EMITTED when it closes:
-either superseded within a batch (a later event opens a new session)
-or timed out by the watermark (no event within gap before the
-watermark passed session_end).
+Semantics — verified identical to ``F.session_window`` (which merges
+at gap-distance EQUAL to the gap, tested empirically) and to the
+pandas oracle: events of a domain whose gap-distance is <= gap merge
+into one session; session_end = last event + gap; a session is
+emitted only once the watermark passes its end (it can no longer be
+extended by any admissible event).
 
-State per domain: the single open session (start, last, count) — O(1)
-state per key, bounded memory on mega-domains (SURVEY §7 known-hard).
+State per domain: the LIST of open sessions (parallel start/last/count
+arrays).  A single open session is NOT sufficient: an admissible
+out-of-order event (above the watermark but before the newest event)
+must extend a session backward or bridge two open sessions — the
+round-2 review caught the earlier single-session form silently
+absorbing such events without moving session_start.  The list is
+bounded by the watermark horizon / gap, so state stays small on
+mega-domains (SURVEY §7 known-hard).
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -36,67 +43,106 @@ SESSION_OUT_SCHEMA = StructType(
     ]
 )
 
-# open-session state: (start_epoch_us, last_epoch_us, count)
+# open sessions: parallel arrays (start_us, last_us, count), sorted by start
 SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("count", LongType()),
+        StructField("starts_us", ArrayType(LongType())),
+        StructField("lasts_us", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
     ]
 )
+
+
+def merge_sessions(sessions, events, gap):
+    """Canonical gap-session merge — the ONE definition all engines
+    and the oracle share.
+
+    ``sessions``: [(start, last, count)] in any order; ``events``: list
+    of timestamps; ``gap``: same additive/comparable type as the
+    timestamps (int µs, or pd.Timedelta with pd.Timestamp).  Returns
+    the merged open-session list sorted by start.  Handles
+    out-of-order events: backward extension and bridging two sessions.
+    """
+    items = list(sessions) + [(t, t, 1) for t in events]
+    items.sort(key=lambda x: (x[0], x[1]))
+    out: list[tuple] = []
+    for s, l, c in items:
+        if out and s <= out[-1][1] + gap:
+            ps, pl, pc = out[-1]
+            out[-1] = (ps, max(pl, l), pc + c)
+        else:
+            out.append((s, l, c))
+    return out
+
+
+def split_closed(sessions, gap, wm):
+    """Partition open sessions into (closed, still_open) under
+    watermark ``wm``: a session is final once ``last + gap <= wm`` —
+    any later admissible event t satisfies t >= wm >= last + gap only
+    at exact equality, which the <=-merge admits BEFORE the close runs
+    in the same batch (inputs are processed first, mirroring both
+    engines and the oracle)."""
+    closed = [x for x in sessions if x[1] + gap <= wm]
+    still = [x for x in sessions if x[1] + gap > wm]
+    return closed, still
 
 
 def make_session_fn(gap_seconds: int):
     gap_us = gap_seconds * 1_000_000
 
+    def _load(state: GroupState):
+        if not state.exists:
+            return []
+        starts, lasts, counts = state.get
+        return list(zip(starts, lasts, counts))
+
+    def _emit(domain, closed):
+        return pd.DataFrame(
+            {
+                "domain": [domain] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [
+                    pd.Timestamp(l + gap_us, unit="us") for _, l, _ in closed
+                ],
+                "n_pages": [c for _, _, c in closed],
+            }
+        )
+
+    def _store(state: GroupState, still, wm_ms: int) -> None:
+        if still:
+            state.update(
+                (
+                    [s for s, _, _ in still],
+                    [l for _, l, _ in still],
+                    [c for _, _, c in still],
+                )
+            )
+            earliest_ms = min(l for _, l, _ in still) // 1000 + gap_seconds * 1000
+            state.setTimeoutTimestamp(max(earliest_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         domain = key[0]
-        closed: list[tuple[int, int, int]] = []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
 
-        if state.hasTimedOut:
-            if state.exists:
-                s, l, c = state.get
-                closed.append((s, l, c))
-                state.remove()
-        else:
+        sessions = _load(state)
+        if not state.hasTimedOut:
             ts_list: list[int] = []
             for pdf in pdfs:
                 # timestamps arrive tz-naive in UTC (session tz pinned)
                 ts_list.extend(
                     int(t.value // 1000) for t in pd.to_datetime(pdf["warc_ts"])
                 )
-            ts_list.sort()
-            if state.exists:
-                s, l, c = state.get
-            else:
-                s = l = c = None
-            for t in ts_list:
-                if s is None:
-                    s, l, c = t, t, 1
-                elif t - l <= gap_us:
-                    l = max(l, t)
-                    c += 1
-                else:
-                    closed.append((s, l, c))
-                    s, l, c = t, t, 1
-            if s is not None:
-                state.update((s, l, c))
-                # close when watermark passes last + gap
-                state.setTimeoutTimestamp(l // 1000 + gap_seconds * 1000)
+            sessions = merge_sessions(sessions, ts_list, gap_us)
 
+        closed, still = split_closed(sessions, gap_us, wm_us)
+        _store(state, still, wm_ms)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "domain": [domain] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
-                    "session_end": [
-                        pd.Timestamp(l + gap_us, unit="us") for _, l, _ in closed
-                    ],
-                    "n_pages": [c for _, _, c in closed],
-                }
-            )
+            yield _emit(domain, closed)
 
     return fn
 

@@ -12,7 +12,7 @@ so the contract is implemented behind a seam:
   commit LEDGER line written only after the rename.  Readers consider
   exactly the ledgered batches.  A replayed batch (same batch_id after
   checkpoint recovery) sees its ledger entry and no-ops — the same
-  idempotence MERGE-on-(batch_id, partition) gives on Iceberg.
+  idempotence MERGE-on-(batch_id, url, warc_ts) gives on Iceberg.
 - ``IcebergMergeSink`` (config-switchable): emits the real
   ``MERGE INTO`` on runtimes with the Iceberg catalog jar present.
 
@@ -97,12 +97,25 @@ class ParquetLedgerSink:
             f.write(rec + "\n")
             f.flush()
             os.fsync(f.fileno())
+        if hasattr(self, "_committed_set"):
+            self._committed_set.add(batch_id)
 
     # -- the foreachBatch body --------------------------------------------
+    def _committed_cached(self) -> set[int]:
+        """Writer-side committed set: the ledger is read ONCE, then
+        kept in memory and appended to at commit time — without this a
+        long-running stream re-parses an ever-growing JSONL file on
+        every micro-batch (O(n²) over the stream's lifetime).  This
+        sink instance is the only writer (foreachBatch is serialized),
+        so the cache cannot go stale; readers keep using the file."""
+        if not hasattr(self, "_committed_set"):
+            self._committed_set = self.committed_batches()
+        return self._committed_set
+
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """Idempotent micro-batch commit.  Replay of an already
         committed batch_id writes nothing (exactly-once downstream)."""
-        if batch_id in self.committed_batches():
+        if batch_id in self._committed_cached():
             # Do NOT simply return: Spark 4.x validates that every
             # partition of a stateful query committed its state store
             # each batch (STATE_STORE_COMMIT_VALIDATION_FAILED when a
@@ -267,28 +280,39 @@ class ParquetLedgerSink:
         orphan (uncommitted) generation dirs, and _tmp staging dirs
         older than ``tmp_min_age_sec``.
 
-        Visibility is ledger-defined, so removing superseded/orphan
-        dirs is safe while a stream is running — but _tmp holds the
-        LIVE staging dirs of in-flight ``write_batch``/``compact``
-        calls (written there, then renamed out), so only stale entries
-        (crash leftovers) are removed; pass ``tmp_min_age_sec=0`` only
-        when no writer can be active."""
+        Removing SUPERSEDED batch dirs is safe while a stream runs
+        (visibility is ledger-defined).  Anything that might be
+        mid-commit is age-guarded by ``tmp_min_age_sec``: _tmp holds
+        the LIVE staging dirs of in-flight ``write_batch``/``compact``
+        calls, and an unledgered ``compacted/gen=`` dir may be a
+        compact() between its rename and its ledger append rather than
+        a crash orphan.  Pass ``tmp_min_age_sec=0`` only when no
+        writer can be active."""
         removed = []
         for b in self._compacted_away():
             p = os.path.join(self.data_dir, f"batch_id={b}")
             if os.path.exists(p):
                 shutil.rmtree(p)
                 removed.append(p)
+        import time as _time
+
+        now = _time.time()
         live_gens = {r["compaction"] for r in self.compactions()}
         if os.path.isdir(self.compacted_dir):
             for name in os.listdir(self.compacted_dir):
                 if name.startswith("gen=") and name[4:] not in live_gens:
                     p = os.path.join(self.compacted_dir, name)
+                    # age guard: a live compact() renames its gen dir
+                    # into place BEFORE appending the ledger line — a
+                    # fresh unledgered gen may be mid-commit, not an
+                    # orphan
+                    try:
+                        if now - os.path.getmtime(p) < tmp_min_age_sec:
+                            continue
+                    except OSError:
+                        continue
                     shutil.rmtree(p)
                     removed.append(p)
-        import time as _time
-
-        now = _time.time()
         for name in os.listdir(self.tmp_dir):
             p = os.path.join(self.tmp_dir, name)
             try:
@@ -328,8 +352,15 @@ class IcebergMergeSink:
     """Real Iceberg MERGE path (requires the Iceberg runtime jar; not
     installable in this sandbox — kept config-switchable per SURVEY §7
     step 5).  Cited contract: reference file sink saves one artifact
-    per item (``lama_wrapper.py:57-62``); here a MERGE keyed by
-    (batch_id, partition) makes replays no-ops."""
+    per item (``lama_wrapper.py:57-62``); here an idempotent MERGE
+    makes replays no-ops.
+
+    MERGE key: ``(batch_id, url, warc_ts)`` — the natural row key plus
+    the batch.  ``spark_partition_id()`` is recorded as a LINEAGE
+    column but deliberately kept OUT of the ON clause: partition ids
+    are not stable across a checkpoint replay (AQE coalescing, changed
+    shuffle partitioning), so keying on them would re-insert every row
+    whose partition moved instead of no-op'ing."""
 
     def __init__(self, table: str):
         self.table = table
@@ -344,7 +375,7 @@ class IcebergMergeSink:
             f"""
             MERGE INTO {self.table} t
             USING {view} s
-            ON t.batch_id = s.batch_id AND t.partition = s.partition
+            ON t.batch_id = s.batch_id
               AND t.url = s.url AND t.warc_ts = s.warc_ts
             WHEN NOT MATCHED THEN INSERT *
             """
