@@ -22,9 +22,10 @@ def tokens_expr(line: Column) -> Column:
     return F.filter(F.split(line, " ", -1), lambda t: t != F.lit(""))
 
 
-def line_shingles_expr(line: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
-    """array<string> of k-gram shingles of one line — spec.shingles."""
-    toks = tokens_expr(line)
+def kgram_windows_expr(toks: Column, k: int) -> Column:
+    """array<string> of space-joined k-gram windows over a token array
+    (the ONE window builder: shingling and the rolling fingerprints all
+    share it).  n==0 -> []; n<=k -> the whole line as one gram."""
     n = F.size(toks)
     return (
         F.when(n == 0, F.array().cast("array<string>"))
@@ -36,6 +37,11 @@ def line_shingles_expr(line: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
             )
         )
     )
+
+
+def line_shingles_expr(line: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """array<string> of k-gram shingles of one line — spec.shingles."""
+    return kgram_windows_expr(tokens_expr(line), k)
 
 
 def doc_shingles_expr(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:

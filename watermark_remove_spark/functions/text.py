@@ -72,7 +72,8 @@ def lang_id_expr(text: Column) -> Column:
 def quality_score_expr(text: Column) -> Column:
     """Deterministic quality score in [0,1]:
     0.4 * length_score (chars/500 capped at 1)
-    + 0.4 * mean-token-length score (ideal 4..8 chars)
+    + 0.4 * mean-token-length score (accepted band 3..10 chars,
+      hardcoded identically in ORACLE_Q19/Q35)
     + 0.2 * non-empty-line ratio.
     """
     n_chars = F.length(text)
@@ -110,16 +111,10 @@ def rolling_fingerprint_expr(text: Column, k: int = DEFAULT_FP_WINDOW) -> Column
     """Rolling-hash document fingerprint (winnowing-style): the MINIMUM
     xxhash64 over all k-token windows — robust to local edits outside
     the minimizing window, fully Catalyst."""
-    toks = F.filter(F.split(text, " ", -1), lambda t: t != F.lit(""))
-    n = F.size(toks)
-    windows = F.when(n == 0, F.array().cast("array<string>")).when(
-        n <= k, F.array(F.array_join(toks, " "))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        )
-    )
+    from .shingles import kgram_windows_expr, tokens_expr
+
+    # whole-text token stream (fingerprints span line breaks by design)
+    windows = kgram_windows_expr(tokens_expr(text), k)
     return F.array_min(F.transform(windows, lambda w: F.xxhash64(w)))
 
 
@@ -128,16 +123,9 @@ def rolling_fingerprint_md5_expr(text: Column, k: int = DEFAULT_FP_WINDOW) -> Co
     hex string over all k-token windows — same winnowing robustness as
     :func:`rolling_fingerprint_expr`, but lexicographic-min over
     fixed-width hex is identical in Spark and DuckDB."""
-    toks = F.filter(F.split(text, " ", -1), lambda t: t != F.lit(""))
-    n = F.size(toks)
-    windows = F.when(n == 0, F.array().cast("array<string>")).when(
-        n <= k, F.array(F.array_join(toks, " "))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        )
-    )
+    from .shingles import kgram_windows_expr, tokens_expr
+
+    windows = kgram_windows_expr(tokens_expr(text), k)
     return F.array_min(F.transform(windows, lambda w: F.md5(w)))
 
 

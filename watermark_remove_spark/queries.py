@@ -366,17 +366,22 @@ GROUP BY event_type
 # -------------------------------------------------------- documents/webtext
 
 # DuckDB fragment: k=3 token shingles of a text column (spec.shingles)
+# Mirrors doc_shingles_expr EXACTLY: split into lines first, shingle
+# each line, flatten — a one-pass space-split of the whole text would
+# silently diverge on any newline-bearing document (the q17/q19
+# fixtures already model such text).
 _DUCK_SHINGLES = """
-CASE WHEN len(list_filter(string_split({col}, ' '), t -> t <> '')) = 0
-     THEN []::VARCHAR[]
-     WHEN len(list_filter(string_split({col}, ' '), t -> t <> '')) <= 3
-     THEN [array_to_string(list_filter(string_split({col}, ' '), t -> t <> ''), ' ')]
-     ELSE list_transform(
-            generate_series(1, len(list_filter(string_split({col}, ' '), t -> t <> '')) - 2),
-            i -> array_to_string(
-                   list_slice(list_filter(string_split({col}, ' '), t -> t <> ''), i, i + 2),
-                   ' '))
-END
+flatten(list_transform(string_split({col}, chr(10)), ln ->
+  CASE WHEN len(list_filter(string_split(ln, ' '), t -> t <> '')) = 0
+       THEN []::VARCHAR[]
+       WHEN len(list_filter(string_split(ln, ' '), t -> t <> '')) <= 3
+       THEN [array_to_string(list_filter(string_split(ln, ' '), t -> t <> ''), ' ')]
+       ELSE list_transform(
+              generate_series(1, len(list_filter(string_split(ln, ' '), t -> t <> '')) - 2),
+              i -> array_to_string(
+                     list_slice(list_filter(string_split(ln, ' '), t -> t <> ''), i, i + 2),
+                     ' '))
+  END))
 """
 
 
@@ -1021,11 +1026,22 @@ def _sentinel_pages():
     )
 
 
+def _q_tmpdir(prefix: str) -> str:
+    """mkdtemp registered for interpreter-exit removal — repeated
+    driver/selfcheck/bench invocations of the streaming queries in one
+    long-lived process must not accumulate corpus-sized /tmp litter."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def _derived_stream_fixture(spark, sf_dir, dup_every: int | None = None, n_files: int = 4):
     """Write the derived pages as time-ordered micro-batch files
     (+ sentinel batches) and mine the masks from the full corpus."""
-    import tempfile
-
     from .operators.extract import mine_masks
     from .sources.pages import write_batch_files
 
@@ -1034,20 +1050,18 @@ def _derived_stream_fixture(spark, sf_dir, dup_every: int | None = None, n_files
     per = (len(pages) + n_files - 1) // n_files
     batches = [pages.iloc[i * per : (i + 1) * per] for i in range(n_files)]
     batches = [b for b in batches if len(b)] + [sent.iloc[:1], sent.iloc[1:]]
-    src = tempfile.mkdtemp(prefix="wrs-q-stream-")
+    src = _q_tmpdir("wrs-q-stream-")
     write_batch_files(batches, src)
     masks = mine_masks(spark.createDataFrame(pages))
     return src, masks
 
 
 def _drain(df, spark):
-    import tempfile
-
     from .streaming.pipeline import run_stream_to_sink
     from .streaming.sink import ParquetLedgerSink
 
-    sink = ParquetLedgerSink(tempfile.mkdtemp(prefix="wrs-q-sink-"))
-    q = run_stream_to_sink(df, sink, tempfile.mkdtemp(prefix="wrs-q-ck-"))
+    sink = ParquetLedgerSink(_q_tmpdir("wrs-q-sink-"))
+    q = run_stream_to_sink(df, sink, _q_tmpdir("wrs-q-ck-"))
     q.awaitTermination(600)
     return sink.read_committed(spark)
 
@@ -1118,7 +1132,6 @@ def q29_streaming_asof_join(spark, sf_dir):
     stream span, so no join state is evicted before its matches arrive
     and the emitted set equals the batch as-of join — ORACLE_Q29."""
     import os
-    import tempfile
 
     import pandas as pd
 
@@ -1128,7 +1141,7 @@ def q29_streaming_asof_join(spark, sf_dir):
 
     pages, max_doc = _derived_pages_pandas(sf_dir)
     sent_page = _sentinel_pages()
-    src = tempfile.mkdtemp(prefix="wrs-q-asof-p-")
+    src = _q_tmpdir("wrs-q-asof-p-")
     write_batch_files([pages, sent_page.iloc[:1], sent_page.iloc[1:]], src)
 
     base = pd.Timestamp("2026-01-01")
@@ -1156,7 +1169,7 @@ def q29_streaming_asof_join(spark, sf_dir):
             "shingle_hashes": [[1], [1]],
         }
     )
-    tmpl_dir = tempfile.mkdtemp(prefix="wrs-q-asof-t-")
+    tmpl_dir = _q_tmpdir("wrs-q-asof-t-")
     kw = {"index": False, "coerce_timestamps": "us", "allow_truncated_timestamps": True}
     tmpl.to_parquet(os.path.join(tmpl_dir, "t0.parquet"), **kw)
     sent_t.to_parquet(os.path.join(tmpl_dir, "t1.parquet"), **kw)
@@ -1573,7 +1586,9 @@ def q38_status_pivot(spark, sf_dir):
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(
-            F.sum("l_quantity").cast("double").alias("qty"),
+            # DECIMAL-summed then double: shuffle-order-exact across
+            # engines (module convention, queries.py header)
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
@@ -1588,9 +1603,9 @@ def q38_status_pivot(spark, sf_dir):
 
 ORACLE_Q38 = """
 SELECT l_returnflag,
-       CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0) AS DOUBLE) AS f_qty,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS f_qty,
        CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) AS BIGINT) AS f_cnt,
-       CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0) AS DOUBLE) AS o_qty,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS o_qty,
        CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) AS BIGINT) AS o_cnt
 FROM lineitem GROUP BY l_returnflag
 """

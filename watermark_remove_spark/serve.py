@@ -77,7 +77,7 @@ def process_single(
         cleaned.write.mode("overwrite").parquet(tmp_out)
         _remove_path(output_path)
         os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
-        os.rename(tmp_out, output_path)
+        shutil.move(tmp_out, output_path)  # cross-device safe
         return output_path
     finally:
         if os.path.exists(tmp_out):
@@ -125,6 +125,10 @@ def export_result(df: DataFrame, output_path: str, fmt: str = "parquet") -> str:
     """Write a query result as one local artifact (FileResponse analog:
     ``api/main.py:56-59``).  csv/json coalesce to a single part file
     and move it to ``output_path``; parquet keeps parallel layout."""
+    if not df.columns:
+        # a sink with nothing committed yields a zero-column frame,
+        # which no writer accepts — surface the request-shaped error
+        raise ServeError("nothing committed to export")
     if fmt == "parquet":
         df.write.mode("overwrite").parquet(output_path)
         return output_path
@@ -138,8 +142,10 @@ def export_result(df: DataFrame, output_path: str, fmt: str = "parquet") -> str:
         else:
             w.json(tmp)
         part = next(
-            p for p in sorted(os.listdir(tmp)) if p.startswith("part-")
+            (p for p in sorted(os.listdir(tmp)) if p.startswith("part-")), None
         )
+        if part is None:
+            raise ServeError("export produced no output file")
         _remove_path(output_path)
         os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
         os.rename(os.path.join(tmp, part), output_path)

@@ -4,8 +4,9 @@ directory layout otherwise (SURVEY §7 step 5).
 The sandbox is offline with no Iceberg jar (verified in SURVEY header),
 so tests exercise ``ParquetCatalog``; ``IcebergCatalog`` carries the
 production configuration and is selected automatically when the
-extension classes are loadable.  Both present the same interface, so
-the pipeline never branches on the backend.
+extension classes are loadable.  Both present the SAME method set
+(write_pages / read_table / read_stream / write_table /
+ensure_pages_table), so the pipeline never branches on the backend.
 
 Scale posture encoded here (SURVEY §4): sink tables partitioned by
 day(warc_ts) and bucketed by domain so (a) time-range queries prune
@@ -50,6 +51,13 @@ class ParquetCatalog:
     def read_table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
 
+    def read_stream(self, name: str) -> DataFrame:
+        df = self.read_table(name)  # schema from the existing table
+        return self.spark.readStream.schema(df.schema).parquet(self._path(name))
+
+    def ensure_pages_table(self, name: str = "pages") -> None:
+        """No-op: parquet dirs are created on first write."""
+
     def write_table(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(self._path(name))
 
@@ -89,8 +97,17 @@ class IcebergCatalog:
             .load(f"{self.prefix}.{name}")
         )
 
+    def write_pages(self, df: DataFrame, name: str = "pages") -> None:
+        self.ensure_pages_table(name)
+        df.writeTo(f"{self.prefix}.{name}").append()
+
     def write_table(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
-        df.writeTo(f"{self.prefix}.{name}").using("iceberg").createOrReplace()
+        # mode='append' must never drop the table
+        w = df.writeTo(f"{self.prefix}.{name}").using("iceberg")
+        if mode == "append":
+            w.append()
+        else:
+            w.createOrReplace()
 
 
 def get_catalog(spark: SparkSession, root: str):
