@@ -159,7 +159,11 @@ def simulate_sessions(
 
     for k, b in enumerate(batches):
         wm = wms[k]
-        live = b[b[ts_col] >= wm] if len(b) else b
+        # applyInPandasWithState late-filter keeps strict ts > wm
+        # (drops ts == wm) — empirically distinct from the windowed-agg
+        # path, which admits an event at t == wm because its window end
+        # is > wm.  Pinned by tests/test_session_boundary.py.
+        live = b[b[ts_col] > wm] if len(b) else b
         for kk, grp in live.groupby(key_col):
             open_s[kk] = merge_sessions(
                 open_s.get(kk, []), list(grp[ts_col]), gap

@@ -59,9 +59,6 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 DEC = "decimal(18,2)"
 
-# q16's persisted intermediate from the previous invocation (see q16)
-_Q16_KEPT_CACHE = None
-
 # ---------------------------------------------------------------- relational
 
 def q01_pricing_summary(spark, sf_dir):
@@ -495,26 +492,24 @@ def q16_jaccard_pairs(spark, sf_dir):
     )
     n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     # df via a window over the SAME (source, shingle) partitioning the
-    # pair join needs (one shuffle, no extra join), then persist: kept
-    # feeds three consumers (sizes, both pair-join sides) and the
-    # shingle explode is the expensive part — without persist Spark
-    # recomputes it per consumer (benchmarked 2x slower).  At 100 TB
-    # this intermediate is exactly what you'd materialize/checkpoint.
+    # pair join needs (one shuffle, no extra join), then materialize:
+    # kept feeds three consumers (sizes, both pair-join sides) and the
+    # shingle explode is the expensive part — without materializing,
+    # Spark recomputes it per consumer (benchmarked 2x slower).
+    # localCheckpoint (not persist) so lifetime is GC-managed: the
+    # checkpointed RDD is reclaimed by Spark's ContextCleaner once the
+    # returned DataFrame is unreferenced — no module-global cache, no
+    # manual unpersist tied to a session that may be gone (round-2
+    # advice).  At 100 TB you'd use reliable .checkpoint() to object
+    # storage instead; the plan shape is identical.
     w_sh = Window.partitionBy("source", "shingle")
     kept = (
         shings.withColumn("df", F.count(F.lit(1)).over(w_sh))
         .join(F.broadcast(n_docs), "source")
         .where(F.col("df") < 0.6 * F.col("n_docs"))
         .select("doc_id", "source", "shingle")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    # the returned plan is consumed by the caller, so this function
-    # can't unpersist after use — instead release the PREVIOUS call's
-    # cache, capping the leak at one live copy per session
-    global _Q16_KEPT_CACHE
-    if _Q16_KEPT_CACHE is not None:
-        _Q16_KEPT_CACHE.unpersist()
-    _Q16_KEPT_CACHE = kept
     sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = kept.select("source", "shingle", F.col("doc_id").alias("id_a"))
     b = kept.select("source", "shingle", F.col("doc_id").alias("id_b"))
@@ -1428,11 +1423,16 @@ WITH pages AS (
 SELECT url,
        CAST(floor(epoch(warc_ts)) AS BIGINT) AS warc_ts_epoch,
        CAST(floor(epoch(max(valid_from))) AS BIGINT) AS template_valid_from_epoch
-FROM pages p JOIN tmpl t ON p.domain = t.domain
+FROM pages p LEFT JOIN tmpl t ON p.domain = t.domain
   AND t.valid_from <= p.warc_ts
   AND t.valid_from >= p.warc_ts - INTERVAL 30 DAY
 GROUP BY url, warc_ts
 """
+# LEFT JOIN (round-2 advice): the engine's streaming_asof_template_join
+# is leftOuter, so a page with no template version inside the 30-day
+# bound emits NULL template_valid_from — the oracle must agree
+# independent of corpus span, not only on fixtures where every page
+# happens to match.
 
 
 # ------------------------------------------------ composite prep pipeline

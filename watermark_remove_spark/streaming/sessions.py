@@ -77,11 +77,19 @@ def merge_sessions(sessions, events, gap):
 
 def split_closed(sessions, gap, wm):
     """Partition open sessions into (closed, still_open) under
-    watermark ``wm``: a session is final once ``last + gap <= wm`` —
-    any later admissible event t satisfies t >= wm >= last + gap only
-    at exact equality, which the <=-merge admits BEFORE the close runs
-    in the same batch (inputs are processed first, mirroring both
-    engines and the oracle)."""
+    watermark ``wm``: a session is final once ``last + gap <= wm``.
+
+    This <=-close is exact, not just same-batch-safe: Spark's
+    applyInPandasWithState late-filter only delivers rows with
+    ``t > wm`` (strict — a row at exactly t == wm is dropped before
+    the function runs; verified empirically, pinned by
+    tests/test_session_boundary.py), so any event that could still
+    reach a session with ``last + gap <= wm`` would need
+    ``t <= last + gap <= wm`` — and is therefore never delivered.
+    The builtin ``F.session_window`` agg evicts on the same
+    ``end <= wm`` timeline but ADMITS an event at t == wm (its window
+    end is > wm), the one documented boundary divergence between the
+    two engines."""
     closed = [x for x in sessions if x[1] + gap <= wm]
     still = [x for x in sessions if x[1] + gap > wm]
     return closed, still
