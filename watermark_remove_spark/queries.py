@@ -1051,6 +1051,42 @@ def _derived_stream_fixture(spark, sf_dir, dup_every: int | None = None, n_files
     return src, masks
 
 
+def _late_stream_fixture(
+    spark, sf_dir, late_mod: int = 10, late_rem: int = 7, n_real: int = 4
+) -> str:
+    """Derived pages with a DELIBERATELY LATE subset (round-2 verdict
+    #1: put lateness itself on the driver's oracle).
+
+    Batch composition is a pure function of doc_id, so DuckDB can
+    reconstruct the whole timeline: position p (row_number over
+    doc_id) gives the natural batch ``p // ceil(N / n_real)``; rows
+    with ``doc_id % late_mod == late_rem`` are WITHHELD from their
+    natural batch and delivered together as batch ``n_real`` — by
+    which time the two-batch-lagged watermark (derived from batches
+    0..n_real-2) has already finalized most of their windows, so they
+    are dropped; the tail of the late set lands in still-open windows
+    and is admitted.  Both sides of the boundary are exercised
+    (tests/test_late_data.py asserts non-vacuity).  Two sentinel
+    batches pin the final watermark so every real window flushes."""
+    from .sources.pages import write_batch_files
+
+    pages, _ = _derived_pages_pandas(sf_dir)
+    doc_id = pages["url"].str.rsplit("/", n=1).str[-1].astype(int)
+    is_late = (doc_id % late_mod == late_rem).values
+    per = (len(pages) + n_real - 1) // n_real
+    nat_batch = [p // per for p in range(len(pages))]
+    batches = [
+        pages[[(b == i) and not l for b, l in zip(nat_batch, is_late)]]
+        for i in range(n_real)
+    ]
+    batches.append(pages[is_late])
+    sent = _sentinel_pages()
+    batches += [sent.iloc[:1], sent.iloc[1:]]
+    src = _q_tmpdir("wrs-q-late-")
+    write_batch_files(batches, src)
+    return src
+
+
 def _drain(df, spark):
     from .streaming.pipeline import run_stream_to_sink
     from .streaming.sink import ParquetLedgerSink
@@ -1682,6 +1718,78 @@ FROM dedup
 """
 
 
+def q40_late_data_windows(spark, sf_dir):
+    """O-24 late-data semantics ON THE ORACLE PATH (round-2 verdict
+    #1): tumbling 10-min windows per lang over a stream whose batches
+    are deliberately permuted — rows with doc_id % 10 == 7 arrive in a
+    final real batch AFTER the watermark passed most of their windows.
+
+    The committed window contents therefore depend on the engine's
+    actual late-drop behavior: a row is dropped iff its window is
+    already finalized (window_end <= in-force watermark, the
+    empirically validated Spark 4.1 model in oracle_stream.py).
+    ORACLE_Q40 recomputes the batch timeline, the two-batch-lagged
+    watermark, and the admit/drop decision per row in pure SQL — a
+    regression in lateness handling now fails the driver's hash check
+    instead of only pytest."""
+    from .sources.pages import stream_pages_files
+
+    src = _late_stream_fixture(spark, sf_dir)
+    pages = stream_pages_files(spark, src, 1)
+    win = (
+        pages.withWatermark("warc_ts", "10 minutes")
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages", "total_chars")
+    )
+    out = _drain(win, spark)
+    return out.where(
+        F.col("window_start") < F.lit("2027-01-01").cast("timestamp")
+    ).select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "lang",
+        "n_pages",
+        "total_chars",
+    )
+
+
+ORACLE_Q40 = f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), pos AS (
+  SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS p_idx,
+         count(*) OVER () AS n_rows
+  FROM pages
+), tagged AS (
+  -- batch timeline mirror of _late_stream_fixture: 4 time-ordered
+  -- on-time batches by position; doc_id mod 10 = 7 withheld to batch 4
+  SELECT *, CASE WHEN doc_id % 10 = 7 THEN 4
+                 ELSE CAST(p_idx // ((n_rows + 3) // 4) AS INT) END AS batch_id
+  FROM pos
+), bmax AS (
+  SELECT batch_id, max(warc_ts) AS mx FROM tagged GROUP BY 1
+), wm AS (
+  -- watermark in force during batch k = max event time over batches
+  -- 0..k-2 minus the 10-min delay (two-batch lag, oracle_stream.py)
+  SELECT t.batch_id AS k,
+         (SELECT max(mx) FROM bmax b WHERE b.batch_id <= t.batch_id - 2)
+           - INTERVAL 10 MINUTE AS wm
+  FROM (SELECT DISTINCT batch_id FROM tagged) t
+), admitted AS (
+  -- drop iff the row's window is already finalized: window_end <= wm
+  SELECT g.* FROM tagged g JOIN wm ON wm.k = g.batch_id
+  WHERE wm.wm IS NULL
+     OR time_bucket(INTERVAL 10 minutes, g.warc_ts) + INTERVAL 10 minutes > wm.wm
+)
+SELECT CAST(floor(epoch(time_bucket(INTERVAL 10 minutes, warc_ts))) AS BIGINT) AS window_start_epoch,
+       lang, count(*) AS n_pages, CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM admitted GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -1722,6 +1830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_json_props": q37_json_props,
     "q38_status_pivot": q38_status_pivot,
     "q39_scd2_templates": q39_scd2_templates,
+    "q40_late_data_windows": q40_late_data_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -1764,4 +1873,5 @@ ORACLES: dict[str, str] = {
     "q37_json_props": ORACLE_Q37,
     "q38_status_pivot": ORACLE_Q38,
     "q39_scd2_templates": ORACLE_Q39,
+    "q40_late_data_windows": ORACLE_Q40,
 }
