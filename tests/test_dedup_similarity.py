@@ -52,6 +52,36 @@ def test_minhash_finds_near_dupes(spark):
     assert all(not ((a, b) == (3, 4)) for a, b in pairs)  # unrelated not paired
 
 
+def test_minhash_fast_path_same_pairs(spark):
+    """portable=False (xxhash64 production hashing) must yield the
+    IDENTICAL final near-dup pair set as the md5-portable oracle path:
+    the exact-Jaccard verify stage makes the output hash-agnostic as
+    long as banding recalls the true near-dup candidates — on both the
+    toy corpus and the real sf0.001 documents table (q22's input
+    shape)."""
+    toy = _docs(spark)
+    for df, id_col, thr in [
+        (toy, "id", 0.5),
+        (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .selectExpr("doc_id as id", "text"),
+            "id",
+            0.5,
+        ),
+    ]:
+        slow = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_dupes(df, id_col, threshold=thr).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_dupes(
+                df, id_col, threshold=thr, portable=False
+            ).collect()
+        }
+        assert slow == fast
+
+
 def test_jaccard_exact_value(spark):
     df = spark.createDataFrame([(0, "a b c d"), (1, "a b c d")], "id bigint, text string")
     pairs = spark.createDataFrame([(0, 1)], "id_a bigint, id_b bigint")

@@ -138,6 +138,117 @@ def test_scd2_apply_semantics(spark):
     assert got == want
 
 
+def test_scd2_cdc_delete_semantics(spark):
+    """Tombstones: a delete closes the active version at its timestamp
+    and emits no successor; a later upsert re-opens the key; a delete
+    at the same instant as an upsert wins (retraction overrides); a
+    delete with no active version is a no-op."""
+    import pandas as pd
+
+    from watermark_remove_spark.operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": ["a", "b", "c"],
+                "fp": ["a-v1", "b-v1", "c-v1"],
+                "valid_from": pd.to_datetime(["2026-01-01"] * 3),
+                "valid_to": pd.to_datetime([pd.NaT] * 3),
+            }
+        )
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": ["a", "a", "b", "b", "c", "d"],
+                "fp": [None, "a-v2", "b-v2", None, None, None],
+                "valid_from": pd.to_datetime(
+                    [
+                        "2026-02-01",  # a: tombstone closes v1
+                        "2026-03-01",  # a: re-open after tombstone
+                        "2026-02-01",  # b: upsert at same instant as ...
+                        "2026-02-01",  # b: ... delete -> delete wins
+                        "2026-02-01",  # c: tombstone, history ends
+                        "2026-02-01",  # d: delete with no version: no-op
+                    ]
+                ),
+                "op": ["delete", "upsert", "upsert", "delete", "delete", "delete"],
+            }
+        )
+    )
+    out = scd2_apply(dim, updates, ["domain"], op_col="op")
+    got = {
+        (r.domain, r.fp, str(r.valid_from.date()), str(r.valid_to.date()) if r.valid_to else None)
+        for r in out.collect()
+    }
+    want = {
+        ("a", "a-v1", "2026-01-01", "2026-02-01"),
+        ("a", "a-v2", "2026-03-01", None),
+        ("b", "b-v1", "2026-01-01", "2026-02-01"),  # closed by winning delete
+        ("c", "c-v1", "2026-01-01", "2026-02-01"),  # tombstone-terminated
+    }
+    assert got == want
+
+
+def test_scd2_cdc_randomized_vs_model(spark):
+    """Seeded randomized CDC check (upserts + deletes) vs a pure-pandas
+    model of the same event algebra."""
+    import numpy as np
+    import pandas as pd
+
+    from watermark_remove_spark.operators.scd2 import scd2_apply
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2026-01-01")
+    dim_rows, upd_rows = [], []
+    for k in range(50):
+        key = f"d{k:02d}"
+        dim_rows.append((key, f"{key}-v0", base))
+        for j in range(int(rng.integers(0, 4))):
+            t = int(rng.integers(0, 120))
+            op = "delete" if rng.random() < 0.35 else "upsert"
+            fp = None if op == "delete" else f"{key}-u{j}"
+            upd_rows.append((key, fp, base + pd.Timedelta(days=t), op))
+    upd = pd.DataFrame(upd_rows, columns=["domain", "fp", "valid_from", "op"])
+    # same-instant changelog self-collisions have no arrival order:
+    # keep deletes (the operator's tie rule), drop the rest
+    upd = upd.sort_values("op").drop_duplicates(  # 'delete' < 'upsert'
+        subset=["domain", "valid_from"], keep="first"
+    )
+    dim = pd.DataFrame(dim_rows, columns=["domain", "fp", "valid_from"])
+    dim["valid_to"] = pd.NaT
+
+    merged = pd.concat(
+        [dim.drop(columns="valid_to").assign(pri=0, op="upsert"), upd.assign(pri=1)]
+    )
+    merged["is_del"] = (merged["op"] == "delete").astype(int)
+    merged = (
+        merged.sort_values(["pri", "is_del"], ascending=False)
+        .drop_duplicates(subset=["domain", "valid_from"], keep="first")
+        .sort_values(["domain", "valid_from"])
+    )
+    merged["valid_to"] = merged.groupby("domain")["valid_from"].shift(-1)
+    keep = merged[merged["op"] != "delete"]
+    want = {
+        (r.domain, r.fp, r.valid_from, r.valid_to if pd.notna(r.valid_to) else None)
+        for r in keep.itertuples(index=False)
+    }
+
+    out = scd2_apply(
+        spark.createDataFrame(dim), spark.createDataFrame(upd), ["domain"], op_col="op"
+    )
+    got = {
+        (
+            r.domain,
+            r.fp,
+            pd.Timestamp(r.valid_from),
+            pd.Timestamp(r.valid_to) if r.valid_to else None,
+        )
+        for r in out.collect()
+    }
+    assert got == want
+
+
 def test_scd2_apply_randomized_vs_model(spark):
     """Seeded randomized SCD2 check vs a pure-pandas reference model:
     many keys, random version instants, random same-instant conflicts."""

@@ -32,20 +32,44 @@ def scd2_apply(
     key_cols: list[str],
     ts_col: str = "valid_from",
     end_col: str = "valid_to",
+    op_col: str | None = None,
 ) -> DataFrame:
     """Return the new SCD2 table: ``dim`` (history, ``end_col`` may be
     stale) + ``updates`` (new versions, no ``end_col``), with
     ``end_col`` recomputed as the next version's ``ts_col`` (NULL for
     the current row).  An update at an instant that already has a
-    version replaces it (updates win)."""
-    d = dim.drop(end_col).withColumn("__pri", F.lit(0))
-    u = updates.withColumn("__pri", F.lit(1))
+    version replaces it (updates win).
+
+    CDC deletes (round-2 verdict #5): pass ``op_col`` naming a column
+    in ``updates`` with values ``'upsert' | 'delete'``.  A delete is a
+    TOMBSTONE event: it closes whatever version is active at its
+    timestamp (that version's ``end_col`` becomes the delete's
+    ``ts_col``) and emits no successor row — the key's history simply
+    stops until a later upsert re-opens it.  Conflict rules, in order:
+    changelog beats existing dim at the same instant; among changelog
+    rows at one instant, delete beats upsert (a retraction overrides a
+    concurrent update).  A delete with no active version is a no-op.
+    Attribute columns of delete rows are ignored (may be NULL).
+
+    Still one union + two dimension-keyed windows — deletes ride the
+    same ``lead`` that closes superseded versions, so the plan shape
+    (and the 100-TB posture) is unchanged."""
+    d = dim.drop(end_col).withColumn("__pri", F.lit(0)).withColumn(
+        "__op", F.lit("upsert")
+    )
+    if op_col is None:
+        u = updates.withColumn("__pri", F.lit(1)).withColumn("__op", F.lit("upsert"))
+    else:
+        u = updates.withColumnRenamed(op_col, "__op").withColumn("__pri", F.lit(1))
     versions = d.unionByName(u)
-    w_dup = Window.partitionBy(*key_cols, ts_col).orderBy(F.col("__pri").desc())
+    w_dup = Window.partitionBy(*key_cols, ts_col).orderBy(
+        F.col("__pri").desc(), (F.col("__op") == "delete").cast("int").desc()
+    )
     dedup = (
         versions.withColumn("__rn", F.row_number().over(w_dup))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__pri")
     )
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    return dedup.withColumn(end_col, F.lead(ts_col).over(w))
+    closed = dedup.withColumn(end_col, F.lead(ts_col).over(w))
+    return closed.where(F.col("__op") != "delete").drop("__op")

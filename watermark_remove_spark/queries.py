@@ -1790,6 +1790,174 @@ FROM admitted GROUP BY 1, 2
 """
 
 
+def q41_scd2_cdc_deletes(spark, sf_dir):
+    """SCD2 with CDC delete/tombstone records (round-2 verdict #5):
+    real changelog ingestion has retractions, not only upserts.
+
+    Per source (n = numeric suffix): v1 at t0; v2 upsert at t0 + (n%7
+    + 1) days; even n gets a DELETE 3 days after v2 (history ends in a
+    tombstone); n%4 == 0 gets a re-opening v3 upsert 7 days after v2
+    (life after the tombstone); n%5 == 0 gets a delete AT the v2
+    instant (same-instant conflict: delete beats upsert, so v2 never
+    exists and v1 closes at that instant).  Exercises every rule in
+    ``scd2_apply(op_col=...)``; ORACLE_Q41 mirrors the event algebra."""
+    from .operators.scd2 import scd2_apply
+
+    src = _t(spark, sf_dir, "documents").select("source").distinct()
+    t0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    nexpr = "CAST(substring(source, 4, 10) AS INT)"
+
+    def at_days(days_sql: str):
+        return F.expr(
+            "timestamp '2026-01-01 00:00:00'"
+            f" + make_interval(0, 0, 0, {days_sql}, 0, 0, 0)"
+        )
+
+    d1 = f"({nexpr} % 7 + 1)"
+    nofp = F.lit(None).cast("string").alias("template_fp")
+    dim = src.select(
+        "source",
+        F.md5(F.concat("source", F.lit("#v1"))).alias("template_fp"),
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    v2 = src.select(
+        "source",
+        F.md5(F.concat("source", F.lit("#v2"))).alias("template_fp"),
+        at_days(d1).alias("valid_from"),
+        F.lit("upsert").alias("op"),
+    )
+    del_after = src.where(F.expr(f"{nexpr} % 2 = 0")).select(
+        "source", nofp, at_days(f"{d1} + 3").alias("valid_from"),
+        F.lit("delete").alias("op"),
+    )
+    v3 = src.where(F.expr(f"{nexpr} % 4 = 0")).select(
+        "source",
+        F.md5(F.concat("source", F.lit("#v3"))).alias("template_fp"),
+        at_days(f"{d1} + 7").alias("valid_from"),
+        F.lit("upsert").alias("op"),
+    )
+    del_same = src.where(F.expr(f"{nexpr} % 5 = 0")).select(
+        "source", nofp, at_days(d1).alias("valid_from"),
+        F.lit("delete").alias("op"),
+    )
+    updates = v2.unionByName(del_after).unionByName(v3).unionByName(del_same)
+    out = scd2_apply(dim, updates, ["source"], op_col="op")
+    return out.select(
+        "source",
+        "template_fp",
+        F.floor(F.unix_timestamp("valid_from")).cast("bigint").alias("valid_from_epoch"),
+        F.floor(F.unix_timestamp("valid_to")).cast("bigint").alias("valid_to_epoch"),
+    )
+
+
+ORACLE_Q41 = """
+WITH src AS (
+  SELECT DISTINCT source, CAST(substr(source, 4) AS INT) AS n FROM documents
+), ev AS (
+  SELECT source, md5(source || '#v1') AS template_fp,
+         TIMESTAMP '2026-01-01 00:00:00' AS valid_from, 0 AS pri, 'upsert' AS op
+  FROM src
+  UNION ALL
+  SELECT source, md5(source || '#v2'),
+         TIMESTAMP '2026-01-01 00:00:00' + (n % 7 + 1) * INTERVAL 1 DAY, 1, 'upsert'
+  FROM src
+  UNION ALL
+  SELECT source, NULL,
+         TIMESTAMP '2026-01-01 00:00:00' + (n % 7 + 4) * INTERVAL 1 DAY, 1, 'delete'
+  FROM src WHERE n % 2 = 0
+  UNION ALL
+  SELECT source, md5(source || '#v3'),
+         TIMESTAMP '2026-01-01 00:00:00' + (n % 7 + 8) * INTERVAL 1 DAY, 1, 'upsert'
+  FROM src WHERE n % 4 = 0
+  UNION ALL
+  SELECT source, NULL,
+         TIMESTAMP '2026-01-01 00:00:00' + (n % 7 + 1) * INTERVAL 1 DAY, 1, 'delete'
+  FROM src WHERE n % 5 = 0
+), dedup AS (
+  SELECT source, template_fp, valid_from, op FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source, valid_from
+        ORDER BY pri DESC, CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+), closed AS (
+  SELECT source, template_fp, op, valid_from,
+         lead(valid_from) OVER (PARTITION BY source ORDER BY valid_from) AS valid_to
+  FROM dedup
+)
+SELECT source, template_fp,
+       CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_epoch,
+       CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to_epoch
+FROM closed WHERE op <> 'delete'
+"""
+
+
+def q42_rate_limited_drain(spark, sf_dir):
+    """O-2 production shape (round-2 verdict #6): the RATE-LIMITED
+    stream on the correctness harness.  The north_star names a
+    rate-limited Iceberg scan as the ingest shape; this drains the
+    derived-pages corpus through ``stream_rate_limited_synthetic``
+    (rate metronome inner-joined to the partition-parallel row index)
+    into the exactly-once sink and returns the committed rows — which
+    must equal the corpus EXACTLY (each index matched once, ledger
+    commits atomic), so the oracle is simply the derived pages table.
+
+    The rate source is unbounded: the query polls the sink ledger and
+    stops once all rows are committed (wall-clock-bounded, outcome
+    deterministic)."""
+    import os
+    import time
+
+    from .sources.pages import stream_rate_limited_synthetic, write_batch_files
+    from .streaming.pipeline import run_stream_to_sink
+    from .streaming.sink import ParquetLedgerSink
+
+    pages, _ = _derived_pages_pandas(sf_dir)
+    corpus_dir = _q_tmpdir("wrs-q-rate-c-")
+    # several subfiles: the index job and the join scan parallelize
+    write_batch_files([pages], corpus_dir, subfiles=4)
+    src = stream_rate_limited_synthetic(
+        spark, corpus_dir, rows_per_second=max(2000, len(pages))
+    )
+    sink = ParquetLedgerSink(_q_tmpdir("wrs-q-rate-s-"))
+    q = run_stream_to_sink(
+        src.select("url", "warc_ts", "lang", "text"),
+        sink,
+        _q_tmpdir("wrs-q-rate-ck-"),
+        available_now=False,
+    )
+    n = len(pages)
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            done = sum(
+                r["n_rows"] for r in sink._ledger_records() if "batch_id" in r
+            )
+            if done >= n:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    return sink.read_committed(spark).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_ts_epoch"),
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+ORACLE_Q42 = f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+)
+SELECT url, CAST(floor(epoch(warc_ts)) AS BIGINT) AS warc_ts_epoch,
+       lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM pages
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -1831,6 +1999,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_status_pivot": q38_status_pivot,
     "q39_scd2_templates": q39_scd2_templates,
     "q40_late_data_windows": q40_late_data_windows,
+    "q41_scd2_cdc_deletes": q41_scd2_cdc_deletes,
+    "q42_rate_limited_drain": q42_rate_limited_drain,
 }
 
 ORACLES: dict[str, str] = {
@@ -1874,4 +2044,6 @@ ORACLES: dict[str, str] = {
     "q38_status_pivot": ORACLE_Q38,
     "q39_scd2_templates": ORACLE_Q39,
     "q40_late_data_windows": ORACLE_Q40,
+    "q41_scd2_cdc_deletes": ORACLE_Q41,
+    "q42_rate_limited_drain": ORACLE_Q42,
 }
