@@ -95,6 +95,69 @@ def asof_join_latest_by_key(
     )
 
 
+def range_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 900,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join that stays an EQUI-join.
+
+    Matches each fact row to every interval row with
+    ``start <= fact_ts < end`` (and equal ``keys``, if given).  Spark
+    plans a bare inequality join as BroadcastNestedLoopJoin — O(n*m)
+    and a scale-killer when neither side is small.  The chunked
+    strategy makes it shuffle-partitionable: quantize time into
+    ``bucket_seconds`` chunks, replicate each interval into every
+    chunk it overlaps (``sequence`` + ``explode``), tag each fact with
+    its single chunk, equi-join on (keys..., chunk), then apply the
+    exact range predicate as a post-filter.  Each fact lives in
+    exactly one chunk, so a (fact, interval) pair meets at most once —
+    no dedup needed.
+
+    Pick ``bucket_seconds`` near the TYPICAL interval length: an
+    interval spans ~(len/bucket + 1) chunks, so the replication factor
+    stays ~2; buckets much smaller than intervals inflate the
+    interval side, much larger ones inflate the per-chunk join
+    fan-out.  Both effects are data-linear, never quadratic.
+    ``tests/test_range_join.py`` asserts the plan contains a real
+    equi-join (SortMergeJoin/ShuffledHashJoin path available — no
+    BroadcastNestedLoopJoin) and that results equal the naive range
+    join.
+    """
+    keys = keys or []
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def us(col):
+        # cast: parquet TIMESTAMP_NTZ columns (pandas-written fixtures)
+        # are rejected by unix_micros; the session tz is pinned UTC so
+        # the cast is a pure type change, applied uniformly to all
+        # three time columns
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    f = facts.withColumn("__chunk", F.floor(us(fact_ts) / w_us))
+    i = (
+        intervals.withColumn(
+            "__chunk",
+            F.explode(
+                F.sequence(
+                    F.floor(us(start_col) / w_us),
+                    # end is exclusive: last chunk holds end - 1 microsecond
+                    F.floor((us(end_col) - 1) / w_us),
+                )
+            ),
+        )
+    )
+    joined = f.join(i, keys + ["__chunk"], how)
+    return joined.where(
+        (F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) < F.col(end_col))
+    ).drop("__chunk")
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -1958,6 +1958,113 @@ FROM pages
 """
 
 
+def q43_range_join_incidents(spark, sf_dir):
+    """Range join (interval containment) as a first-class operator:
+    every ``error`` event opens a 15-minute incident window for its
+    user; count + sum the user's events inside each window.
+
+    Runs through ``operators/joins.range_join_bucketed`` — the chunked
+    equi-join strategy (quantize time, replicate intervals into
+    overlapped chunks, equi-join on (user_id, chunk), exact-predicate
+    post-filter) that replaces Spark's default BroadcastNestedLoopJoin
+    plan for inequality joins.  bucket = the interval length, so the
+    interval side replicates ~2x.  ORACLE_Q43 is the naive SQL range
+    join — DuckDB's IEJoin handles it directly."""
+    from .operators.joins import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 15 minutes")).alias("end_ts"),
+    )
+    facts = ev.select("user_id", "ts", "value")
+    hits = range_join_bucketed(
+        facts, incidents, "ts", "start_ts", "end_ts",
+        keys=["user_id"], bucket_seconds=900,
+    )
+    return hits.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+ORACLE_Q43 = """
+WITH inc AS (
+  SELECT event_id AS incident_id, user_id, ts AS start_ts,
+         ts + INTERVAL 15 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT incident_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM inc JOIN events e
+  ON e.user_id = inc.user_id
+ AND e.ts >= inc.start_ts
+ AND e.ts < inc.end_ts
+GROUP BY incident_id
+"""
+
+
+def q44_streaming_sliding_windows(spark, sf_dir):
+    """O-18 streaming SLIDING windows on the oracle path (they were
+    pytest-golden only through round 2): 10-min windows sliding every
+    5 min per lang over the time-ordered derived stream, append mode,
+    sentinel-pinned final watermark.  Every row contributes to exactly
+    two windows; ORACLE_Q44 unnests the two window starts per row."""
+    from .sources.pages import stream_pages_files
+
+    src = _q_tmpdir("wrs-q-slide-")
+    from .sources.pages import write_batch_files
+
+    pages, _ = _derived_pages_pandas(sf_dir)
+    sent = _sentinel_pages()
+    n_files = 4
+    per = (len(pages) + n_files - 1) // n_files
+    batches = [pages.iloc[i * per : (i + 1) * per] for i in range(n_files)]
+    batches = [b for b in batches if len(b)] + [sent.iloc[:1], sent.iloc[1:]]
+    write_batch_files(batches, src)
+
+    stream = stream_pages_files(spark, src, 1)
+    win = (
+        stream.withWatermark("warc_ts", "10 minutes")
+        .groupBy(F.window("warc_ts", "10 minutes", "5 minutes").alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages", "total_chars")
+    )
+    out = _drain(win, spark)
+    # sliding windows STARTING up to 5 min before a sentinel still
+    # contain it — cut at sentinel_ts - window size, far above any
+    # real 2026 window
+    return out.where(
+        F.col("window_start") < F.lit("2026-12-31 23:50:00").cast("timestamp")
+    ).select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "lang",
+        "n_pages",
+        "total_chars",
+    )
+
+
+ORACLE_Q44 = f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), contrib AS (
+  SELECT lang, length(text) AS n_chars,
+         unnest([time_bucket(INTERVAL 5 minutes, warc_ts),
+                 time_bucket(INTERVAL 5 minutes, warc_ts) - INTERVAL 5 minutes]
+         ) AS window_start
+  FROM pages
+)
+SELECT CAST(floor(epoch(window_start)) AS BIGINT) AS window_start_epoch,
+       lang, count(*) AS n_pages, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM contrib GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2001,6 +2108,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_late_data_windows": q40_late_data_windows,
     "q41_scd2_cdc_deletes": q41_scd2_cdc_deletes,
     "q42_rate_limited_drain": q42_rate_limited_drain,
+    "q43_range_join_incidents": q43_range_join_incidents,
+    "q44_streaming_sliding_windows": q44_streaming_sliding_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -2046,4 +2155,6 @@ ORACLES: dict[str, str] = {
     "q40_late_data_windows": ORACLE_Q40,
     "q41_scd2_cdc_deletes": ORACLE_Q41,
     "q42_rate_limited_drain": ORACLE_Q42,
+    "q43_range_join_incidents": ORACLE_Q43,
+    "q44_streaming_sliding_windows": ORACLE_Q44,
 }
