@@ -78,6 +78,11 @@ def main() -> None:
         "q26_salted_domain_windows": dict(),
         "q31_ivf_topk": dict(forbid_node=("CartesianProduct",)),
         "q34_embedding_near_dupes": dict(forbid_node=("CartesianProduct",)),
+        # the range join exists to avoid the nested-loop plan Spark
+        # gives a bare inequality join — assert it stays an equi-join
+        "q43_range_join_incidents": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

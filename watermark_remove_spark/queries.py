@@ -1087,13 +1087,29 @@ def _late_stream_fixture(
     return src
 
 
-def _drain(df, spark):
+def _drain(df, spark, state_partitions: int = 8):
+    """Run the fixture stream to the ledger sink and read back the
+    committed rows.
+
+    State partitions are set to the fixture's trigger volume for the
+    duration of the stream (a stateful query's partitioning is a
+    deployment constant sized to data volume — per-batch state-store
+    commit cost scales with partition count, and these derived-corpus
+    fixtures run thousands of rows per trigger, not millions).
+    Partitioning never affects result content; the session's batch
+    setting is restored afterwards."""
     from .streaming.pipeline import run_stream_to_sink
     from .streaming.sink import ParquetLedgerSink
 
+    sess = df.sparkSession
+    old = sess.conf.get("spark.sql.shuffle.partitions")
     sink = ParquetLedgerSink(_q_tmpdir("wrs-q-sink-"))
-    q = run_stream_to_sink(df, sink, _q_tmpdir("wrs-q-ck-"))
-    q.awaitTermination(600)
+    sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = run_stream_to_sink(df, sink, _q_tmpdir("wrs-q-ck-"))
+        q.awaitTermination(600)
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old)
     return sink.read_committed(spark)
 
 
