@@ -83,6 +83,14 @@ def main() -> None:
         "q43_range_join_incidents": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # decontamination: the benchmark gram set must BROADCAST into
+        # the semi join — a shuffled semi join would re-shuffle the
+        # full train-side gram explosion at 100 TB
+        "q45_benchmark_decontamination": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        "q46_repetition_filters": dict(forbid_node=("CartesianProduct",)),
+        "q48_url_canonicalization": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

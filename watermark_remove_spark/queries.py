@@ -22,8 +22,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .functions.portable_hash import HEX_BIT_CHARS, duck_md5_i64, plane_signs
-from .functions.shingles import doc_shingles_expr
+from .functions.portable_hash import (
+    HEX_BIT_CHARS,
+    duck_md5_i64,
+    md5_i64_expr,
+    plane_signs,
+)
+from .functions.shingles import doc_shingles_expr, kgram_windows_expr, tokens_expr
 from .functions.text import (
     LANG_MARKERS,
     lang_id_expr,
@@ -2081,6 +2086,263 @@ FROM contrib GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------- corpus hygiene (round 3)
+
+DECON_K = 4       # overlap n-gram size: small enough to fire on the
+                  # fixture vocabulary, the knob a real pipeline tunes
+DECON_MOD = 97    # doc_id % 97 == 0 -> held-out "benchmark" set
+
+
+def _duck_doc_kgrams(col: str, k: int) -> str:
+    """Per-line k-gram fragment — ``doc_shingles_expr`` for any k
+    (``_DUCK_SHINGLES`` is the k=3 special case)."""
+    return (
+        f"flatten(list_transform(string_split({col}, chr(10)), "
+        f"ln -> {_duck_kgrams('ln', k)}))"
+    )
+
+
+def q45_benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination — the eval-leakage gate every LLM
+    training pipeline runs before a corpus ships: flag every training
+    document sharing at least one k-gram with the held-out benchmark
+    set (here: doc_id % 97 == 0, a deterministic stand-in for the
+    benchmark suite).
+
+    100-TB posture: the benchmark side is metadata-scale (eval suites
+    are ~10^4 docs vs ~10^9 train docs), so its distinct-gram set is
+    BROADCAST and the train side streams through a map-side semi join
+    — the only shuffles are the distinct over matched (source, doc_id)
+    pairs and the tiny per-source count."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % DECON_MOD) == 0
+    grams = F.array_distinct(doc_shingles_expr(F.col("text"), DECON_K))
+
+    eval_grams = docs.where(is_eval).select(F.explode(grams).alias("g")).distinct()
+    train = docs.where(~is_eval)
+    train_grams = train.select("source", "doc_id", F.explode(grams).alias("g"))
+    contaminated = (
+        semi_join(train_grams, F.broadcast(eval_grams), train_grams.g == eval_grams.g)
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
+    return totals.join(contaminated, "source", "left").select(
+        "source",
+        "n_train",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+    )
+
+
+ORACLE_Q45 = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest(list_distinct({_duck_doc_kgrams('text', DECON_K)})) AS g
+  FROM documents WHERE doc_id % {DECON_MOD} = 0
+), tr AS (
+  SELECT source, doc_id, unnest(list_distinct({_duck_doc_kgrams('text', DECON_K)})) AS g
+  FROM documents WHERE doc_id % {DECON_MOD} <> 0
+), cont AS (
+  SELECT source, count(DISTINCT doc_id) AS n_contaminated
+  FROM tr WHERE g IN (SELECT g FROM ev) GROUP BY source
+)
+SELECT t.source, count(*) AS n_train,
+       CAST(coalesce(max(cont.n_contaminated), 0) AS BIGINT) AS n_contaminated
+FROM documents t LEFT JOIN cont ON t.source = cont.source
+WHERE t.doc_id % {DECON_MOD} <> 0
+GROUP BY t.source
+"""
+
+
+def q46_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition quality filters: per document, the
+    fraction of tokens taken by the single most frequent token, the
+    distinct-token ratio, and the fraction of bigrams taken by the
+    most frequent bigram — plus the resulting keep/drop gate.
+
+    One tagged-union explode (token grams and bigram grams in the same
+    pass) -> count per (doc, kind, gram) -> conditional aggregate per
+    doc.  Two linear shuffles, map-side partial aggregation on both;
+    no per-doc data structure ever exceeds a scalar."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n", -1)
+    toks = F.flatten(F.transform(lines, tokens_expr))
+    bigr = F.flatten(F.transform(lines, lambda ln: kgram_windows_expr(tokens_expr(ln), 2)))
+    grams = F.concat(
+        F.transform(toks, lambda t: F.struct(F.lit(True).alias("is_tok"), t.alias("g"))),
+        F.transform(bigr, lambda b: F.struct(F.lit(False).alias("is_tok"), b.alias("g"))),
+    )
+    exploded = docs.select("doc_id", F.explode(grams).alias("x")).select(
+        "doc_id", F.col("x.is_tok").alias("is_tok"), F.col("x.g").alias("g")
+    )
+    g1 = exploded.groupBy("doc_id", "is_tok", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = g1.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("is_tok"), F.col("cnt"))).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("is_tok"), 1).otherwise(0)).cast("long").alias("n_distinct"),
+        F.max(F.when(F.col("is_tok"), F.col("cnt"))).cast("long").alias("top_tok"),
+        F.max(F.when(~F.col("is_tok"), F.col("cnt"))).cast("long").alias("top_big"),
+        F.sum(F.when(~F.col("is_tok"), F.col("cnt"))).cast("long").alias("n_bigrams"),
+    )
+    m = stats.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("top_tok").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_token_frac"
+        ),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "distinct_token_ratio"
+        ),
+        (F.col("top_big").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "top_bigram_frac"
+        ),
+    )
+    return m.withColumn(
+        "keep",
+        (F.col("top_token_frac") <= 0.1)
+        & (F.col("distinct_token_ratio") >= 0.2)
+        & (F.col("top_bigram_frac") <= 0.05),
+    )
+
+
+ORACLE_Q46 = f"""
+WITH u AS (
+  SELECT doc_id, true AS is_tok,
+         unnest(flatten(list_transform(string_split(text, chr(10)),
+                ln -> list_filter(string_split(ln, ' '), t -> t <> '')))) AS g
+  FROM documents
+  UNION ALL
+  SELECT doc_id, false, unnest({_duck_doc_kgrams('text', 2)})
+  FROM documents
+), g1 AS (
+  SELECT doc_id, is_tok, g, count(*) AS cnt FROM u GROUP BY 1, 2, 3
+), s AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN is_tok THEN cnt END) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN is_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+         max(CASE WHEN is_tok THEN cnt END) AS top_tok,
+         max(CASE WHEN NOT is_tok THEN cnt END) AS top_big,
+         CAST(sum(CASE WHEN NOT is_tok THEN cnt END) AS BIGINT) AS n_bigrams
+  FROM g1 GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(top_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_token_ratio,
+       CAST(top_big AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+       (CAST(top_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= CAST(0.1 AS DOUBLE)
+        AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= CAST(0.2 AS DOUBLE)
+        AND CAST(top_big AS DOUBLE) / CAST(n_bigrams AS DOUBLE) <= CAST(0.05 AS DOUBLE)
+       ) AS keep
+FROM s
+"""
+
+
+def q47_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — reproducible corpus
+    down-sampling without a shuffle: keep a document iff its portable
+    60-bit hash bucket (md5-derived, engine-portable) falls under the
+    per-language rate (en 50%, others 80%).
+
+    The sample decision is a pure map-side expression of (doc_id,
+    lang) — re-running on any cluster, any partitioning, any day gives
+    the same sample (contrast ``df.sample``, whose output depends on
+    partition layout).  The only shuffle is the final low-cardinality
+    per-stratum audit aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = md5_i64_expr(F.col("doc_id").cast("string"), salt="strat#") % 10
+    rate = F.when(F.col("lang") == "en", F.lit(5)).otherwise(F.lit(8))
+    kept = bucket < rate
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, token_count_expr(F.col("text"))).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+ORACLE_Q47 = f"""
+WITH s AS (
+  SELECT lang, source,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+         {duck_md5_i64("doc_id::VARCHAR", salt="strat#")} % 10
+           < CASE WHEN lang = 'en' THEN 5 ELSE 8 END AS kept
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM s GROUP BY 1, 2
+"""
+
+
+def q48_url_canonicalization(spark, sf_dir):
+    """URL canonicalization + crawl-frontier dedup: every document
+    appears under its canonical URL AND a deterministic messy variant
+    (scheme case, www./m. subdomain, ?tracking query, #fragment,
+    trailing slash); normalization must collapse the pair back to one
+    canonical URL per page.
+
+    Pure-Catalyst regexp chain (lowercase -> strip scheme -> strip
+    www|m subdomain -> strip query/fragment -> strip trailing slash);
+    the rollup groups by normalized host, reporting raw vs canonical
+    URL counts (2:1 collapse proves the normalizer) plus the
+    registrable domain."""
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(F.col("source"), F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    canonical_raw = F.concat(F.lit("https://"), base)
+    m = F.col("doc_id") % 3
+    variant = (
+        F.when(m == 0, F.concat(F.lit("HTTP://WWW."), base, F.lit("?utm_source=feed")))
+        .when(m == 1, F.concat(F.lit("https://m."), base, F.lit("/")))
+        .otherwise(F.concat(F.lit("HTTPS://"), base, F.lit("#ref")))
+    )
+    urls = docs.select(F.explode(F.array(canonical_raw, variant)).alias("url"))
+    u = F.lower(F.col("url"))
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^(www|m)\\.", "")
+    u = F.regexp_replace(u, "[?#].*$", "")
+    u = F.regexp_replace(u, "/+$", "")
+    canon = urls.select(u.alias("canonical")).select(
+        F.regexp_extract("canonical", "^([^/]+)", 1).alias("host"), "canonical"
+    )
+    agg = canon.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_raw_urls"),
+        F.countDistinct("canonical").alias("n_canonical_urls"),
+    )
+    return agg.select(
+        "host",
+        F.regexp_extract("host", "([^.]+\\.[^.]+)$", 1).alias("registrable"),
+        "n_raw_urls",
+        "n_canonical_urls",
+    )
+
+
+ORACLE_Q48 = """
+WITH urls AS (
+  SELECT unnest([
+    'https://' || source || '.example.com/p/' || doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN 'HTTP://WWW.' || source || '.example.com/p/' || doc_id || '?utm_source=feed'
+      WHEN 1 THEN 'https://m.' || source || '.example.com/p/' || doc_id || '/'
+      ELSE 'HTTPS://' || source || '.example.com/p/' || doc_id || '#ref'
+    END]) AS url
+  FROM documents
+), norm AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(url), '^https?://', ''), '^(www|m)\\.', ''),
+           '[?#].*$', ''), '/+$', '') AS canonical
+  FROM urls
+)
+SELECT regexp_extract(canonical, '^([^/]+)', 1) AS host,
+       regexp_extract(regexp_extract(canonical, '^([^/]+)', 1),
+                      '([^.]+\\.[^.]+)$', 1) AS registrable,
+       count(*) AS n_raw_urls,
+       count(DISTINCT canonical) AS n_canonical_urls
+FROM norm GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2126,6 +2388,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_rate_limited_drain": q42_rate_limited_drain,
     "q43_range_join_incidents": q43_range_join_incidents,
     "q44_streaming_sliding_windows": q44_streaming_sliding_windows,
+    "q45_benchmark_decontamination": q45_benchmark_decontamination,
+    "q46_repetition_filters": q46_repetition_filters,
+    "q47_stratified_sample": q47_stratified_sample,
+    "q48_url_canonicalization": q48_url_canonicalization,
 }
 
 ORACLES: dict[str, str] = {
@@ -2173,4 +2439,8 @@ ORACLES: dict[str, str] = {
     "q42_rate_limited_drain": ORACLE_Q42,
     "q43_range_join_incidents": ORACLE_Q43,
     "q44_streaming_sliding_windows": ORACLE_Q44,
+    "q45_benchmark_decontamination": ORACLE_Q45,
+    "q46_repetition_filters": ORACLE_Q46,
+    "q47_stratified_sample": ORACLE_Q47,
+    "q48_url_canonicalization": ORACLE_Q48,
 }
