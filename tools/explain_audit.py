@@ -91,6 +91,9 @@ def main() -> None:
         ),
         "q46_repetition_filters": dict(forbid_node=("CartesianProduct",)),
         "q48_url_canonicalization": dict(forbid_node=("CartesianProduct",)),
+        "q49_hll_distinct_users": dict(forbid_node=("CartesianProduct",)),
+        "q50_incremental_dedup": dict(forbid_node=("CartesianProduct",)),
+        "q51_trending_tokens": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

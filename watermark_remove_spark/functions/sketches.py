@@ -1,0 +1,137 @@
+"""Portable HyperLogLog — an approximate-distinct sketch whose every
+output bit is ENGINE-EXACT, so the driver's DuckDB oracle can check it
+like any exact query.
+
+Spark's built-in ``approx_count_distinct`` is a black-box HLL++ whose
+estimate depends on internal hashing — un-checkable by an external
+oracle.  This implementation fixes every degree of freedom:
+
+- hash: the repo's portable 60-bit md5 scheme (``portable_hash``);
+- p = 8 -> m = 256 registers; bucket = h & 255, w = h >> 8 (52 bits);
+- rho(w) = leading-zero rank = 53 - bitlength(w)  (w == 0 -> 53),
+  computed via ``length(bin(w))`` — unpadded in BOTH engines;
+- the harmonic sum is kept in SCALED INTEGER form:
+      S = sum_j 2^(53 - M_j)   (empty registers contribute 2^53)
+  max 256 * 2^53 = 2^61 < 2^63, so S is exact BIGINT arithmetic in
+  both engines — no float accumulation order to diverge;
+- raw estimate = alpha_m * m^2 * 2^53 / S: ONE double division of two
+  exactly-agreed values -> bit-identical.
+
+The standard small-range (linear counting) correction needs ln(),
+whose last-ulp behavior is libm-specific, so the oracle-checked
+surface exposes (register_scale_sum, empty_registers, estimate_raw)
+and :func:`hll_corrected_estimate` applies the correction for users
+(accuracy asserted in pytest, not hash-compared).
+
+Reference scaffold has no sketches (282-LoC PIL/FastAPI app, see
+SURVEY.md §1); this is engine-native depth per the graft mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .portable_hash import md5_i64_expr
+
+P = 8
+M_REGISTERS = 1 << P          # 256
+W_BITS = 60 - P               # 52 usable bits after the bucket
+K = W_BITS + 1                # 53: rho range is 1..53
+ALPHA = 0.7213 / (1.0 + 1.079 / M_REGISTERS)
+# alpha * m^2 * 2^K, precomputed in Python and inlined as ONE double
+# literal on both engines (never re-derived in either engine's
+# arithmetic): repr() round-trips the exact float64
+A_SCALED = ALPHA * M_REGISTERS * M_REGISTERS * float(1 << K)
+
+
+def hll_bucket_expr(value: Column, salt: str = "hll#") -> Column:
+    return md5_i64_expr(value, salt=salt).bitwiseAND(F.lit(M_REGISTERS - 1))
+
+
+def hll_rho_expr(value: Column, salt: str = "hll#") -> Column:
+    w = F.shiftright(md5_i64_expr(value, salt=salt), P)
+    return F.when(w == F.lit(0), F.lit(K)).otherwise(
+        F.lit(K) - F.length(F.bin(w))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    salt: str = "hll#",
+) -> DataFrame:
+    """Per-group HLL: (register_scale_sum BIGINT, empty_registers
+    BIGINT, estimate_raw DOUBLE).
+
+    Two linear shuffles: (group, bucket) register max — bounded at
+    m=256 rows per group regardless of input size, the whole point of
+    a sketch at 100 TB — then the per-group fold.  Register maxes
+    combine map-side, so the shuffle carries at most m rows per group
+    per partition."""
+    v = F.col(value_col).cast("string")
+    regs = (
+        df.select(
+            *group_cols,
+            hll_bucket_expr(v, salt).alias("__b"),
+            hll_rho_expr(v, salt).alias("__r"),
+        )
+        .groupBy(*group_cols, "__b")
+        .agg(F.max("__r").alias("__m"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({K} - __m AS INT))")
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(term).cast("long").alias("__s_present"),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    s = F.col("__s_present") + (
+        (F.lit(M_REGISTERS) - F.col("__n_present")) * F.lit(1 << K)
+    )
+    return agg.select(
+        *group_cols,
+        s.cast("long").alias("register_scale_sum"),
+        (F.lit(M_REGISTERS) - F.col("__n_present")).cast("long").alias("empty_registers"),
+        (F.lit(A_SCALED) / s.cast("double")).alias("estimate_raw"),
+    )
+
+
+def hll_corrected_estimate(df: DataFrame) -> DataFrame:
+    """Standard HLL small-range correction over :func:`hll_distinct`
+    output: linear counting m*ln(m/V) when estimate_raw <= 2.5m and
+    empty registers remain.  Uses ln() -> NOT oracle-hash-safe; for
+    human consumption and the pytest accuracy bound."""
+    m = float(M_REGISTERS)
+    lc = F.lit(m) * F.log(F.lit(m) / F.col("empty_registers").cast("double"))
+    corrected = F.when(
+        (F.col("estimate_raw") <= F.lit(2.5 * m)) & (F.col("empty_registers") > 0),
+        lc,
+    ).otherwise(F.col("estimate_raw"))
+    return df.withColumn("estimate", corrected)
+
+
+def duck_hll_sql(table: str, group_cols: list[str], value_col: str, salt: str = "hll#") -> str:
+    """DuckDB mirror of :func:`hll_distinct` (same registers, same
+    scaled-integer sum, same single final division)."""
+    g = ", ".join(group_cols)
+    hv = f"(('0x' || substr(md5('{salt}' || {value_col}::VARCHAR), 1, 15))::BIGINT)"
+    return f"""
+WITH br AS (
+  SELECT {g}, {hv} & {M_REGISTERS - 1} AS b,
+         CASE WHEN ({hv} >> {P}) = 0 THEN {K}
+              ELSE {K} - length(bin({hv} >> {P})) END AS r
+  FROM {table}
+), regs AS (
+  SELECT {g}, b, max(r) AS m FROM br GROUP BY {g}, b
+), agg AS (
+  SELECT {g},
+         CAST(sum(1::BIGINT << ({K} - m)) AS BIGINT) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY {g}
+)
+SELECT {g},
+       CAST(s_present + (256 - n_present) * (1::BIGINT << {K}) AS BIGINT) AS register_scale_sum,
+       CAST(256 - n_present AS BIGINT) AS empty_registers,
+       CAST({A_SCALED!r} AS DOUBLE)
+         / CAST(s_present + (256 - n_present) * (1::BIGINT << {K}) AS DOUBLE) AS estimate_raw
+FROM agg
+"""

@@ -2343,6 +2343,122 @@ FROM norm GROUP BY 1, 2
 """
 
 
+def q49_hll_distinct_users(spark, sf_dir):
+    """Approximate distinct via the PORTABLE HyperLogLog sketch
+    (``functions/sketches.py``): every output bit engine-exact, so the
+    sketch itself sits on the driver's hash-compared oracle —
+    something Spark's black-box ``approx_count_distinct`` cannot do.
+
+    100-TB posture: register maxes combine map-side and the shuffle is
+    bounded at m=256 rows per group per partition regardless of input
+    size — THE sketch property that makes distinct-count feasible at
+    scale.  Accuracy (raw estimate within HLL's ~1.04/sqrt(m) band of
+    exact) is asserted in pytest."""
+    from .functions.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, ["event_type"], "user_id")
+
+
+def _oracle_q49() -> str:
+    from .functions.sketches import duck_hll_sql
+
+    return duck_hll_sql("events", ["event_type"], "user_id")
+
+
+def q50_incremental_dedup(spark, sf_dir):
+    """Incremental crawl dedup: a NEW batch (odd doc_ids) is gated
+    against the PRIOR corpus index (even doc_ids) by winnowing rolling
+    fingerprint (q32's operator) — the pattern a continuously-crawling
+    pipeline runs on every ingest: fingerprint the increment, anti-join
+    the accumulated index, admit only novel docs.
+
+    One shuffle on the fixed-width fingerprint (never on text); the
+    index side would be the accumulated fingerprint table at scale."""
+    from .functions.text import rolling_fingerprint_md5_expr
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", rolling_fingerprint_md5_expr(F.col("text")).alias("fp")
+    )
+    prior = (
+        fp.where(F.col("doc_id") % 2 == 0)
+        .select(F.col("fp").alias("prior_fp"))
+        .distinct()
+    )
+    new = fp.where(F.col("doc_id") % 2 == 1)
+    j = new.join(prior, F.col("fp") == F.col("prior_fp"), "left")
+    seen = F.when(F.col("prior_fp").isNotNull(), 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(seen).cast("long").alias("n_seen"),
+        (F.count(F.lit(1)) - F.sum(seen)).cast("long").alias("n_novel"),
+    )
+
+
+ORACLE_Q50 = f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         list_min(list_transform({_duck_kgrams("text", 5)}, w -> md5(w))) AS fp
+  FROM documents
+), prior AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+), new AS (
+  SELECT doc_id, source, fp,
+         CASE WHEN fp IN (SELECT fp FROM prior) THEN 1 ELSE 0 END AS seen
+  FROM fp WHERE doc_id % 2 = 1
+)
+SELECT source, count(*) AS n_new,
+       CAST(sum(seen) AS BIGINT) AS n_seen,
+       CAST(count(*) - sum(seen) AS BIGINT) AS n_novel
+FROM new GROUP BY source
+"""
+
+
+def q51_trending_tokens(spark, sf_dir):
+    """Windowed heavy hitters: top-3 tokens per hour of crawl time
+    (hour = the derived-pages timeline, doc_id*47 s), deterministic
+    tie-break (count desc, token asc) — the trending-terms rollup a
+    corpus-monitoring dashboard runs.
+
+    Token explode -> one (hour, token) count shuffle with map-side
+    combine -> per-hour top-k window over the already-aggregated
+    counts (rank input is #distinct tokens per hour, not raw
+    tokens)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    hour = F.expr("CAST((doc_id * 47) DIV 3600 AS BIGINT)")
+    toks = docs.select(
+        hour.alias("hour_id"),
+        F.explode(
+            F.flatten(F.transform(F.split(F.col("text"), "\n", -1), tokens_expr))
+        ).alias("token"),
+    )
+    counts = toks.groupBy("hour_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour_id").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("hour_id", "rank", "token", "n")
+    )
+
+
+ORACLE_Q51 = """
+WITH toks AS (
+  SELECT (doc_id * 47) // 3600 AS hour_id,
+         unnest(flatten(list_transform(string_split(text, chr(10)),
+                ln -> list_filter(string_split(ln, ' '), t -> t <> '')))) AS token
+  FROM documents
+), counts AS (
+  SELECT hour_id, token, count(*) AS n FROM toks GROUP BY 1, 2
+)
+SELECT hour_id, rank, token, n FROM (
+  SELECT hour_id, token, n,
+         CAST(row_number() OVER (PARTITION BY hour_id ORDER BY n DESC, token ASC) AS INT) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2392,6 +2508,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_repetition_filters": q46_repetition_filters,
     "q47_stratified_sample": q47_stratified_sample,
     "q48_url_canonicalization": q48_url_canonicalization,
+    "q49_hll_distinct_users": q49_hll_distinct_users,
+    "q50_incremental_dedup": q50_incremental_dedup,
+    "q51_trending_tokens": q51_trending_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -2443,4 +2562,7 @@ ORACLES: dict[str, str] = {
     "q46_repetition_filters": ORACLE_Q46,
     "q47_stratified_sample": ORACLE_Q47,
     "q48_url_canonicalization": ORACLE_Q48,
+    "q49_hll_distinct_users": _oracle_q49(),
+    "q50_incremental_dedup": ORACLE_Q50,
+    "q51_trending_tokens": ORACLE_Q51,
 }
