@@ -144,3 +144,17 @@ def test_url_normalizer_cases(spark, raw, want):
     u = F.regexp_replace(u, "[?#].*$", "")
     u = F.regexp_replace(u, "/+$", "")
     assert df.select(u.alias("c")).first().c == want
+
+
+def test_streaming_quarantine_routes_both_ways(spark):
+    """q52 non-vacuity: the poison injection must actually exercise
+    BOTH routes, and the two routes must partition the corpus."""
+    from watermark_remove_spark.queries import q52_streaming_quarantine
+
+    rows = q52_streaming_quarantine(spark, "/root/testdata/sf0.001").collect()
+    routed = {}
+    for r in rows:
+        routed.setdefault(r.routed, set()).add(r.url)
+    assert routed.get("quarantine"), "no poison page reached quarantine"
+    assert routed.get("data"), "no clean page committed"
+    assert not (routed["data"] & routed["quarantine"])

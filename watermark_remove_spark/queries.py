@@ -2459,6 +2459,64 @@ SELECT hour_id, rank, token, n FROM (
 """
 
 
+POISON_MOD = 41  # doc_id % 41 == 0 pages get a NULL html payload
+
+
+def q52_streaming_quarantine(spark, sf_dir):
+    """SURVEY §2.8 error/quarantine contract on the driver's oracle
+    (it was pytest-only through round 3 start): derived pages where
+    every ``doc_id % 41 == 0`` payload is POISONED (NULL html) stream
+    through the production decode -> clean -> tag pipeline
+    (``build_decode_clean_stream``) into the quarantine-aware
+    exactly-once sink; the query returns every page's ROUTING.
+
+    A poison page must degrade to a quarantine record — committed
+    under the same ledger line as the data rows, exactly-once — never
+    kill the query and never leak into data/.  Routing is a pure
+    function of doc_id, so the oracle is one CASE expression over the
+    derived-pages CTE; the hash compare fails if even one row is
+    routed (or duplicated, or dropped) wrongly.  Content equality of
+    the cleaned rows is q27's job; this query pins the error contract."""
+    from .operators.extract import mine_masks
+    from .sources.pages import write_batch_files
+    from .streaming.pipeline import build_decode_clean_stream, run_stream_to_sink
+    from .streaming.sink import ParquetLedgerSink
+
+    pages, _ = _derived_pages_pandas(sf_dir)
+    pages = pages.copy()
+    doc_ids = pages["url"].str.rsplit("/p/", n=1).str[-1].astype(int)
+    pages.loc[(doc_ids % POISON_MOD == 0).values, "html"] = None
+
+    src = _q_tmpdir("wrs-q-quar-src-")
+    n_files = 4
+    per = (len(pages) + n_files - 1) // n_files
+    write_batch_files(
+        [pages.iloc[i * per : (i + 1) * per] for i in range(n_files) if per], src
+    )
+    masks = mine_masks(spark.createDataFrame(pages))
+
+    cleaned = build_decode_clean_stream(spark, src, masks)
+    sink = ParquetLedgerSink(_q_tmpdir("wrs-q-quar-sink-"), quarantine_col="error")
+    q = run_stream_to_sink(cleaned, sink, _q_tmpdir("wrs-q-quar-ck-"))
+    q.awaitTermination(600)
+
+    good = sink.read_committed(spark).select("url", F.lit("data").alias("routed"))
+    bad = sink.read_quarantined(spark).select(
+        "url", F.lit("quarantine").alias("routed")
+    )
+    return good.unionByName(bad)
+
+
+ORACLE_Q52 = f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+)
+SELECT url,
+       CASE WHEN doc_id % {POISON_MOD} = 0 THEN 'quarantine' ELSE 'data' END AS routed
+FROM pages
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2511,6 +2569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_hll_distinct_users": q49_hll_distinct_users,
     "q50_incremental_dedup": q50_incremental_dedup,
     "q51_trending_tokens": q51_trending_tokens,
+    "q52_streaming_quarantine": q52_streaming_quarantine,
 }
 
 ORACLES: dict[str, str] = {
@@ -2565,4 +2624,5 @@ ORACLES: dict[str, str] = {
     "q49_hll_distinct_users": _oracle_q49(),
     "q50_incremental_dedup": ORACLE_Q50,
     "q51_trending_tokens": ORACLE_Q51,
+    "q52_streaming_quarantine": ORACLE_Q52,
 }
