@@ -121,3 +121,29 @@ def test_trending_tokens_shape(spark):
         # counts non-increasing with rank; ties broken by token asc
         for a, b in zip(ordered, ordered[1:]):
             assert a.n > b.n or (a.n == b.n and a.token < b.token)
+
+
+def test_streaming_windowed_hll_accuracy(spark):
+    """q53's raw estimate is oracle-exact by construction; this proves
+    the CORRECTED estimate tracks the true per-window distinct count
+    (small-range linear counting dominates at fixture scale)."""
+    import pandas as pd  # noqa: F401
+
+    from watermark_remove_spark.functions.sketches import hll_corrected_estimate
+    from watermark_remove_spark.queries import (
+        _derived_pages_pandas,
+        q53_streaming_windowed_hll,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = hll_corrected_estimate(q53_streaming_windowed_hll(spark, sf))
+    est = {(r.window_start_epoch, r.lang): r.estimate for r in out.collect()}
+
+    pages, _ = _derived_pages_pandas(sf)
+    pages = pages.assign(
+        ws=(pages["warc_ts"].astype("int64") // 10**9 // 600) * 600
+    )
+    exact = pages.groupby(["ws", "lang"])["url"].nunique()
+    assert set(est) == set(exact.index)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(0.25 * n, 3.0), (k, est[k], n)

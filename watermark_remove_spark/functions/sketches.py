@@ -95,6 +95,53 @@ def hll_distinct(
     )
 
 
+def hll_windowed_stream(
+    stream: DataFrame,
+    value_col: str,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("lang",),
+    ts_col: str = "warc_ts",
+    salt: str = "hll#",
+) -> DataFrame:
+    """STREAMING windowed approximate-distinct with the portable HLL:
+    chained stateful aggregations (the ``skew.py`` Spark-4 pattern,
+    both stages under one watermark) — stage 1 maxes rho per (window,
+    group, bucket), stage 2 folds the <=m register rows per (window,
+    group) into the scaled-integer sum.
+
+    Spark's streaming aggregation cannot hold ``count_distinct`` state
+    (unbounded); its ``approx_count_distinct`` is un-checkable.  This
+    keeps state BOUNDED at m=256 rows per (window, group) AND every
+    output bit oracle-exact.  Append mode: rows are final when the
+    watermark closes the window."""
+    v = F.col(value_col).cast("string")
+    regs = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            *group_cols,
+            hll_bucket_expr(v, salt).alias("__b"),
+        )
+        .agg(F.max(hll_rho_expr(v, salt)).alias("__m"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({K} - __m AS INT))")
+    agg = regs.groupBy(F.window(F.col("w"), window).alias("w2"), *group_cols).agg(
+        F.sum(term).cast("long").alias("__s_present"),
+        F.count(F.lit(1)).alias("__n_present"),
+    )
+    s = F.col("__s_present") + (
+        (F.lit(M_REGISTERS) - F.col("__n_present")) * F.lit(1 << K)
+    )
+    return agg.select(
+        F.col("w2.start").alias("window_start"),
+        *group_cols,
+        s.cast("long").alias("register_scale_sum"),
+        (F.lit(M_REGISTERS) - F.col("__n_present")).cast("long").alias("empty_registers"),
+        (F.lit(A_SCALED) / s.cast("double")).alias("estimate_raw"),
+    )
+
+
 def hll_corrected_estimate(df: DataFrame) -> DataFrame:
     """Standard HLL small-range correction over :func:`hll_distinct`
     output: linear counting m*ln(m/V) when estimate_raw <= 2.5m and

@@ -2517,6 +2517,67 @@ FROM pages
 """
 
 
+def q53_streaming_windowed_hll(spark, sf_dir):
+    """STREAMING windowed approximate-distinct urls per (10-min
+    window, lang) via the portable HLL — chained stateful
+    aggregations, state bounded at m=256 register rows per group (the
+    property that makes windowed distinct feasible on an unbounded
+    stream), every output bit oracle-exact.
+
+    Spark's own streaming options are count(*) (not distinct) or
+    ``approx_count_distinct`` (black-box, un-checkable); this is the
+    engine's answer: sketch in the stream, verify against batch SQL.
+    Same sentinel-pinned derived stream as q27; HLL register max is
+    idempotent, so the batch oracle needs no dedup step."""
+    from .functions.sketches import hll_windowed_stream
+    from .sources.pages import stream_pages_files
+
+    src, _ = _derived_stream_fixture(spark, sf_dir)
+    stream = stream_pages_files(spark, src, 1)
+    out = _drain(hll_windowed_stream(stream, "url"), spark)
+    return out.where(
+        F.col("window_start") < F.lit("2027-01-01").cast("timestamp")
+    ).select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "lang",
+        "register_scale_sum",
+        "empty_registers",
+        "estimate_raw",
+    )
+
+
+def _oracle_q53() -> str:
+    from .functions.sketches import A_SCALED, K, M_REGISTERS, P
+
+    hv = "(('0x' || substr(md5('hll#' || url), 1, 15))::BIGINT)"
+    return f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), br AS (
+  SELECT CAST(floor(epoch(warc_ts) / 600) AS BIGINT) * 600 AS ws, lang,
+         {hv} & {M_REGISTERS - 1} AS b,
+         CASE WHEN ({hv} >> {P}) = 0 THEN {K}
+              ELSE {K} - length(bin({hv} >> {P})) END AS r
+  FROM pages
+), regs AS (
+  SELECT ws, lang, b, max(r) AS m FROM br GROUP BY 1, 2, 3
+), agg AS (
+  SELECT ws, lang,
+         CAST(sum(1::BIGINT << ({K} - m)) AS BIGINT) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY 1, 2
+)
+SELECT ws AS window_start_epoch, lang,
+       CAST(s_present + ({M_REGISTERS} - n_present) * (1::BIGINT << {K}) AS BIGINT)
+         AS register_scale_sum,
+       CAST({M_REGISTERS} - n_present AS BIGINT) AS empty_registers,
+       CAST({A_SCALED!r} AS DOUBLE)
+         / CAST(s_present + ({M_REGISTERS} - n_present) * (1::BIGINT << {K}) AS DOUBLE)
+         AS estimate_raw
+FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2570,6 +2631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_incremental_dedup": q50_incremental_dedup,
     "q51_trending_tokens": q51_trending_tokens,
     "q52_streaming_quarantine": q52_streaming_quarantine,
+    "q53_streaming_windowed_hll": q53_streaming_windowed_hll,
 }
 
 ORACLES: dict[str, str] = {
@@ -2625,4 +2687,5 @@ ORACLES: dict[str, str] = {
     "q50_incremental_dedup": ORACLE_Q50,
     "q51_trending_tokens": ORACLE_Q51,
     "q52_streaming_quarantine": ORACLE_Q52,
+    "q53_streaming_windowed_hll": _oracle_q53(),
 }
