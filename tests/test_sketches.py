@@ -147,3 +147,49 @@ def test_streaming_windowed_hll_accuracy(spark):
     assert set(est) == set(exact.index)
     for k, n in exact.items():
         assert abs(est[k] - n) <= max(0.25 * n, 3.0), (k, est[k], n)
+
+
+def test_bloom_no_false_negatives_and_some_false_positives(spark):
+    """Bloom soundness: every build key passes; at fixture sizing some
+    non-members also pass (the FPR the oracle must reproduce)."""
+    from watermark_remove_spark.queries import q54_bloom_join_pruning
+
+    rows = q54_bloom_join_pruning(spark, SF01).collect()
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.where(F.col("user_id") % 7 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(r.n_bloom_candidates for r in rows) > sum(
+        r.n_exact_hits for r in rows
+    ), "sizing must yield observable false positives"
+    for r in rows:
+        assert r.n_exact_hits == exact.get(r.event_type, 0)  # no false negatives
+        assert r.n_exact_hits <= r.n_bloom_candidates <= r.n_events
+
+
+def test_bloom_python_parity(spark):
+    """The collected bitmap equals an independent Python construction."""
+    import hashlib
+
+    from watermark_remove_spark.functions.bloom import (
+        BF_BITS,
+        BF_K,
+        BF_WORDS,
+        bloom_build_words,
+    )
+
+    keys = [str(k) for k in range(0, 150, 7)]
+    df = spark.createDataFrame([(k,) for k in keys], ["user_id"])
+    words = bloom_build_words(df, "user_id")
+
+    py = [0] * BF_WORDS
+    for k in keys:
+        for i in range(BF_K):
+            p = int(hashlib.md5(f"bf{i}#{k}".encode()).hexdigest()[:15], 16) % BF_BITS
+            py[p // 64] |= 1 << (p % 64)
+    # Spark words are signed longs; compare as 64-bit patterns
+    assert [w & ((1 << 64) - 1) for w in words] == py

@@ -94,6 +94,12 @@ def main() -> None:
         "q49_hll_distinct_users": dict(forbid_node=("CartesianProduct",)),
         "q50_incremental_dedup": dict(forbid_node=("CartesianProduct",)),
         "q51_trending_tokens": dict(forbid_node=("CartesianProduct",)),
+        # the bloom probe must stay a map-side literal predicate + a
+        # broadcast semi join for the exact verify — never a shuffled
+        # join of the full probe side
+        "q54_bloom_join_pruning": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

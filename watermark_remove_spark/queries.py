@@ -2578,6 +2578,95 @@ FROM agg
 """
 
 
+def q54_bloom_join_pruning(spark, sf_dir):
+    """Runtime-filter join pruning with a portable Bloom filter: the
+    build side (a deterministic 'suspended users' set, user_id % 7 ==
+    0) folds into a 4-long bitmap; the probe side (all
+    events) is pre-filtered MAP-SIDE by the inlined-literal membership
+    predicate — zero shuffle, zero Python — and only candidates reach
+    the exact semi join.
+
+    Per event_type the query reports probe size, bloom candidates and
+    exact hits; candidates > hits at sf0.01 (4 FP users of 150 by
+    design — BF_BITS deliberately small so the oracle must reproduce
+    the false positives, not just the happy path).  The oracle
+    recomputes the bitmap and membership in SQL; one divergent bit
+    anywhere flips a count and fails the hash."""
+    from .functions.bloom import (
+        BF_K,
+        bloom_build_words,
+        bloom_member_expr,
+        bloom_position_exprs,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    build = ev.where(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    words = bloom_build_words(build, "user_id")
+
+    probe = ev.select(
+        "event_type",
+        "user_id",
+        *bloom_position_exprs(F.col("user_id").cast("string")),
+    ).withColumn(
+        "bloom_pass", bloom_member_expr(words, [f"p{i}" for i in range(BF_K)])
+    )
+    totals = probe.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_candidates"),
+    )
+    cand = probe.where(F.col("bloom_pass"))
+    bkeys = build.select(F.col("user_id").alias("__bu"))
+    exact = (
+        semi_join(cand, F.broadcast(bkeys), cand.user_id == F.col("__bu"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    return totals.join(exact, "event_type", "left").select(
+        "event_type",
+        "n_events",
+        "n_bloom_candidates",
+        F.coalesce("n_exact_hits", F.lit(0)).cast("long").alias("n_exact_hits"),
+    )
+
+
+def _oracle_q54() -> str:
+    from .functions.bloom import BF_BITS, duck_bloom_ctes
+
+    h = lambda i: (  # noqa: E731
+        f"(('0x' || substr(md5('bf{i}#' || user_id::VARCHAR), 1, 15))::BIGINT)"
+        f" % {BF_BITS}"
+    )
+    words = duck_bloom_ctes(
+        "SELECT DISTINCT user_id::VARCHAR AS k FROM events WHERE user_id % 7 = 0",
+        "k",
+    )
+    return f"""
+WITH words AS (
+{words}
+), probe AS (
+  SELECT event_type, user_id, {h(0)} AS p0, {h(1)} AS p1 FROM events
+), m AS (
+  SELECT pr.event_type, pr.user_id, pr.p0, pr.p1,
+         coalesce(w0.bits, 0::UBIGINT) AS b0, coalesce(w1.bits, 0::UBIGINT) AS b1
+  FROM probe pr
+  LEFT JOIN words w0 ON w0.w = pr.p0 // 64
+  LEFT JOIN words w1 ON w1.w = pr.p1 // 64
+), flags AS (
+  SELECT event_type,
+         ((b0 >> CAST(p0 % 64 AS INT)) & 1::UBIGINT) = 1::UBIGINT
+         AND ((b1 >> CAST(p1 % 64 AS INT)) & 1::UBIGINT) = 1::UBIGINT AS bloom_pass,
+         user_id % 7 = 0 AS exact_member
+  FROM m
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_candidates,
+       CAST(sum(CASE WHEN bloom_pass AND exact_member THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits
+FROM flags GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2632,6 +2721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_trending_tokens": q51_trending_tokens,
     "q52_streaming_quarantine": q52_streaming_quarantine,
     "q53_streaming_windowed_hll": q53_streaming_windowed_hll,
+    "q54_bloom_join_pruning": q54_bloom_join_pruning,
 }
 
 ORACLES: dict[str, str] = {
@@ -2688,4 +2778,5 @@ ORACLES: dict[str, str] = {
     "q51_trending_tokens": ORACLE_Q51,
     "q52_streaming_quarantine": ORACLE_Q52,
     "q53_streaming_windowed_hll": _oracle_q53(),
+    "q54_bloom_join_pruning": _oracle_q54(),
 }
