@@ -2667,6 +2667,53 @@ FROM flags GROUP BY event_type
 """
 
 
+def q55_user_event_features(spark, sf_dir):
+    """Analytic window-function family on the oracle (lag, running
+    row_number, bounded moving frame, ntile) — the per-entity sequence
+    features an events pipeline derives before modeling.
+
+    Determinism contract: every window ORDER BY carries a unique
+    tie-break (event_id); the moving sum runs in DECIMAL inside the
+    frame (Spark's sliding-sum may use removable aggregation —
+    add/subtract — which is NOT float-safe; decimal is associative and
+    exact, cast to double once at the end).  Gap uses whole-second
+    epochs on both engines.  One shuffle per window partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wq = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    e = F.unix_timestamp("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.coalesce(e - F.unix_timestamp(F.lag("ts", 1).over(w)), F.lit(-1))
+        .cast("long")
+        .alias("gap_sec"),
+        F.sum(F.col("value").cast(DEC))
+        .over(w.rowsBetween(-2, 0))
+        .cast("double")
+        .alias("mov_sum3"),
+        F.ntile(4).over(wq).alias("value_quartile"),
+    )
+
+
+ORACLE_Q55 = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       coalesce(
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w,
+         -1) AS gap_sec,
+       CAST(sum(CAST(value AS DECIMAL(18,2)))
+              OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS mov_sum3,
+       CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INT)
+         AS value_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2722,6 +2769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_streaming_quarantine": q52_streaming_quarantine,
     "q53_streaming_windowed_hll": q53_streaming_windowed_hll,
     "q54_bloom_join_pruning": q54_bloom_join_pruning,
+    "q55_user_event_features": q55_user_event_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -2779,4 +2827,5 @@ ORACLES: dict[str, str] = {
     "q52_streaming_quarantine": ORACLE_Q52,
     "q53_streaming_windowed_hll": _oracle_q53(),
     "q54_bloom_join_pruning": _oracle_q54(),
+    "q55_user_event_features": ORACLE_Q55,
 }
