@@ -158,3 +158,23 @@ def test_streaming_quarantine_routes_both_ways(spark):
     assert routed.get("quarantine"), "no poison page reached quarantine"
     assert routed.get("data"), "no clean page committed"
     assert not (routed["data"] & routed["quarantine"])
+
+
+def test_cli_suite_subcommand(spark, tmp_path, capsys):
+    from watermark_remove_spark.cli import main
+
+    assert main(["suite", "--list"]) == 0
+    assert "q45_benchmark_decontamination" in capsys.readouterr().out
+
+    out = str(tmp_path / "q47.csv")
+    rc = main([
+        "suite", "q47_stratified_sample",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--format", "csv", "--output", out,
+    ])
+    assert rc == 0
+    import glob
+
+    files = glob.glob(out) or glob.glob(out + "/*.csv") or [out]
+    assert any(files)
+    assert main(["suite", "nope"]) == 1

@@ -116,6 +116,62 @@ def query_main(argv: list[str]) -> int:
             spark.stop()
 
 
+def suite_main(argv: list[str]) -> int:
+    """``cli suite <query_name> --sf-dir DIR`` — run any catalog query
+    (the same surface the correctness harness checks) against a parquet
+    table directory; ``cli suite --list`` enumerates the catalog."""
+    ap = argparse.ArgumentParser(prog="watermark-remove-spark suite")
+    ap.add_argument("name", nargs="?", help="query name (see --list)")
+    ap.add_argument("--list", action="store_true", help="list catalog queries")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument(
+        "--format", choices=["table", "csv", "json", "parquet", "count"],
+        default="table",
+    )
+    ap.add_argument("--output", help="export path (csv/json/parquet)")
+    ap.add_argument("--limit", type=int)
+    args = ap.parse_args(argv)
+
+    from .queries import QUERIES
+
+    if args.list or not args.name:
+        for name in QUERIES:
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query: {args.name} (use --list)", file=sys.stderr)
+        return 1
+
+    from .serve import export_result
+    from .session import build_session
+
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = build_session(app_name="wrs-suite", master=args.master)
+    try:
+        df = QUERIES[args.name](spark, args.sf_dir)
+        if args.limit:
+            df = df.limit(args.limit)
+        if args.format == "count":
+            print(df.count())
+        elif args.format == "table":
+            df.show(args.limit or 20, truncate=40)
+        else:
+            if not args.output:
+                print("--output is required for export formats", file=sys.stderr)
+                return 1
+            print(export_result(df, args.output, args.format))
+        return 0
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def process_main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(prog="watermark-remove-spark process")
     ap.add_argument("--input", required=True)
@@ -179,6 +235,8 @@ def main(argv: list[str] | None = None) -> int:
         argv = sys.argv[1:]
     if argv and argv[0] == "query":
         return query_main(argv[1:])
+    if argv and argv[0] == "suite":
+        return suite_main(argv[1:])
     if argv and argv[0] == "process":
         return process_main(argv[1:])
     if argv and argv[0] == "compact":
