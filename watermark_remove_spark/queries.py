@@ -2714,6 +2714,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q56_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id — the third member of
+    the grouping family (q06 rollup, q30 cube): exactly the requested
+    aggregation levels, nothing more, computed in ONE pass (Catalyst
+    Expand), with grouping_id disambiguating a real NULL group value
+    from a super-aggregate row.  Declared via spark.sql on a temp view
+    — the SQL surface is a first-class entry point of this engine."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+ORACLE_Q56 = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2770,6 +2801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_streaming_windowed_hll": q53_streaming_windowed_hll,
     "q54_bloom_join_pruning": q54_bloom_join_pruning,
     "q55_user_event_features": q55_user_event_features,
+    "q56_grouping_sets": q56_grouping_sets,
 }
 
 ORACLES: dict[str, str] = {
@@ -2828,4 +2860,5 @@ ORACLES: dict[str, str] = {
     "q53_streaming_windowed_hll": _oracle_q53(),
     "q54_bloom_join_pruning": _oracle_q54(),
     "q55_user_event_features": ORACLE_Q55,
+    "q56_grouping_sets": ORACLE_Q56,
 }
