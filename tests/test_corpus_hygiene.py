@@ -174,7 +174,9 @@ def test_cli_suite_subcommand(spark, tmp_path, capsys):
     ])
     assert rc == 0
     import glob
+    import os
 
-    files = glob.glob(out) or glob.glob(out + "/*.csv") or [out]
-    assert any(files)
+    files = [p for p in glob.glob(out) + glob.glob(out + "/*.csv") if os.path.isfile(p)]
+    assert files, f"suite export wrote nothing at {out}"
+    assert any(os.path.getsize(p) > 0 for p in files)
     assert main(["suite", "nope"]) == 1

@@ -123,3 +123,32 @@ def test_no_nested_loop_join(spark, fixture):
     )
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in naive_plan
+
+
+def test_left_join_null_extends_unmatched_facts(spark, fixture):
+    """how='left' must keep facts with no interval (null-extended) —
+    the exact predicate lives in the join condition, not a post-filter
+    that would silently turn the outer join back into an inner one."""
+    facts, intervals = fixture
+    out = range_join_bucketed(
+        facts, intervals, "ts", "start_ts", "end_ts",
+        keys=["user_id"], bucket_seconds=600, how="left",
+    )
+    rows = out.collect()
+    # every fact appears at least once
+    assert {(r.user_id, pd.Timestamp(r.ts)) for r in rows} == {
+        (r.user_id, pd.Timestamp(r.ts)) for r in facts.collect()
+    }
+    # user 3 (no intervals) and user 1 @t900 (boundary-exclusive) are
+    # null-extended, matched rows carry their interval
+    base = pd.Timestamp("2026-01-01")
+    by = {(r.user_id, pd.Timestamp(r.ts)): r for r in rows}
+    assert by[(3, base + pd.Timedelta(seconds=100))].iid is None
+    assert by[(1, base + pd.Timedelta(seconds=900))].iid is None
+    assert by[(1, base)].iid == 10
+    # inner results are exactly the non-null subset
+    inner = range_join_bucketed(
+        facts, intervals, "ts", "start_ts", "end_ts",
+        keys=["user_id"], bucket_seconds=600,
+    ).count()
+    assert sum(1 for r in rows if r.iid is not None) == inner

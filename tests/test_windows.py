@@ -310,3 +310,42 @@ def test_scd2_apply_randomized_vs_model(spark):
         for r in out.collect()
     }
     assert got == want
+
+
+def test_scd2_unknown_op_is_upsert_not_silent_tombstone(spark):
+    """A NULL or typo'd op value must behave as an upsert — before the
+    normalization fix it was filtered from the output yet still closed
+    the prior version via lead(), acting as a silent delete."""
+    import pandas as pd
+
+    from watermark_remove_spark.operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "b"],
+                "valid_from": [pd.Timestamp("2026-01-01")] * 2,
+                "valid_to": [pd.NaT] * 2,
+                "v": [1, 1],
+            }
+        )
+    )
+    upd = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "b"],
+                "valid_from": [pd.Timestamp("2026-02-01")] * 2,
+                "v": [2, 2],
+                "op": [None, "updaet"],  # NULL and a typo
+            }
+        )
+    )
+    out = scd2_apply(dim, upd, ["k"], op_col="op").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.k, []).append(r)
+    for k in ("a", "b"):
+        rows = sorted(by[k], key=lambda r: r.valid_from)
+        assert len(rows) == 2, f"{k}: malformed op must upsert, not tombstone"
+        assert rows[0].valid_to == rows[1].valid_from
+        assert rows[1].valid_to is None and rows[1].v == 2

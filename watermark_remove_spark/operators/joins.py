@@ -114,8 +114,9 @@ def range_join_bucketed(
     strategy makes it shuffle-partitionable: quantize time into
     ``bucket_seconds`` chunks, replicate each interval into every
     chunk it overlaps (``sequence`` + ``explode``), tag each fact with
-    its single chunk, equi-join on (keys..., chunk), then apply the
-    exact range predicate as a post-filter.  Each fact lives in
+    its single chunk, and join on (keys..., chunk) equality WITH the
+    exact range predicate in the join condition (so ``how='left'``
+    correctly null-extends unmatched facts).  Each fact lives in
     exactly one chunk, so a (fact, interval) pair meets at most once —
     no dedup needed.
 
@@ -152,10 +153,26 @@ def range_join_bucketed(
             ),
         )
     )
-    joined = f.join(i, keys + ["__chunk"], how)
-    return joined.where(
-        (F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) < F.col(end_col))
-    ).drop("__chunk")
+    # The exact range predicate is part of the JOIN CONDITION, not a
+    # post-join filter: a post-filter silently turns any outer join
+    # back into an inner one (null-extended rows fail the predicate).
+    # Spark still extracts the equalities for an equi-join plan and
+    # evaluates the range residual at the join — asserted NLJ-free in
+    # tests/test_range_join.py and tools/explain_audit.py.
+    i2 = i
+    for k in keys:
+        i2 = i2.withColumnRenamed(k, f"__r_{k}")
+    i2 = i2.withColumnRenamed("__chunk", "__r_chunk")
+    cond = F.col("__chunk") == F.col("__r_chunk")
+    for k in keys:
+        cond = cond & (f[k] == F.col(f"__r_{k}"))
+    cond = (
+        cond
+        & (f[fact_ts] >= F.col(start_col))
+        & (f[fact_ts] < F.col(end_col))
+    )
+    joined = f.join(i2, cond, how)
+    return joined.drop("__chunk", "__r_chunk", *[f"__r_{k}" for k in keys])
 
 
 def write_bucketed(

@@ -41,7 +41,9 @@ def scd2_apply(
     version replaces it (updates win).
 
     CDC deletes (round-2 verdict #5): pass ``op_col`` naming a column
-    in ``updates`` with values ``'upsert' | 'delete'``.  A delete is a
+    in ``updates`` with values ``'upsert' | 'delete'`` — any OTHER
+    value (including NULL) is normalized to upsert, never silently
+    treated as a tombstone.  A delete is a
     TOMBSTONE event: it closes whatever version is active at its
     timestamp (that version's ``end_col`` becomes the delete's
     ``ts_col``) and emits no successor row — the key's history simply
@@ -60,7 +62,21 @@ def scd2_apply(
     if op_col is None:
         u = updates.withColumn("__pri", F.lit(1)).withColumn("__op", F.lit("upsert"))
     else:
-        u = updates.withColumnRenamed(op_col, "__op").withColumn("__pri", F.lit(1))
+        # normalize: anything that is not literally 'delete' (including
+        # NULL or a typo'd op) is an upsert.  Without this, an
+        # unrecognized op would be filtered by the final
+        # `__op != 'delete'` (NULL-safe-false) yet still close the
+        # prior version via lead() — a malformed changelog row acting
+        # as a silent tombstone.
+        norm = F.when(F.col(op_col) == "delete", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        )
+        u = (
+            updates.withColumn("__op_norm", norm)
+            .drop(op_col)
+            .withColumnRenamed("__op_norm", "__op")
+            .withColumn("__pri", F.lit(1))
+        )
     versions = d.unionByName(u)
     w_dup = Window.partitionBy(*key_cols, ts_col).orderBy(
         F.col("__pri").desc(), (F.col("__op") == "delete").cast("int").desc()

@@ -1039,6 +1039,22 @@ def _q_tmpdir(prefix: str) -> str:
     return d
 
 
+def _split_batches(pages, n_files: int, sentinels: bool = True):
+    """THE one ceil-split of a pages frame into time-ordered
+    micro-batch slices: empty slices are dropped (an empty pandas
+    object column serializes as a pyarrow null type that the
+    fixed-schema stream read rejects), optionally followed by the two
+    watermark-pinning sentinel batches.  Shared by every stream
+    fixture so the split/sentinel conventions cannot drift."""
+    per = (len(pages) + n_files - 1) // n_files
+    batches = [pages.iloc[i * per : (i + 1) * per] for i in range(n_files)]
+    batches = [b for b in batches if len(b)]
+    if sentinels:
+        sent = _sentinel_pages()
+        batches += [sent.iloc[:1], sent.iloc[1:]]
+    return batches
+
+
 def _derived_stream_fixture(spark, sf_dir, dup_every: int | None = None, n_files: int = 4):
     """Write the derived pages as time-ordered micro-batch files
     (+ sentinel batches) and mine the masks from the full corpus."""
@@ -1046,12 +1062,8 @@ def _derived_stream_fixture(spark, sf_dir, dup_every: int | None = None, n_files
     from .sources.pages import write_batch_files
 
     pages, _ = _derived_pages_pandas(sf_dir, dup_every)
-    sent = _sentinel_pages()
-    per = (len(pages) + n_files - 1) // n_files
-    batches = [pages.iloc[i * per : (i + 1) * per] for i in range(n_files)]
-    batches = [b for b in batches if len(b)] + [sent.iloc[:1], sent.iloc[1:]]
     src = _q_tmpdir("wrs-q-stream-")
-    write_batch_files(batches, src)
+    write_batch_files(_split_batches(pages, n_files), src)
     masks = mine_masks(spark.createDataFrame(pages))
     return src, masks
 
@@ -1085,6 +1097,16 @@ def _late_stream_fixture(
         for i in range(n_real)
     ]
     batches.append(pages[is_late])
+    # batch INDEX is semantic here (ORACLE_Q40's timeline numbers
+    # batches positionally) — an empty batch may not be silently
+    # dropped like _split_batches does; it would shift the watermark
+    # lag alignment.  Fail loudly instead.
+    for idx, b in enumerate(batches):
+        if not len(b):
+            raise ValueError(
+                f"late-stream fixture batch {idx} is empty at {sf_dir}; "
+                "the batch-timeline oracle requires every batch non-empty"
+            )
     sent = _sentinel_pages()
     batches += [sent.iloc[:1], sent.iloc[1:]]
     src = _q_tmpdir("wrs-q-late-")
@@ -1951,6 +1973,7 @@ def q42_rate_limited_drain(spark, sf_dir):
     n = len(pages)
     try:
         deadline = time.time() + 300
+        done = 0
         while time.time() < deadline:
             done = sum(
                 r["n_rows"] for r in sink._ledger_records() if "batch_id" in r
@@ -1958,6 +1981,13 @@ def q42_rate_limited_drain(spark, sf_dir):
             if done >= n:
                 break
             time.sleep(0.5)
+        else:
+            # a partial drain would surface as a baffling oracle hash
+            # mismatch; fail loudly as what it is — a harness timeout
+            # (slow shared-VM window), not an exactly-once bug
+            raise TimeoutError(
+                f"rate-limited drain committed {done}/{n} rows in 300s"
+            )
     finally:
         q.stop()
         q.awaitTermination(60)
@@ -2039,12 +2069,7 @@ def q44_streaming_sliding_windows(spark, sf_dir):
     from .sources.pages import write_batch_files
 
     pages, _ = _derived_pages_pandas(sf_dir)
-    sent = _sentinel_pages()
-    n_files = 4
-    per = (len(pages) + n_files - 1) // n_files
-    batches = [pages.iloc[i * per : (i + 1) * per] for i in range(n_files)]
-    batches = [b for b in batches if len(b)] + [sent.iloc[:1], sent.iloc[1:]]
-    write_batch_files(batches, src)
+    write_batch_files(_split_batches(pages, 4), src)
 
     stream = stream_pages_files(spark, src, 1)
     win = (
@@ -2248,7 +2273,7 @@ def q47_stratified_sample(spark, sf_dir):
     the same sample (contrast ``df.sample``, whose output depends on
     partition layout).  The only shuffle is the final low-cardinality
     per-stratum audit aggregate."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")  # per-text HOF hot path
     bucket = md5_i64_expr(F.col("doc_id").cast("string"), salt="strat#") % 10
     rate = F.when(F.col("lang") == "en", F.lit(5)).otherwise(F.lit(8))
     kept = bucket < rate
@@ -2288,7 +2313,7 @@ def q48_url_canonicalization(spark, sf_dir):
     the rollup groups by normalized host, reporting raw vs canonical
     URL counts (2:1 collapse proves the normalizer) plus the
     registrable domain."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")  # per-row regexp chain
     base = F.concat(F.col("source"), F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
     canonical_raw = F.concat(F.lit("https://"), base)
     m = F.col("doc_id") % 3
@@ -2488,11 +2513,9 @@ def q52_streaming_quarantine(spark, sf_dir):
     pages.loc[(doc_ids % POISON_MOD == 0).values, "html"] = None
 
     src = _q_tmpdir("wrs-q-quar-src-")
-    n_files = 4
-    per = (len(pages) + n_files - 1) // n_files
-    write_batch_files(
-        [pages.iloc[i * per : (i + 1) * per] for i in range(n_files) if per], src
-    )
+    # no sentinels: the cleaned stream has no windowed agg — dedup
+    # emits rows on arrival, so the full corpus lands without pinning
+    write_batch_files(_split_batches(pages, 4, sentinels=False), src)
     masks = mine_masks(spark.createDataFrame(pages))
 
     cleaned = build_decode_clean_stream(spark, src, masks)

@@ -244,22 +244,20 @@ class ParquetLedgerSink:
         orphan gen dir that vacuum removes.  Returns the ledger record
         or None if there was nothing to compact."""
         todo = sorted(self.committed_batches() - self._compacted_away())
-        # Record ONLY the batch ids whose data dirs were actually read
-        # into the generation: a committed batch with a missing dir must
-        # not be marked compacted-away (read_committed would silently
-        # lose its rows while the ledger claimed coverage).  A missing
-        # dir here means external tampering — fail loudly.
-        included, paths = [], []
+        # A committed batch with a missing data dir must never be
+        # marked compacted-away (read_committed would silently lose its
+        # rows while the ledger claimed coverage).  A missing dir means
+        # external tampering — fail loudly, so the ledger record below
+        # provably covers exactly the dirs that were read.
+        paths = []
         for b in todo:
             p = os.path.join(self.data_dir, f"batch_id={b}")
-            if os.path.exists(p):
-                included.append(b)
-                paths.append(p)
-            else:
+            if not os.path.exists(p):
                 raise RuntimeError(
                     f"committed batch {b} has no data dir {p}; refusing to "
                     "compact past it (ledger/data divergence)"
                 )
+            paths.append(p)
         if not paths:
             return None
         total_bytes = sum(
@@ -279,7 +277,7 @@ class ParquetLedgerSink:
         os.makedirs(self.compacted_dir, exist_ok=True)
         final = os.path.join(self.compacted_dir, f"gen={gen}")
         os.rename(tmp, final)
-        rec = {"compaction": gen, "batches": included, "n_rows": n_rows}
+        rec = {"compaction": gen, "batches": todo, "n_rows": n_rows}
         with open(self.ledger_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
             f.flush()
