@@ -328,8 +328,11 @@ def test_cli_stream_quarantine_mode(spark, tmp_path):
 
 def test_cli_continuous_mode_bounded(spark, tmp_path):
     """--no-available-now runs the documented continuous trigger;
-    --timeout-sec bounds it for tests/ops.  All input present at start
-    is drained and committed before the deadline stop."""
+    --stop-after-rows bounds it by OUTCOME (ledger-polled committed
+    rows) with --timeout-sec as the loud-failure deadline only — a
+    hard wall-clock race (round-3 verdict #1: the old 25 s bound) is
+    flaky under shared-VM load.  All input present at start is drained
+    and committed, then the stop is clean and checkpoint-resumable."""
     from watermark_remove_spark.cli import main
     from watermark_remove_spark.streaming.sink import ParquetLedgerSink
 
@@ -348,12 +351,19 @@ def test_cli_continuous_mode_bounded(spark, tmp_path):
     src = str(tmp_path / "in")
     write_batch_files([pages.iloc[:50], pages.iloc[50:], sent, sent2], src)
     out = str(tmp_path / "out")
+    # the window agg emits one row per (10-min window, lang) once the
+    # sentinel-pinned watermark closes it — computable from the fixture
+    expected = len(
+        set(zip(pages["warc_ts"].dt.floor("10min"), pages["lang"]))
+    )
     rc = main(
         ["--input", src, "--output", out, "--mode", "stream",
          "--checkpoint", str(tmp_path / "ck"), "--files-per-trigger", "1",
-         "--no-available-now", "--timeout-sec", "25"]
+         "--no-available-now", "--stop-after-rows", str(expected),
+         "--timeout-sec", "300"]
     )
     assert rc == 0
     sink = ParquetLedgerSink(out)
     got = sink.read_committed(spark)
-    assert got.count() > 0  # windowed rows for the drained corpus
+    real = got.where("window_start < timestamp'2027-01-01'")
+    assert real.count() == expected  # every real window flushed exactly once

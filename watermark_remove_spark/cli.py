@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="continuous mode (--no-available-now): stop gracefully "
         "after this many seconds instead of running forever",
     )
+    ap.add_argument(
+        "--stop-after-rows",
+        type=int,
+        default=None,
+        help="continuous mode: poll the sink ledger and stop once this "
+        "many rows are committed (bounded drain keyed to OUTCOME, not "
+        "wall clock; --timeout-sec becomes the loud-failure deadline)",
+    )
     return ap
 
 
@@ -302,7 +310,33 @@ def main(argv: list[str] | None = None) -> int:
         q = run_stream_to_sink(
             out_stream, sink, args.checkpoint, available_now=args.available_now
         )
-        if args.timeout_sec is not None:
+        if args.stop_after_rows is not None:
+            # outcome-keyed bounded drain: poll the public ledger
+            # accessor until the expected rows commit, then a clean
+            # stop (checkpoint stays resumable).  Wall-clock is only
+            # the loud-failure deadline — never the success condition
+            # (a hard 25 s race was flaky under shared-VM load).
+            import time as _time
+
+            deadline = _time.time() + (args.timeout_sec or 300.0)
+            while _time.time() < deadline:
+                if sink.committed_rows() >= args.stop_after_rows:
+                    break
+                if not q.isActive:
+                    break  # surface the stream's own failure below
+                _time.sleep(0.5)
+            committed = sink.committed_rows()
+            q.stop()
+            q.awaitTermination(60)
+            if committed < args.stop_after_rows:
+                print(
+                    f"error: drain committed {committed}/"
+                    f"{args.stop_after_rows} rows before the "
+                    f"{args.timeout_sec or 300.0}s deadline",
+                    file=sys.stderr,
+                )
+                return 1
+        elif args.timeout_sec is not None:
             # bounded continuous run: drain until the deadline, then a
             # clean stop (checkpoint stays resumable)
             q.awaitTermination(args.timeout_sec)

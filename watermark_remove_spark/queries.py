@@ -1975,9 +1975,7 @@ def q42_rate_limited_drain(spark, sf_dir):
         deadline = time.time() + 300
         done = 0
         while time.time() < deadline:
-            done = sum(
-                r["n_rows"] for r in sink._ledger_records() if "batch_id" in r
-            )
+            done = sink.committed_rows()
             if done >= n:
                 break
             time.sleep(0.5)

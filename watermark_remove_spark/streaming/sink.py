@@ -74,6 +74,18 @@ class ParquetLedgerSink:
         """Committed compaction generations, in commit order."""
         return [r for r in self._ledger_records() if "compaction" in r]
 
+    def committed_rows(self) -> int:
+        """Total data rows across ledgered BATCH commits — the public
+        progress probe for drain loops (q42/CLI --stop-after-rows).
+        Compaction records re-describe already-counted rows and are
+        excluded here, inside the one module that owns the ledger
+        schema — callers must not reimplement record classification
+        from raw ledger lines (round-3 advice: a schema change would
+        silently double-count in every copy of the heuristic)."""
+        return sum(
+            r["n_rows"] for r in self._ledger_records() if "batch_id" in r
+        )
+
     def _compacted_away(self) -> set[int]:
         return {b for r in self.compactions() for b in r["batches"]}
 
