@@ -71,6 +71,27 @@ def test_hll_python_register_parity(spark):
     assert row.empty_registers == M_REGISTERS - len(regs)
 
 
+def test_hll_null_values_do_not_bias(spark):
+    """NULL values are not distinct-set members: a frame with injected
+    NULLs must produce the IDENTICAL sketch (every output bit) as the
+    non-null subset — without the filter a NULL occupied a register row
+    that contributed no sum term, deflating register_scale_sum."""
+    from watermark_remove_spark.functions.sketches import hll_distinct
+
+    vals = [(f"user{i}",) for i in range(500)]
+    clean = spark.createDataFrame(vals, ["v"]).withColumn("g", F.lit("all"))
+    dirty = spark.createDataFrame(
+        vals + [(None,)] * 25, schema="v string"
+    ).withColumn("g", F.lit("all"))
+    a = hll_distinct(clean, ["g"], "v").first()
+    b = hll_distinct(dirty, ["g"], "v").first()
+    assert (a.register_scale_sum, a.empty_registers, a.estimate_raw) == (
+        b.register_scale_sum,
+        b.empty_registers,
+        b.estimate_raw,
+    )
+
+
 def test_incremental_dedup_non_vacuous(spark):
     from watermark_remove_spark.queries import q50_incremental_dedup
 

@@ -70,8 +70,13 @@ def hll_distinct(
     combine map-side, so the shuffle carries at most m rows per group
     per partition."""
     v = F.col(value_col).cast("string")
+    # NULL values are NOT members of the distinct set: a NULL hashes to
+    # a NULL bucket, which would occupy a register row that contributes
+    # no sum term — register_scale_sum would lose one register's 2^K
+    # mass and bias the estimate (round-3 advice; both engines filter).
     regs = (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             *group_cols,
             hll_bucket_expr(v, salt).alias("__b"),
             hll_rho_expr(v, salt).alias("__r"),
@@ -116,8 +121,10 @@ def hll_windowed_stream(
     output bit oracle-exact.  Append mode: rows are final when the
     watermark closes the window."""
     v = F.col(value_col).cast("string")
+    # same NULL-membership rule as hll_distinct (see comment there)
     regs = (
-        stream.withWatermark(ts_col, watermark)
+        stream.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), window).alias("w"),
             *group_cols,
@@ -167,6 +174,7 @@ WITH br AS (
          CASE WHEN ({hv} >> {P}) = 0 THEN {K}
               ELSE {K} - length(bin({hv} >> {P})) END AS r
   FROM {table}
+  WHERE {value_col} IS NOT NULL
 ), regs AS (
   SELECT {g}, b, max(r) AS m FROM br GROUP BY {g}, b
 ), agg AS (

@@ -2580,6 +2580,7 @@ WITH pages AS (
          CASE WHEN ({hv} >> {P}) = 0 THEN {K}
               ELSE {K} - length(bin({hv} >> {P})) END AS r
   FROM pages
+  WHERE url IS NOT NULL
 ), regs AS (
   SELECT ws, lang, b, max(r) AS m FROM br GROUP BY 1, 2, 3
 ), agg AS (
