@@ -125,6 +125,109 @@ def test_no_nested_loop_join(spark, fixture):
     assert "BroadcastNestedLoopJoin" in naive_plan
 
 
+def test_unsupported_how_raises(spark, fixture):
+    """right/full would emit one null-extended row per chunk REPLICA of
+    an unmatched interval (intervals are exploded across chunks) —
+    silent duplication, so the operator refuses them loudly."""
+    facts, intervals = fixture
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            range_join_bucketed(
+                facts, intervals, "ts", "start_ts", "end_ts",
+                keys=["user_id"], bucket_seconds=600, how=how,
+            )
+
+
+def test_semi_and_anti_match_naive(spark, fixture):
+    """semi/anti are replication-safe (facts live in one chunk) and
+    must equal the naive forms."""
+    facts, intervals = fixture
+    naive_cond_join = facts.alias("f").join(
+        intervals.alias("i"),
+        (F.col("f.user_id") == F.col("i.user_id"))
+        & (F.col("f.ts") >= F.col("i.start_ts"))
+        & (F.col("f.ts") < F.col("i.end_ts")),
+    )
+    matched = {
+        (r["user_id"], pd.Timestamp(r["ts"]))
+        for r in naive_cond_join.select("f.user_id", "f.ts").collect()
+    }
+    all_facts = {(r.user_id, pd.Timestamp(r.ts)) for r in facts.collect()}
+    semi = range_join_bucketed(
+        facts, intervals, "ts", "start_ts", "end_ts",
+        keys=["user_id"], bucket_seconds=600, how="left_semi",
+    )
+    anti = range_join_bucketed(
+        facts, intervals, "ts", "start_ts", "end_ts",
+        keys=["user_id"], bucket_seconds=600, how="left_anti",
+    )
+    assert {(r.user_id, pd.Timestamp(r.ts)) for r in semi.collect()} == matched
+    assert {
+        (r.user_id, pd.Timestamp(r.ts)) for r in anti.collect()
+    } == all_facts - matched
+
+
+def test_mixed_interval_lengths_bounded(spark):
+    """Heterogeneous intervals (15-min incidents among 30-day validity
+    windows): auto-sized bucket (bucket_seconds=None) keeps the
+    interval side's chunk replication bounded at max_replication while
+    matching the naive join exactly.  With the q43-style fixed 900 s
+    bucket a 30-day interval would replicate into 2881 chunks."""
+    base = pd.Timestamp("2026-01-01")
+
+    def t(sec):
+        return base + pd.Timedelta(seconds=sec)
+
+    month = 30 * 24 * 3600
+    ivals = pd.DataFrame(
+        {
+            "iid": list(range(12)),
+            "user_id": [1] * 6 + [2] * 6,
+            "start_ts": [t(i * 1800) for i in range(5)] + [t(0)]
+            + [t(i * 1800) for i in range(5)] + [t(900)],
+            "end_ts": [t(i * 1800 + 900) for i in range(5)] + [t(month)]
+            + [t(i * 1800 + 900) for i in range(5)] + [t(900 + month)],
+        }
+    )
+    facts = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "ts": [t(450), t(1200), t(month - 10), t(950), t(3600), t(month + 800)],
+            "value": [1.0] * 6,
+        }
+    )
+    fdf, idf = spark.createDataFrame(facts), spark.createDataFrame(ivals)
+    max_rep = 16
+    got = {
+        (r.iid, r.user_id, pd.Timestamp(r.ts))
+        for r in range_join_bucketed(
+            fdf, idf, "ts", "start_ts", "end_ts",
+            keys=["user_id"], bucket_seconds=None, max_replication=max_rep,
+        ).collect()
+    }
+    naive = fdf.alias("f").join(
+        idf.alias("i"),
+        (F.col("f.user_id") == F.col("i.user_id"))
+        & (F.col("f.ts") >= F.col("i.start_ts"))
+        & (F.col("f.ts") < F.col("i.end_ts")),
+    )
+    want = {
+        (r["iid"], r["user_id"], pd.Timestamp(r["ts"]))
+        for r in naive.select("i.iid", "f.user_id", "f.ts").collect()
+    }
+    assert got == want and len(got) > 0
+    # replication bound: replay the operator's own sizing rule and count
+    # the exploded interval side directly
+    lens = sorted((ivals["end_ts"] - ivals["start_ts"]).dt.total_seconds())
+    bucket = max(int(max(lens[len(lens) // 2], lens[-1] / max_rep)), 1)
+    n_chunks = (
+        (ivals["end_ts"] - base).dt.total_seconds().sub(1e-6).floordiv(bucket)
+        - (ivals["start_ts"] - base).dt.total_seconds().floordiv(bucket)
+        + 1
+    )
+    assert n_chunks.max() <= max_rep + 1, n_chunks.tolist()
+
+
 def test_left_join_null_extends_unmatched_facts(spark, fixture):
     """how='left' must keep facts with no interval (null-extended) —
     the exact predicate lives in the join condition, not a post-filter

@@ -95,6 +95,16 @@ def asof_join_latest_by_key(
     )
 
 
+_RANGE_JOIN_HOWS = frozenset(
+    {
+        "inner",
+        "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+)
+
+
 def range_join_bucketed(
     facts: DataFrame,
     intervals: DataFrame,
@@ -102,8 +112,9 @@ def range_join_bucketed(
     start_col: str,
     end_col: str,
     keys: list[str] | None = None,
-    bucket_seconds: int = 900,
+    bucket_seconds: int | None = 900,
     how: str = "inner",
+    max_replication: int = 64,
 ) -> DataFrame:
     """Range (interval-containment) join that stays an EQUI-join.
 
@@ -120,17 +131,55 @@ def range_join_bucketed(
     exactly one chunk, so a (fact, interval) pair meets at most once —
     no dedup needed.
 
+    ``how`` is restricted to joins where the INTERVAL side's chunk
+    replication cannot duplicate output: inner, the left-* family
+    (facts live in exactly one chunk), and semi/anti.  ``right`` or
+    ``full`` would emit one null-extended row PER chunk replica of an
+    unmatched interval — silently duplicated output — so they raise.
+    Interval-side outer semantics are expressible as two passes:
+    the inner join plus an anti-join of intervals against its
+    matched interval ids.
+
     Pick ``bucket_seconds`` near the TYPICAL interval length: an
     interval spans ~(len/bucket + 1) chunks, so the replication factor
     stays ~2; buckets much smaller than intervals inflate the
     interval side, much larger ones inflate the per-chunk join
     fan-out.  Both effects are data-linear, never quadratic.
+
+    ``bucket_seconds=None`` auto-sizes from the interval-length
+    distribution in ONE bounded aggregate (median + max, 2 scalar
+    values collected): bucket = max(median_len, max_len /
+    ``max_replication``) — typical intervals replicate ~2× while a
+    heterogeneous long tail (30-day validity intervals among 15-min
+    incidents) is capped at ``max_replication`` replicas instead of
+    exploding into thousands of chunks
+    (tests/test_range_join.py::test_mixed_interval_lengths_bounded).
+
     ``tests/test_range_join.py`` asserts the plan contains a real
     equi-join (SortMergeJoin/ShuffledHashJoin path available — no
     BroadcastNestedLoopJoin) and that results equal the naive range
     join.
     """
+    hw = how.lower().replace("_", "").replace("outer", "")
+    if hw not in {"inner", "left", "semi", "leftsemi", "anti", "leftanti"}:
+        raise ValueError(
+            f"range_join_bucketed: how={how!r} unsupported — interval "
+            "chunk replication would duplicate null-extended output for "
+            f"right/full joins; allowed: {sorted(_RANGE_JOIN_HOWS)}"
+        )
     keys = keys or []
+    if bucket_seconds is None:
+        len_s = (
+            F.unix_micros(F.col(end_col).cast("timestamp"))
+            - F.unix_micros(F.col(start_col).cast("timestamp"))
+        ) / 1_000_000.0
+        stats = intervals.agg(
+            F.percentile_approx(len_s, 0.5).alias("med"),
+            F.max(len_s).alias("mx"),
+        ).first()
+        med = float(stats["med"] or 0.0)
+        mx = float(stats["mx"] or 0.0)
+        bucket_seconds = max(int(max(med, mx / max_replication)), 1)
     w_us = int(bucket_seconds) * 1_000_000
 
     def us(col):
