@@ -2767,6 +2767,76 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+MEGA_DOMAIN = "mega.example.com"
+MEGA_MOD, MEGA_LT = 5, 2  # doc_id % 5 < 2 -> ~40% of pages on one domain
+
+
+def _skewed_pages_pandas(sf_dir: str):
+    """Derived pages with a deliberate MEGA-DOMAIN: every doc with
+    doc_id % 5 < 2 (~40% of the corpus) is re-homed to one domain — the
+    skew shape the north_star names ('skewed mega-domains ... salted
+    repartition before the windowed hash-aggregate').  A pure function
+    of doc_id, so ORACLE_Q57 reconstructs it in SQL.  The ≥30% skew
+    share is asserted in tests/test_skew_stream.py."""
+    pages, max_doc = _derived_pages_pandas(sf_dir)
+    doc_id = pages["url"].str.rsplit("/p/", n=1).str[-1].astype(int)
+    mega = (doc_id % MEGA_MOD < MEGA_LT).values
+    pages = pages.copy()
+    pages.loc[mega, "url"] = (
+        f"https://{MEGA_DOMAIN}/p/" + doc_id[mega].astype(str)
+    )
+    return pages, max_doc
+
+
+def q57_streaming_salted_windows(spark, sf_dir):
+    """O-21 STREAMING form on the driver's oracle (pytest-row-exact
+    only through round 3; round-3 verdict #4): the skewed derived
+    stream — one mega-domain holding ~40% of all rows — drains through
+    ``salted_window_domain_agg_stream``: chained stateful aggregations
+    where the partial agg keys (window, domain, salt) split the
+    mega-domain's rows across 8 state partitions and the final agg
+    merges the ≤8 partials per (window, domain).
+
+    At 1000 executors the unsalted plan sends 40% of the corpus
+    through ONE state-store task every trigger; the salted plan's
+    second shuffle moves only #groups × salt rows.  Semantics are
+    salt-invariant, so the oracle is the plain windowed GROUP BY."""
+    from .operators.extract import with_domain
+    from .operators.skew import salted_window_domain_agg_stream
+    from .sources.pages import stream_pages_files, write_batch_files
+
+    pages, _ = _skewed_pages_pandas(sf_dir)
+    src = _q_tmpdir("wrs-q-salt-")
+    write_batch_files(_split_batches(pages, 4), src)
+    stream = with_domain(stream_pages_files(spark, src, 1))
+    out = _drain(
+        salted_window_domain_agg_stream(stream, salt_buckets=8, text_col="text"),
+        spark,
+    )
+    return out.where(F.col("domain") != SENTINEL_DOMAIN).select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "domain",
+        "n_pages",
+        "total_chars",
+    )
+
+
+ORACLE_Q57 = f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), sk AS (
+  SELECT CASE WHEN doc_id % {MEGA_MOD} < {MEGA_LT}
+              THEN '{MEGA_DOMAIN}' ELSE domain END AS domain,
+         warc_ts, text
+  FROM pages
+)
+SELECT epoch(time_bucket(INTERVAL 10 minutes, warc_ts))::BIGINT AS window_start_epoch,
+       domain, count(*) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM sk GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2824,6 +2894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_bloom_join_pruning": q54_bloom_join_pruning,
     "q55_user_event_features": q55_user_event_features,
     "q56_grouping_sets": q56_grouping_sets,
+    "q57_streaming_salted_windows": q57_streaming_salted_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -2883,4 +2954,5 @@ ORACLES: dict[str, str] = {
     "q54_bloom_join_pruning": _oracle_q54(),
     "q55_user_event_features": ORACLE_Q55,
     "q56_grouping_sets": ORACLE_Q56,
+    "q57_streaming_salted_windows": ORACLE_Q57,
 }
