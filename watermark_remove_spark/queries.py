@@ -2837,6 +2837,73 @@ FROM sk GROUP BY 1, 2
 """
 
 
+def q58_compaction_roundtrip(spark, sf_dir):
+    """O-6 sink MAINTENANCE on the driver's oracle (round-3 verdict
+    #5: ledger-accounting bugs in compaction/vacuum are exactly-once
+    killers at 10^12-doc scale and were pytest-only): the derived
+    corpus streams into the exactly-once sink across TWO generations —
+    drain 3 micro-batches, compact, append 3 more files, resume from
+    the SAME checkpoint, compact again, vacuum the superseded batch
+    dirs — and the surviving committed view must still equal the input
+    corpus row-for-row (ORACLE = the derived pages table, q42 shape).
+
+    Fail-loud invariants inside the query (a silent maintenance no-op
+    must turn this row red, not quietly pass): exactly 2 committed
+    compaction generations, vacuum removed at least one superseded
+    batch dir, and data/ holds no leftover batch dirs afterwards."""
+    import os
+
+    from .sources.pages import stream_pages_files, write_batch_files
+    from .streaming.pipeline import run_stream_to_sink
+    from .streaming.sink import ParquetLedgerSink
+
+    pages, _ = _derived_pages_pandas(sf_dir)
+    # no sentinels: a passthrough stream has no windowed agg to pin
+    batches = _split_batches(pages, 6, sentinels=False)
+    src = _q_tmpdir("wrs-q-cpt-src-")
+    ck = _q_tmpdir("wrs-q-cpt-ck-")
+    sink = ParquetLedgerSink(_q_tmpdir("wrs-q-cpt-sink-"))
+
+    def drain_available():
+        stream = stream_pages_files(spark, src, 1).select(
+            "url", "warc_ts", "lang", "text"
+        )
+        q = run_stream_to_sink(stream, sink, ck)
+        q.awaitTermination(600)
+
+    write_batch_files(batches[:3], src)
+    drain_available()
+    rec1 = sink.compact(spark)
+    write_batch_files(batches[3:], src, start_index=3)
+    drain_available()  # checkpoint resume: only the new files replay
+    rec2 = sink.compact(spark)
+    removed = sink.vacuum(tmp_min_age_sec=0.0)
+
+    gens = sink.compactions()
+    if rec1 is None or rec2 is None or len(gens) != 2:
+        raise RuntimeError(
+            f"expected 2 compaction generations, got {len(gens)} "
+            f"(rec1={rec1 is not None}, rec2={rec2 is not None})"
+        )
+    if not any(f"{os.sep}batch_id=" in p for p in removed):
+        raise RuntimeError("vacuum removed no superseded batch dirs")
+    leftover = [d for d in os.listdir(sink.data_dir) if d.startswith("batch_id=")]
+    if leftover:
+        raise RuntimeError(f"superseded batch dirs survived vacuum: {leftover}")
+
+    return sink.read_committed(spark).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_ts_epoch"),
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+# same exactness contract as q42: maintenance must not add, drop, or
+# duplicate a single row of the committed view
+ORACLE_Q58 = ORACLE_Q42
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -2895,6 +2962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_user_event_features": q55_user_event_features,
     "q56_grouping_sets": q56_grouping_sets,
     "q57_streaming_salted_windows": q57_streaming_salted_windows,
+    "q58_compaction_roundtrip": q58_compaction_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -2955,4 +3023,5 @@ ORACLES: dict[str, str] = {
     "q55_user_event_features": ORACLE_Q55,
     "q56_grouping_sets": ORACLE_Q56,
     "q57_streaming_salted_windows": ORACLE_Q57,
+    "q58_compaction_roundtrip": ORACLE_Q58,
 }

@@ -50,7 +50,7 @@ def write_ordered_batches(pages: pd.DataFrame, out_dir: str, n_files: int) -> li
 
 
 def write_batch_files(
-    batches: list[pd.DataFrame], out_dir: str, subfiles: int = 1
+    batches: list[pd.DataFrame], out_dir: str, subfiles: int = 1, start_index: int = 0
 ) -> list[str]:
     """Write an explicit list of micro-batch frames — with subfiles=1,
     file k IS batch k under maxFilesPerTrigger=1 (exact oracle
@@ -60,11 +60,15 @@ def write_batch_files(
     subfiles>1 splits each batch into that many files (consume with
     files_per_trigger=subfiles): scan parallelism of a micro-batch is
     bounded by its file count, exactly like Iceberg split planning —
-    one fat file per trigger caps the whole UDF stage at one task."""
+    one fat file per trigger caps the whole UDF stage at one task.
+
+    ``start_index`` offsets the file numbering — for appending LATER
+    batches to an already-streamed directory (checkpoint-resume
+    fixtures) without colliding with the existing batch files."""
     os.makedirs(out_dir, exist_ok=True)
     kw = {"index": False, "coerce_timestamps": "us", "allow_truncated_timestamps": True}
     paths = []
-    for i, b in enumerate(batches):
+    for i, b in enumerate(batches, start=start_index):
         if subfiles == 1:
             p = os.path.join(out_dir, f"batch-{i:05d}.parquet")
             b.to_parquet(p, **kw)
