@@ -2904,28 +2904,43 @@ def q58_compaction_roundtrip(spark, sf_dir):
 ORACLE_Q58 = ORACLE_Q42
 
 
+# REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
+# correctness harness verified exactly the FIRST 50 entries in round 3
+# (q51-q56 landed in the same commit as the checked q50 and were
+# skipped — round-3 verdict #2), so the dict leads with the entries
+# that have never had a driver row (q51-q58) and retires the LAST 8
+# positions to queries that are triple-green in BOTH
+# CORRECTNESS_r02.json and CORRECTNESS_r03.json (q04 q07 q12 q18 q21
+# q30 q33 q36 — small, stable, double-verified).  Every entry stays in
+# the catalog and in tools/selfcheck.py regardless of position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # never driver-checked (round-3 cap) — first in line
+    "q51_trending_tokens": q51_trending_tokens,
+    "q52_streaming_quarantine": q52_streaming_quarantine,
+    "q53_streaming_windowed_hll": q53_streaming_windowed_hll,
+    "q54_bloom_join_pruning": q54_bloom_join_pruning,
+    "q55_user_event_features": q55_user_event_features,
+    "q56_grouping_sets": q56_grouping_sets,
+    # new this round
+    "q57_streaming_salted_windows": q57_streaming_salted_windows,
+    "q58_compaction_roundtrip": q58_compaction_roundtrip,
+    # driver-green in r03
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
     "q03_nations_with_buyers": q03_nations_with_buyers,
-    "q04_customers_without_orders": q04_customers_without_orders,
     "q05_top_orders_per_priority": q05_top_orders_per_priority,
     "q06_order_rollup": q06_order_rollup,
-    "q07_part_setops": q07_part_setops,
     "q08_top_lineitems": q08_top_lineitems,
     "q09_tumbling_event_windows": q09_tumbling_event_windows,
     "q10_sliding_event_windows": q10_sliding_event_windows,
     "q11_user_sessions": q11_user_sessions,
-    "q12_event_dedup": q12_event_dedup,
     "q13_frequent_shingles": q13_frequent_shingles,
     "q14_boiler_ratio": q14_boiler_ratio,
     "q15_doc_fingerprints": q15_doc_fingerprints,
     "q16_jaccard_pairs": q16_jaccard_pairs,
     "q17_lang_id": q17_lang_id,
-    "q18_token_stats": q18_token_stats,
     "q19_quality_scores": q19_quality_scores,
     "q20_cosine_topk": q20_cosine_topk,
-    "q21_embedding_norm_buckets": q21_embedding_norm_buckets,
     "q22_minhash_near_dupes": q22_minhash_near_dupes,
     "q23_simhash_near_dupes": q23_simhash_near_dupes,
     "q24_lsh_topk": q24_lsh_topk,
@@ -2934,13 +2949,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_streaming_clean_windows": q27_streaming_clean_windows,
     "q28_stateful_sessions": q28_stateful_sessions,
     "q29_streaming_asof_join": q29_streaming_asof_join,
-    "q30_order_cube": q30_order_cube,
     "q31_ivf_topk": q31_ivf_topk,
     "q32_rolling_fingerprint": q32_rolling_fingerprint,
-    "q33_bpe_tokens": q33_bpe_tokens,
     "q34_embedding_near_dupes": q34_embedding_near_dupes,
     "q35_corpus_prep": q35_corpus_prep,
-    "q36_value_percentiles": q36_value_percentiles,
     "q37_json_props": q37_json_props,
     "q38_status_pivot": q38_status_pivot,
     "q39_scd2_templates": q39_scd2_templates,
@@ -2955,38 +2967,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_url_canonicalization": q48_url_canonicalization,
     "q49_hll_distinct_users": q49_hll_distinct_users,
     "q50_incremental_dedup": q50_incremental_dedup,
-    "q51_trending_tokens": q51_trending_tokens,
-    "q52_streaming_quarantine": q52_streaming_quarantine,
-    "q53_streaming_windowed_hll": q53_streaming_windowed_hll,
-    "q54_bloom_join_pruning": q54_bloom_join_pruning,
-    "q55_user_event_features": q55_user_event_features,
-    "q56_grouping_sets": q56_grouping_sets,
-    "q57_streaming_salted_windows": q57_streaming_salted_windows,
-    "q58_compaction_roundtrip": q58_compaction_roundtrip,
+    # double-verified (r02 + r03) — safe beyond the 50-entry window
+    "q04_customers_without_orders": q04_customers_without_orders,
+    "q07_part_setops": q07_part_setops,
+    "q12_event_dedup": q12_event_dedup,
+    "q18_token_stats": q18_token_stats,
+    "q21_embedding_norm_buckets": q21_embedding_norm_buckets,
+    "q30_order_cube": q30_order_cube,
+    "q33_bpe_tokens": q33_bpe_tokens,
+    "q36_value_percentiles": q36_value_percentiles,
 }
 
+# mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q51_trending_tokens": ORACLE_Q51,
+    "q52_streaming_quarantine": ORACLE_Q52,
+    "q53_streaming_windowed_hll": _oracle_q53(),
+    "q54_bloom_join_pruning": _oracle_q54(),
+    "q55_user_event_features": ORACLE_Q55,
+    "q56_grouping_sets": ORACLE_Q56,
+    "q57_streaming_salted_windows": ORACLE_Q57,
+    "q58_compaction_roundtrip": ORACLE_Q58,
     "q01_pricing_summary": ORACLE_Q01,
     "q02_segment_sales": ORACLE_Q02,
     "q03_nations_with_buyers": ORACLE_Q03,
-    "q04_customers_without_orders": ORACLE_Q04,
     "q05_top_orders_per_priority": ORACLE_Q05,
     "q06_order_rollup": ORACLE_Q06,
-    "q07_part_setops": ORACLE_Q07,
     "q08_top_lineitems": ORACLE_Q08,
     "q09_tumbling_event_windows": ORACLE_Q09,
     "q10_sliding_event_windows": ORACLE_Q10,
     "q11_user_sessions": ORACLE_Q11,
-    "q12_event_dedup": ORACLE_Q12,
     "q13_frequent_shingles": ORACLE_Q13,
     "q14_boiler_ratio": ORACLE_Q14,
     "q15_doc_fingerprints": ORACLE_Q15,
     "q16_jaccard_pairs": ORACLE_Q16,
     "q17_lang_id": ORACLE_Q17,
-    "q18_token_stats": ORACLE_Q18,
     "q19_quality_scores": ORACLE_Q19,
     "q20_cosine_topk": ORACLE_Q20,
-    "q21_embedding_norm_buckets": ORACLE_Q21,
     "q22_minhash_near_dupes": ORACLE_Q22,
     "q23_simhash_near_dupes": ORACLE_Q23,
     "q24_lsh_topk": ORACLE_Q24,
@@ -2995,13 +3012,10 @@ ORACLES: dict[str, str] = {
     "q27_streaming_clean_windows": ORACLE_Q27,
     "q28_stateful_sessions": ORACLE_Q28,
     "q29_streaming_asof_join": ORACLE_Q29,
-    "q30_order_cube": ORACLE_Q30,
     "q31_ivf_topk": ORACLE_Q31,
     "q32_rolling_fingerprint": ORACLE_Q32,
-    "q33_bpe_tokens": ORACLE_Q33,
     "q34_embedding_near_dupes": ORACLE_Q34,
     "q35_corpus_prep": ORACLE_Q35,
-    "q36_value_percentiles": ORACLE_Q36,
     "q37_json_props": ORACLE_Q37,
     "q38_status_pivot": ORACLE_Q38,
     "q39_scd2_templates": ORACLE_Q39,
@@ -3016,12 +3030,12 @@ ORACLES: dict[str, str] = {
     "q48_url_canonicalization": ORACLE_Q48,
     "q49_hll_distinct_users": _oracle_q49(),
     "q50_incremental_dedup": ORACLE_Q50,
-    "q51_trending_tokens": ORACLE_Q51,
-    "q52_streaming_quarantine": ORACLE_Q52,
-    "q53_streaming_windowed_hll": _oracle_q53(),
-    "q54_bloom_join_pruning": _oracle_q54(),
-    "q55_user_event_features": ORACLE_Q55,
-    "q56_grouping_sets": ORACLE_Q56,
-    "q57_streaming_salted_windows": ORACLE_Q57,
-    "q58_compaction_roundtrip": ORACLE_Q58,
+    "q04_customers_without_orders": ORACLE_Q04,
+    "q07_part_setops": ORACLE_Q07,
+    "q12_event_dedup": ORACLE_Q12,
+    "q18_token_stats": ORACLE_Q18,
+    "q21_embedding_norm_buckets": ORACLE_Q21,
+    "q30_order_cube": ORACLE_Q30,
+    "q33_bpe_tokens": ORACLE_Q33,
+    "q36_value_percentiles": ORACLE_Q36,
 }
