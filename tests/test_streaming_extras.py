@@ -367,3 +367,33 @@ def test_cli_continuous_mode_bounded(spark, tmp_path):
     got = sink.read_committed(spark)
     real = got.where("window_start < timestamp'2027-01-01'")
     assert real.count() == expected  # every real window flushed exactly once
+
+
+def test_sink_time_travel_and_vacuum_pruning(spark, tmp_path):
+    """read_committed(as_of_batch=N) returns exactly the rows committed
+    as of batch N; once vacuum prunes a compacted-away batch dir the
+    as-of read RAISES (expired-snapshot semantics) instead of returning
+    a silently incomplete view."""
+    import pytest
+
+    from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+
+    sink = ParquetLedgerSink(str(tmp_path / "out"))
+    for b in range(3):
+        df = spark.range(b * 10, b * 10 + 10).selectExpr("id", "id * 2 AS v")
+        sink.write_batch(df, b)
+
+    asof1 = sink.read_committed(spark, as_of_batch=1)
+    assert {r.id for r in asof1.collect()} == set(range(20))
+    # inclusive upper bound; full view unaffected
+    assert sink.read_committed(spark, as_of_batch=0).count() == 10
+    assert sink.read_committed(spark).count() == 30
+
+    sink.compact(spark)
+    # batch dirs still on disk: time travel still works
+    assert sink.read_committed(spark, as_of_batch=1).count() == 20
+    sink.vacuum(tmp_min_age_sec=0.0)
+    with pytest.raises(RuntimeError, match="pruned by vacuum"):
+        sink.read_committed(spark, as_of_batch=1)
+    # the current view is served by the compaction generation
+    assert sink.read_committed(spark).count() == 30

@@ -221,9 +221,36 @@ class ParquetLedgerSink:
         return lambda df, bid: self.write_batch(df, bid)
 
     # -- reader side -------------------------------------------------------
-    def read_committed(self, spark) -> DataFrame:
+    def read_committed(self, spark, as_of_batch: int | None = None) -> DataFrame:
         """All rows of ledgered batches (exactly-once view): committed
-        compaction generations plus batches not yet compacted."""
+        compaction generations plus batches not yet compacted.
+
+        ``as_of_batch``: TIME-TRAVEL read — exactly the rows that were
+        committed as of that batch id (inclusive), the Iceberg
+        snapshot-read analog over the ledger.  Served from the original
+        per-batch dirs; like an expired Iceberg snapshot, history that
+        ``vacuum()`` has pruned (batch dir superseded by a compaction
+        and deleted) raises loudly instead of returning a silently
+        incomplete view."""
+        if as_of_batch is not None:
+            want = sorted(
+                b for b in self.committed_batches() if b <= as_of_batch
+            )
+            paths = []
+            for b in want:
+                p = os.path.join(self.data_dir, f"batch_id={b}")
+                if not os.path.exists(p):
+                    raise RuntimeError(
+                        f"as-of read at batch {as_of_batch}: batch {b}'s "
+                        "dir was pruned by vacuum (compacted history); "
+                        "time travel to this point is no longer available"
+                    )
+                paths.append(p)
+            if not paths:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame([], StructType([]))
+            return spark.read.parquet(*paths)
         covered = self._compacted_away()
         paths = [
             os.path.join(self.compacted_dir, f"gen={r['compaction']}")
