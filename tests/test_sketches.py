@@ -214,3 +214,40 @@ def test_bloom_python_parity(spark):
             py[p // 64] |= 1 << (p % 64)
     # Spark words are signed longs; compare as 64-bit patterns
     assert [w & ((1 << 64) - 1) for w in words] == py
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_estimate_dominates_true_count(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from watermark_remove_spark.functions.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_point_estimate,
+        cms_sketch,
+    )
+
+    vals = [f"tok{i % 97}" for i in range(5000)] + ["hot"] * 400 + [None] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "v: string")
+    sketch = cms_sketch(df, "v")
+    rows = sketch.collect()
+    assert len(rows) <= CMS_DEPTH * CMS_WIDTH
+    # total counted mass per depth row == number of non-NULL values
+    per_depth = {d: 0 for d in range(CMS_DEPTH)}
+    for r in rows:
+        per_depth[r["depth"]] += r["c"]
+    assert set(per_depth.values()) == {5000 + 400}
+
+    truth = Counter(v for v in vals if v is not None)
+    cands = df.where(F.col("v").isNotNull()).distinct()
+    est = {r["v"]: r["cms_est"] for r in cms_point_estimate(sketch, cands, "v").collect()}
+    assert set(est) == set(truth)
+    for tok, true_n in truth.items():
+        assert est[tok] >= true_n  # one-sided error, always
+    # the heavy hitter is far from any collision mass at this size
+    assert est["hot"] == truth["hot"]

@@ -100,11 +100,30 @@ def main() -> None:
         "q54_bloom_join_pruning": dict(
             broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
         ),
+        "q61_distinctive_terms": dict(forbid_node=("CartesianProduct",)),
+        # CMS probe: the <=2048-row sketch must broadcast into the
+        # point-estimate join — shuffling candidates against it would
+        # be backwards at any scale
+        "q64_cms_heavy_hitters": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        "q65_funnel_sequences": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
         check(name, plan, **kw)
         print(f"audited {name}")
+
+    # q62's returned plan is post-fixpoint (the CC loop materializes
+    # per round); the 100-TB-critical plan is the EDGE derivation —
+    # audit it directly: the pair generator must be a shingle
+    # equi-join, never all-pairs (the 1-row corpus-count broadcast is
+    # a benign BroadcastNestedLoopJoin by construction)
+    from watermark_remove_spark.queries import _q62_edges, _t
+
+    plan = plan_of(_q62_edges(_t(spark, sf_dir, "documents")))
+    check("q62_edge_derivation", plan, forbid_node=("CartesianProduct",))
+    print("audited q62_edge_derivation")
 
     # extraction pipeline: html must not be read; mask join broadcast
     from watermark_remove_spark.operators.extract import (

@@ -190,3 +190,75 @@ SELECT {g},
          / CAST(s_present + (256 - n_present) * (1::BIGINT << {K}) AS DOUBLE) AS estimate_raw
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the third portable sketch (HLL = distincts, Bloom =
+# membership, CMS = frequencies).  Point-query estimates with the classic
+# one-sided error (estimate >= true count), every counter bit-exact in
+# both engines: integer increments only, d portable hash rows.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512           # 2^9 buckets per row
+
+
+def cms_bucket_exprs(value: Column) -> list[Column]:
+    """One bucket column per depth row: md5-portable hash salted per
+    row, masked to the width.  The hash family differs per row only by
+    the salt string — exactly reproducible in SQL as
+    ``md5('cms' || d || '#' || value)``."""
+    from .portable_hash import md5_i64_expr
+
+    return [
+        md5_i64_expr(value, salt=f"cms{d}#").bitwiseAND(F.lit(CMS_WIDTH - 1))
+        for d in range(CMS_DEPTH)
+    ]
+
+
+def cms_sketch(df: DataFrame, value_col: str) -> DataFrame:
+    """Build the (depth, bucket, c) counter table: ONE posexplode of
+    the d bucket ids per row, then one map-side-combinable count
+    shuffle keyed on the fixed-width (depth, bucket) pair.  The sketch
+    is at most d*w rows (2048 here) regardless of input size — the
+    point of a sketch at 100 TB."""
+    v = F.col(value_col).cast("string")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.posexplode(F.array(*cms_bucket_exprs(v))).alias("depth", "bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_point_estimate(
+    sketch: DataFrame, candidates: DataFrame, value_col: str
+) -> DataFrame:
+    """min over the d counters each candidate hashes to.  The sketch
+    side is <= d*w rows -> broadcast; the probe is a map-side hash
+    join, no shuffle of the candidate set."""
+    v = F.col(value_col).cast("string")
+    probes = candidates.select(
+        value_col,
+        F.posexplode(F.array(*cms_bucket_exprs(v))).alias("depth", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+
+
+def duck_cms_sql(values_cte: str, value_expr: str = "v") -> str:
+    """DuckDB mirror: ``values_cte`` must define ``vals({value_expr})``
+    (one row per occurrence, NULLs excluded); yields CTEs ``sketch``
+    and a ``cms_est(v, cms_est)`` relation body the caller composes."""
+    hv = (
+        f"(('0x' || substr(md5('cms' || d.d::VARCHAR || '#' || {value_expr}::VARCHAR),"
+        f" 1, 15))::BIGINT) & {CMS_WIDTH - 1}"
+    )
+    return f"""sketch AS (
+  SELECT d.d AS depth, {hv} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM vals, (SELECT unnest(range({CMS_DEPTH})) AS d) d
+  GROUP BY 1, 2
+)"""

@@ -57,7 +57,12 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     repartition happens and no extra shuffle is paid."""
     df = _t(spark, sf_dir, name)
     p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, p // 2):
+    # File count is a pure-metadata proxy for scan parallelism: it never
+    # materializes an RDD lineage (unlike df.rdd.getNumPartitions()).
+    # Conservative in the right direction — a single file MIGHT split into
+    # several row-group partitions, but the small-SF fixtures this guards
+    # against are one file / one row group, where the two probes agree.
+    if len(df.inputFiles()) < max(2, p // 2):
         df = df.repartition(p)
     return df
 
@@ -3092,6 +3097,247 @@ SELECT doc_id, rank, token, tf, df FROM (
 """
 
 
+def _q62_edges(docs: DataFrame) -> DataFrame:
+    """Near-dup candidate edges: doc pairs sharing >= 3 distinct
+    non-ubiquitous shingles (global df < 10% of the corpus — the
+    boilerplate prune, integer-compared as 10*df < n so no float
+    threshold can diverge).  Same shuffle shape as q16: explode once,
+    df-prune, self-equi-join on the shared shingle — never all-pairs."""
+    shings = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    dfq = shings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        shings.join(dfq, "shingle")
+        .crossJoin(F.broadcast(n_docs))
+        .where(10 * F.col("df") < F.col("n"))
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=True)
+    )
+    a = kept.select("shingle", F.col("doc_id").alias("src"))
+    b = kept.select("shingle", F.col("doc_id").alias("dst"))
+    return (
+        a.join(b, "shingle")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .select("src", "dst")
+    )
+
+
+def q62_neardup_components(spark, sf_dir):
+    """Connected-components clustering of the near-dup candidate graph
+    — the step that turns pairwise similarity into KEEP/DROP decisions
+    (component id = the min doc_id, i.e. the canonical doc to keep).
+
+    Spark side: iterative min-label propagation with pointer jumping
+    (O(log n) rounds, two fixed-width-key shuffles per round — the
+    large-star/small-star family; see operators/graph.py).  Oracle:
+    recursive-CTE min-reachability over the IDENTICAL edge SQL, so the
+    driver checks both the edge derivation and the fixpoint."""
+    from .operators.graph import connected_components
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    edges = _q62_edges(docs)
+    return connected_components(edges, "src", "dst").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+_Q62_EDGES_SQL = f"""nd AS (SELECT count(*) AS n FROM documents),
+shings AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS shingle
+  FROM documents
+), dfq AS (
+  SELECT shingle, count(*) AS df FROM shings GROUP BY 1
+), kept AS (
+  SELECT s.doc_id, s.shingle
+  FROM shings s JOIN dfq USING (shingle), nd
+  WHERE 10 * dfq.df < nd.n
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)"""
+
+ORACLE_Q62 = f"""
+WITH RECURSIVE {_Q62_EDGES_SQL},
+sym AS (
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+),
+reach(node, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.label FROM reach r JOIN sym s ON s.b = r.node
+)
+SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+"""
+
+
+def q63_user_pagerank(spark, sf_dir):
+    """Fixed-iteration (5) integer PageRank over the user transition
+    graph (edge u->v when v's event directly follows u's within the
+    same event_type stream, ordered by ts then event_id — a
+    deterministic, SQL-mirrorable co-occurrence graph).
+
+    Every iteration is pure BIGINT floor-division arithmetic (see
+    operators/graph.py: damping 85/100 as an exact rational, rank mass
+    scaled by 10^12), so all 5 iterations sit on the hash-compared
+    oracle — an unrolled chained-CTE mirror, bit-identical."""
+    from .operators.graph import pagerank_integer
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
+        .where(F.col("next_user").isNotNull() & (F.col("next_user") != F.col("user_id")))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+    )
+    return pagerank_integer(edges, iterations=5).select(
+        F.col("node").alias("user_id"), "rank_scaled"
+    )
+
+
+def _oracle_q63() -> str:
+    from .operators.graph import duck_pagerank_sql
+
+    edges_cte = """edges AS (
+  SELECT src, dst FROM (
+    SELECT user_id AS src,
+           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL AND dst <> src
+)"""
+    sql = duck_pagerank_sql(edges_cte, iterations=5)
+    return sql.replace(
+        "SELECT node, rank_scaled FROM r5",
+        "SELECT node AS user_id, rank_scaled FROM r5",
+    )
+
+
+def q64_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min-sketch frequency estimates for the corpus's top-20
+    tokens (by true count, token-asc tie-break) — the bounded-memory
+    path to heavy hitters on a stream where exact per-token state is
+    unaffordable.  Output carries BOTH the exact count and the CMS
+    point estimate so the one-sided error (est >= true) is itself
+    driver-checked.
+
+    Sketch = d=4 x w=512 integer counters (one posexplode + one
+    map-side-combinable shuffle, <= 2048 rows total regardless of
+    input); estimates probe it via broadcast — see
+    functions/sketches.py."""
+    from .functions.sketches import cms_point_estimate, cms_sketch
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.flatten(F.transform(F.split(F.col("text"), "\n", -1), tokens_expr))
+        ).alias("token"),
+    )
+    sketch = cms_sketch(toks, "token").localCheckpoint(eager=True)
+    true_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = true_counts.orderBy(F.col("true_cnt").desc(), F.col("token").asc()).limit(20)
+    est = cms_point_estimate(sketch, top.select("token"), "token")
+    return top.join(est, "token").select("token", "true_cnt", "cms_est")
+
+
+def _oracle_q64() -> str:
+    from .functions.sketches import duck_cms_sql
+
+    toks = """toks AS (
+  SELECT unnest(flatten(list_transform(string_split(text, chr(10)),
+         ln -> list_filter(string_split(ln, ' '), t -> t <> '')))) AS token
+  FROM documents
+), vals AS (SELECT token AS v FROM toks)"""
+    sketch = duck_cms_sql("vals")
+    return f"""
+WITH {toks},
+{sketch},
+true_counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY 1
+), top AS (
+  SELECT token, true_cnt FROM true_counts
+  ORDER BY true_cnt DESC, token ASC LIMIT 20
+), probes AS (
+  SELECT t.token, d.d AS depth,
+         (('0x' || substr(md5('cms' || d.d::VARCHAR || '#' || t.token), 1, 15))::BIGINT) & 511 AS bucket
+  FROM top t, (SELECT unnest(range(4)) AS d) d
+), est AS (
+  SELECT p.token, CAST(min(s.c) AS BIGINT) AS cms_est
+  FROM probes p JOIN sketch s ON p.depth = s.depth AND p.bucket = s.bucket
+  GROUP BY 1
+)
+SELECT t.token, t.true_cnt, e.cms_est
+FROM top t JOIN est e ON t.token = e.token
+"""
+
+
+def q65_funnel_sequences(spark, sf_dir):
+    """CEP strict-sequence detection: per user, count STRICTLY
+    CONSECUTIVE view -> click -> purchase triples completing within 24
+    hours (MATCH_RECOGNIZE's STRICT SEQUENCE / Flink CEP's `next`
+    contiguity) over the (ts, event_id)-ordered per-user event stream.
+
+    Pure window functions — two lags per column, zero joins, one
+    shuffle on user_id that the lag window and the final per-user
+    aggregate SHARE (same partitioning, Catalyst plans one Exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.unix_timestamp("ts").alias("e3"),
+        F.unix_timestamp(F.lag("ts", 2).over(w)).alias("e1"),
+    )
+    hit = (
+        (F.col("t1") == "view")
+        & (F.col("t2") == "click")
+        & (F.col("t3") == "purchase")
+        & (F.col("e3") - F.col("e1") <= 86400)
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum(hit.cast("long")).alias("n_funnels"),
+            F.min(F.when(hit, F.col("e3"))).alias("first_funnel_epoch"),
+        )
+        .where(F.col("n_funnels") > 0)
+    )
+
+
+ORACLE_Q65 = """
+WITH flagged AS (
+  SELECT user_id,
+         event_type AS t3,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1,
+         CAST(floor(epoch(ts)) AS BIGINT) AS e3,
+         CAST(floor(epoch(lag(ts, 2) OVER w)) AS BIGINT) AS e1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), hits AS (
+  SELECT user_id,
+         (t1 = 'view' AND t2 = 'click' AND t3 = 'purchase'
+          AND e3 - e1 <= 86400) AS hit,
+         e3
+  FROM flagged
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_funnels,
+       min(CASE WHEN hit THEN e3 END) AS first_funnel_epoch
+FROM hits GROUP BY user_id
+HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -3115,6 +3361,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_sink_time_travel": q59_sink_time_travel,
     "q60_pii_redaction": q60_pii_redaction,
     "q61_distinctive_terms": q61_distinctive_terms,
+    "q62_neardup_components": q62_neardup_components,
+    "q63_user_pagerank": q63_user_pagerank,
+    "q64_cms_heavy_hitters": q64_cms_heavy_hitters,
+    "q65_funnel_sequences": q65_funnel_sequences,
     # driver-green in r03
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -3182,6 +3432,10 @@ ORACLES: dict[str, str] = {
     "q59_sink_time_travel": ORACLE_Q59,
     "q60_pii_redaction": ORACLE_Q60,
     "q61_distinctive_terms": ORACLE_Q61,
+    "q62_neardup_components": ORACLE_Q62,
+    "q63_user_pagerank": _oracle_q63(),
+    "q64_cms_heavy_hitters": _oracle_q64(),
+    "q65_funnel_sequences": ORACLE_Q65,
     "q01_pricing_summary": ORACLE_Q01,
     "q02_segment_sales": ORACLE_Q02,
     "q03_nations_with_buyers": ORACLE_Q03,
