@@ -3338,6 +3338,79 @@ HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0
 """
 
 
+SENTINEL_USER = -1
+
+
+def q66_streaming_funnels(spark, sf_dir):
+    """STREAMING CEP strict-sequence detection (the north_star's CEP
+    mandate in stateful form): the q65 pattern — strictly consecutive
+    view -> click -> purchase within 24 h per user — detected over a
+    micro-batch event stream via applyInPandasWithState, one output
+    row per completed match, emitted exactly once when the watermark
+    proves the run's neighborhood final (streaming/cep.py).
+
+    ORACLE-CHECKED: events arrive time-ordered in 4 micro-batches, two
+    far-future sentinel events (user -1, non-pattern type) pin the
+    final watermark past every real event, so the emitted match set
+    equals the batch lag-window SQL — per-MATCH rows, stronger than
+    q65's per-user aggregate."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .sources.pages import stream_events_files, write_batch_files
+
+    ev = (
+        pq.read_table(f"{sf_dir}/events.parquet")
+        .to_pandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    sent = pd.DataFrame(
+        {
+            "event_id": [10**15, 10**15 + 1],
+            "ts": [pd.Timestamp("2027-01-01"), pd.Timestamp("2027-01-01T01:00:00")],
+            "user_id": [SENTINEL_USER, SENTINEL_USER],
+            "event_type": ["sentinel", "sentinel"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    n_files = 4
+    per = (len(ev) + n_files - 1) // n_files
+    batches = [ev.iloc[i * per : (i + 1) * per] for i in range(n_files)]
+    batches = [b for b in batches if len(b)] + [sent.iloc[:1], sent.iloc[1:]]
+    src = _q_tmpdir("wrs-q-cep-")
+    write_batch_files(batches, src)
+
+    from .streaming.cep import stateful_sequence_match
+
+    stream = stream_events_files(spark, src, 1)
+    matches = stateful_sequence_match(
+        stream, pattern=("view", "click", "purchase"), within_seconds=86400
+    )
+    out = _drain(matches, spark)
+    return out.where(F.col("user_id") != SENTINEL_USER).select(
+        "user_id", "start_epoch", "end_epoch"
+    )
+
+
+ORACLE_Q66 = """
+WITH f AS (
+  SELECT user_id,
+         event_type AS t3,
+         lag(event_type, 1) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1,
+         CAST(floor(epoch(ts)) AS BIGINT) AS e3,
+         CAST(floor(epoch(lag(ts, 2) OVER w)) AS BIGINT) AS e1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, e1 AS start_epoch, e3 AS end_epoch
+FROM f
+WHERE t1 = 'view' AND t2 = 'click' AND t3 = 'purchase' AND e3 - e1 <= 86400
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -3365,6 +3438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_user_pagerank": q63_user_pagerank,
     "q64_cms_heavy_hitters": q64_cms_heavy_hitters,
     "q65_funnel_sequences": q65_funnel_sequences,
+    "q66_streaming_funnels": q66_streaming_funnels,
     # driver-green in r03
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -3436,6 +3510,7 @@ ORACLES: dict[str, str] = {
     "q63_user_pagerank": _oracle_q63(),
     "q64_cms_heavy_hitters": _oracle_q64(),
     "q65_funnel_sequences": ORACLE_Q65,
+    "q66_streaming_funnels": ORACLE_Q66,
     "q01_pricing_summary": ORACLE_Q01,
     "q02_segment_sales": ORACLE_Q02,
     "q03_nations_with_buyers": ORACLE_Q03,

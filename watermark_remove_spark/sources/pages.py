@@ -28,6 +28,10 @@ TEMPLATES_DDL = (
     "domain string, valid_from timestamp, template_kind string, "
     "template_line string, shingle_hashes array<bigint>"
 )
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
 
 
 def write_ordered_batches(pages: pd.DataFrame, out_dir: str, n_files: int) -> list[str]:
@@ -95,6 +99,21 @@ def stream_pages_files(
     """O-2 deterministic micro-batch file stream."""
     return (
         spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("latestFirst", "false")
+        .option("maxFileAge", "3650d")
+        .parquet(dir_path)
+    )
+
+
+def stream_events_files(
+    spark: SparkSession, dir_path: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Micro-batch file stream over the ``events`` shape (the CEP /
+    funnel input) — same deterministic file-per-trigger contract as
+    :func:`stream_pages_files`."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
         .option("maxFilesPerTrigger", files_per_trigger)
         .option("latestFirst", "false")
         .option("maxFileAge", "3650d")
