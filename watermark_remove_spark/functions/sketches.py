@@ -262,3 +262,35 @@ def duck_cms_sql(values_cte: str, value_expr: str = "v") -> str:
   FROM vals, (SELECT unnest(range({CMS_DEPTH})) AS d) d
   GROUP BY 1, 2
 )"""
+
+
+def cms_windowed_stream(
+    stream: DataFrame,
+    value_col: str,
+    window: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """STREAMING per-window Count-Min sketch: one stateful windowed
+    aggregation whose state is bounded at d*w = 2048 counter rows per
+    window regardless of stream volume — the frequency analog of
+    ``hll_windowed_stream``.  Counters are plain integer sums
+    (order-free, merge-associative), so every emitted counter is
+    bit-exact vs a batch recount; append mode emits a window's
+    counters once the watermark closes it.
+
+    The caller probes the drained sketch batch-side (broadcast, see
+    ``cms_point_estimate``) — the monitoring pattern: the stream
+    maintains the sketch, dashboards probe it after window close."""
+    v = F.col(value_col).cast("string")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.col(ts_col),
+            F.posexplode(F.array(*cms_bucket_exprs(v))).alias("depth", "bucket"),
+        )
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "depth", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(F.col("w.start").alias("window_start"), "depth", "bucket", "c")
+    )

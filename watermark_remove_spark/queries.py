@@ -3411,6 +3411,113 @@ WHERE t1 = 'view' AND t2 = 'click' AND t3 = 'purchase' AND e3 - e1 <= 86400
 """
 
 
+def q67_streaming_windowed_cms(spark, sf_dir):
+    """STREAMING per-window Count-Min sketch over the page-token
+    stream + batch probe — the monitoring pattern: the stream
+    maintains a bounded 2048-counter sketch per 30-min window
+    (frequency analog of q53's streaming HLL; exact per-token state
+    for a web-scale token stream is unaffordable, integer counters
+    are not), and the per-window top-3 tokens are estimated against
+    the drained sketch batch-side via a broadcast probe.
+
+    Output carries the exact count AND the estimate, so the CMS
+    one-sided error (est >= true) is driver-checked per window.
+    Sentinel pages only populate 2027 windows — excluded by the
+    window filter, same as q53."""
+    from .functions.sketches import cms_point_estimate, cms_sketch, cms_windowed_stream
+    from .sources.pages import stream_pages_files
+
+    src, _ = _derived_stream_fixture(spark, sf_dir)
+    stream = stream_pages_files(spark, src, 1)
+    toks_stream = stream.select(
+        "warc_ts",
+        F.explode(
+            F.flatten(F.transform(F.split(F.col("text"), "\n", -1), tokens_expr))
+        ).alias("token"),
+    )
+    sketch = (
+        _drain(cms_windowed_stream(toks_stream, "token", window="30 minutes"), spark)
+        .where(F.col("window_start") < F.lit("2027-01-01").cast("timestamp"))
+        .select(
+            F.unix_timestamp("window_start").alias("ws"), "depth", "bucket", "c"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # batch probe: exact per-window top-3 tokens (count desc, token
+    # asc) from the same derived pages, estimated against the sketch
+    pages_pd, _ = _derived_pages_pandas(sf_dir)
+    pages = spark.createDataFrame(pages_pd[["warc_ts", "text"]])
+    toks = pages.select(
+        (F.floor(F.unix_timestamp("warc_ts") / 1800) * 1800).cast("long").alias("ws"),
+        F.explode(
+            F.flatten(F.transform(F.split(F.col("text"), "\n", -1), tokens_expr))
+        ).alias("token"),
+    )
+    counts = toks.groupBy("ws", "token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    w = Window.partitionBy("ws").orderBy(F.col("true_cnt").desc(), F.col("token").asc())
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .localCheckpoint(eager=True)
+    )
+    from .functions.sketches import cms_bucket_exprs
+
+    probes = top.select(
+        "ws", "token", "rank", "true_cnt",
+        F.posexplode(F.array(*cms_bucket_exprs(F.col("token")))).alias("depth", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["ws", "depth", "bucket"])
+        .groupBy("ws", "token", "rank", "true_cnt")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        F.col("ws").alias("window_start_epoch"), "rank", "token", "true_cnt", "cms_est"
+    )
+
+
+def _oracle_q67() -> str:
+    from .functions.sketches import CMS_WIDTH
+
+    hv = (
+        "(('0x' || substr(md5('cms' || d.d::VARCHAR || '#' || token), 1, 15))::BIGINT)"
+        f" & {CMS_WIDTH - 1}"
+    )
+    return f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), toks AS (
+  SELECT CAST(floor(epoch(warc_ts) / 1800) AS BIGINT) * 1800 AS ws,
+         unnest(flatten(list_transform(string_split(text, chr(10)),
+                ln -> list_filter(string_split(ln, ' '), t -> t <> '')))) AS token
+  FROM pages
+), sketch AS (
+  SELECT ws, d.d AS depth, {hv} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM toks, (SELECT unnest(range(4)) AS d) d
+  GROUP BY 1, 2, 3
+), counts AS (
+  SELECT ws, token, count(*) AS true_cnt FROM toks GROUP BY 1, 2
+), top AS (
+  SELECT ws, token, true_cnt, rank FROM (
+    SELECT ws, token, true_cnt,
+           CAST(row_number() OVER (PARTITION BY ws
+                ORDER BY true_cnt DESC, token ASC) AS INT) AS rank
+    FROM counts
+  ) WHERE rank <= 3
+), probes AS (
+  SELECT t.ws, t.token, t.rank, t.true_cnt, d.d AS depth, {hv} AS bucket
+  FROM top t, (SELECT unnest(range(4)) AS d) d
+), est AS (
+  SELECT p.ws, p.token, p.rank, p.true_cnt, CAST(min(s.c) AS BIGINT) AS cms_est
+  FROM probes p
+  JOIN sketch s ON p.ws = s.ws AND p.depth = s.depth AND p.bucket = s.bucket
+  GROUP BY 1, 2, 3, 4
+)
+SELECT ws AS window_start_epoch, rank, token, true_cnt, cms_est FROM est
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -3439,6 +3546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_cms_heavy_hitters": q64_cms_heavy_hitters,
     "q65_funnel_sequences": q65_funnel_sequences,
     "q66_streaming_funnels": q66_streaming_funnels,
+    "q67_streaming_windowed_cms": q67_streaming_windowed_cms,
     # driver-green in r03
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -3511,6 +3619,7 @@ ORACLES: dict[str, str] = {
     "q64_cms_heavy_hitters": _oracle_q64(),
     "q65_funnel_sequences": ORACLE_Q65,
     "q66_streaming_funnels": ORACLE_Q66,
+    "q67_streaming_windowed_cms": _oracle_q67(),
     "q01_pricing_summary": ORACLE_Q01,
     "q02_segment_sales": ORACLE_Q02,
     "q03_nations_with_buyers": ORACLE_Q03,
