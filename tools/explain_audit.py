@@ -108,6 +108,8 @@ def main() -> None:
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
         "q65_funnel_sequences": dict(forbid_node=("CartesianProduct",)),
+        "q68_triangle_counts": dict(forbid_node=("CartesianProduct",)),
+        "q69_hll_merge_rollup": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -69,12 +69,26 @@ def hll_distinct(
     a sketch at 100 TB — then the per-group fold.  Register maxes
     combine map-side, so the shuffle carries at most m rows per group
     per partition."""
+    regs = hll_registers(df, group_cols, value_col, salt)
+    return hll_fold_registers(regs, group_cols)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    salt: str = "hll#",
+) -> DataFrame:
+    """Per-group register table (group_cols..., __b, __m) — the
+    MERGEABLE intermediate: registers of a finer grouping roll up to a
+    coarser one by a plain ``max`` per (coarse group, __b), losslessly
+    (max is associative/idempotent) — no rescan of the raw data."""
     v = F.col(value_col).cast("string")
     # NULL values are NOT members of the distinct set: a NULL hashes to
     # a NULL bucket, which would occupy a register row that contributes
     # no sum term — register_scale_sum would lose one register's 2^K
     # mass and bias the estimate (round-3 advice; both engines filter).
-    regs = (
+    return (
         df.where(F.col(value_col).isNotNull())
         .select(
             *group_cols,
@@ -84,6 +98,11 @@ def hll_distinct(
         .groupBy(*group_cols, "__b")
         .agg(F.max("__r").alias("__m"))
     )
+
+
+def hll_fold_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a register table into the oracle-checked sketch triple
+    (register_scale_sum, empty_registers, estimate_raw) per group."""
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({K} - __m AS INT))")
     agg = regs.groupBy(*group_cols).agg(
         F.sum(term).cast("long").alias("__s_present"),

@@ -3097,8 +3097,8 @@ SELECT doc_id, rank, token, tf, df FROM (
 """
 
 
-def _q62_edges(docs: DataFrame) -> DataFrame:
-    """Near-dup candidate edges: doc pairs sharing >= 3 distinct
+def _q62_edges(docs: DataFrame, min_shared: int = 3) -> DataFrame:
+    """Near-dup candidate edges: doc pairs sharing >= min_shared distinct
     non-ubiquitous shingles (global df < 10% of the corpus — the
     boilerplate prune, integer-compared as 10*df < n so no float
     threshold can diverge).  Same shuffle shape as q16: explode once,
@@ -3123,7 +3123,7 @@ def _q62_edges(docs: DataFrame) -> DataFrame:
         .where(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 3)
+        .where(F.col("n_shared") >= min_shared)
         .select("src", "dst")
     )
 
@@ -3145,6 +3145,10 @@ def q62_neardup_components(spark, sf_dir):
     return connected_components(edges, "src", "dst").select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+def _q62_edges_sql(min_shared: int = 3) -> str:
+    return _Q62_EDGES_SQL.replace("count(*) >= 3", f"count(*) >= {min_shared}")
 
 
 _Q62_EDGES_SQL = f"""nd AS (SELECT count(*) AS n FROM documents),
@@ -3518,6 +3522,116 @@ SELECT ws AS window_start_epoch, rank, token, true_cnt, cms_est FROM est
 """
 
 
+def q68_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the near-dup candidate graph
+    (q62's edge rule at min_shared=2 for meaningful density) — the
+    clustering-coefficient numerator, the standard webgraph cohesion
+    metric.
+
+    Distributed triangle enumeration on the a<b<c ORIENTED edge list:
+    two self-equi-joins on fixed-width node keys (wedge build on the
+    shared middle node, then closure check on the (a,c) edge) — each
+    triangle found exactly once, no orientation dedup pass.  100-TB
+    posture: wedge fan-out is bounded by the df-pruned edge degree
+    (the same prune that bounds the pair join), all joins
+    shuffle-partitionable on node ids."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    edges = _q62_edges(docs, min_shared=2).localCheckpoint(eager=True)
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+ORACLE_Q68 = f"""
+WITH {_q62_edges_sql(min_shared=2)},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e1.src = e3.src AND e2.dst = e3.dst
+)
+SELECT doc_id, count(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+GROUP BY doc_id
+"""
+
+
+def q69_hll_merge_rollup(spark, sf_dir):
+    """Sketch MERGEABILITY on the oracle: per-(event_type, day) HLL
+    registers are computed ONCE from the raw events, then the
+    per-event_type level is derived by MERGING those registers (max
+    per bucket — associative, idempotent, lossless) without rescanning
+    the raw data.  This is the production rollup pattern: daily sketch
+    partitions folded into monthly/total cubes at register cost, not
+    scan cost.  The oracle computes BOTH levels directly from the
+    events table — equality of the merged level proves the merge
+    lossless, bit for bit."""
+    from .functions.sketches import hll_fold_registers, hll_registers
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day_id", (F.floor(F.unix_timestamp("ts") / 86400)).cast("long")
+    )
+    regs_day = hll_registers(ev, ["event_type", "day_id"], "user_id").localCheckpoint(
+        eager=True
+    )
+    day_level = hll_fold_registers(regs_day, ["event_type", "day_id"]).select(
+        F.lit("day").alias("level"), "event_type", "day_id",
+        "register_scale_sum", "empty_registers", "estimate_raw",
+    )
+    # the merge: coarser registers = max over finer ones, NO rescan
+    regs_type = regs_day.groupBy("event_type", "__b").agg(F.max("__m").alias("__m"))
+    type_level = hll_fold_registers(regs_type, ["event_type"]).select(
+        F.lit("type").alias("level"), "event_type",
+        F.lit(-1).cast("long").alias("day_id"),
+        "register_scale_sum", "empty_registers", "estimate_raw",
+    )
+    return day_level.unionByName(type_level)
+
+
+def _oracle_q69() -> str:
+    from .functions.sketches import A_SCALED, K, M_REGISTERS, P
+
+    hv = "(('0x' || substr(md5('hll#' || user_id::VARCHAR), 1, 15))::BIGINT)"
+    fold = f"""
+  SELECT {{grp_out}},
+         CAST(s_present + ({M_REGISTERS} - n_present) * (1::BIGINT << {K}) AS BIGINT)
+           AS register_scale_sum,
+         CAST({M_REGISTERS} - n_present AS BIGINT) AS empty_registers,
+         CAST({A_SCALED!r} AS DOUBLE)
+           / CAST(s_present + ({M_REGISTERS} - n_present) * (1::BIGINT << {K}) AS DOUBLE)
+           AS estimate_raw
+  FROM (
+    SELECT {{grp}}, CAST(sum(1::BIGINT << ({K} - m)) AS BIGINT) AS s_present,
+           count(*) AS n_present
+    FROM (
+      SELECT {{grp}}, b, max(r) AS m FROM br GROUP BY {{grp}}, b
+    ) GROUP BY {{grp}}
+  )"""
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_id, user_id
+  FROM events WHERE user_id IS NOT NULL
+), br AS (
+  SELECT event_type, day_id,
+         {hv} & {M_REGISTERS - 1} AS b,
+         CASE WHEN ({hv} >> {P}) = 0 THEN {K}
+              ELSE {K} - length(bin({hv} >> {P})) END AS r
+  FROM ev
+)
+SELECT 'day' AS level, * FROM ({fold.format(grp="event_type, day_id", grp_out="event_type, day_id")})
+UNION ALL
+SELECT 'type' AS level, event_type, CAST(-1 AS BIGINT) AS day_id,
+       register_scale_sum, empty_registers, estimate_raw
+FROM ({fold.format(grp="event_type", grp_out="event_type")})
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -3547,6 +3661,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_funnel_sequences": q65_funnel_sequences,
     "q66_streaming_funnels": q66_streaming_funnels,
     "q67_streaming_windowed_cms": q67_streaming_windowed_cms,
+    "q68_triangle_counts": q68_triangle_counts,
+    "q69_hll_merge_rollup": q69_hll_merge_rollup,
     # driver-green in r03
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -3620,6 +3736,8 @@ ORACLES: dict[str, str] = {
     "q65_funnel_sequences": ORACLE_Q65,
     "q66_streaming_funnels": ORACLE_Q66,
     "q67_streaming_windowed_cms": _oracle_q67(),
+    "q68_triangle_counts": ORACLE_Q68,
+    "q69_hll_merge_rollup": _oracle_q69(),
     "q01_pricing_summary": ORACLE_Q01,
     "q02_segment_sales": ORACLE_Q02,
     "q03_nations_with_buyers": ORACLE_Q03,
