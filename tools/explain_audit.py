@@ -110,6 +110,7 @@ def main() -> None:
         "q65_funnel_sequences": dict(forbid_node=("CartesianProduct",)),
         "q68_triangle_counts": dict(forbid_node=("CartesianProduct",)),
         "q69_hll_merge_rollup": dict(forbid_node=("CartesianProduct",)),
+        "q70_inverted_index": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

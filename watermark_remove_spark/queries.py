@@ -3632,6 +3632,52 @@ FROM ({fold.format(grp="event_type", grp_out="event_type")})
 """
 
 
+def q70_inverted_index(spark, sf_dir):
+    """Inverted-index construction over 3-gram shingles: shingle ->
+    sorted posting list of doc_ids (+ df) — the phrase-index /
+    near-dup-candidate-index build step of a corpus pipeline.  Two
+    prunes, both integer-exact: ubiquitous shingles (df >= 10% of the
+    corpus) are dropped like stopword-class postings — THE bound that
+    keeps posting-list skew from OOMing a collect_list executor at
+    100 TB — and singleton postings (df = 1) are dropped because a
+    one-document phrase entry serves neither retrieval nor dedup.
+
+    One (shingle, doc) distinct shuffle feeds BOTH df and the list
+    build; postings serialize as a comma-joined string (deterministic
+    sorted order) so the driver's value hash is representation-safe
+    across engines."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    idx = pairs.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
+    )
+    return (
+        idx.crossJoin(F.broadcast(n_docs))
+        .where((10 * F.col("df") < F.col("n")) & (F.col("df") >= 2))
+        .select("shingle", "df", "postings")
+    )
+
+
+ORACLE_Q70 = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS shingle
+  FROM documents
+), nd AS (SELECT count(*) AS n FROM documents),
+idx AS (
+  SELECT shingle, count(*) AS df,
+         array_to_string(list_sort(list(doc_id)), ',') AS postings
+  FROM pairs GROUP BY shingle
+)
+SELECT shingle, df, postings FROM idx, nd WHERE 10 * df < n AND df >= 2
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -3663,6 +3709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_streaming_windowed_cms": q67_streaming_windowed_cms,
     "q68_triangle_counts": q68_triangle_counts,
     "q69_hll_merge_rollup": q69_hll_merge_rollup,
+    "q70_inverted_index": q70_inverted_index,
     # driver-green in r03
     "q01_pricing_summary": q01_pricing_summary,
     "q02_segment_sales": q02_segment_sales,
@@ -3738,6 +3785,7 @@ ORACLES: dict[str, str] = {
     "q67_streaming_windowed_cms": _oracle_q67(),
     "q68_triangle_counts": ORACLE_Q68,
     "q69_hll_merge_rollup": _oracle_q69(),
+    "q70_inverted_index": ORACLE_Q70,
     "q01_pricing_summary": ORACLE_Q01,
     "q02_segment_sales": ORACLE_Q02,
     "q03_nations_with_buyers": ORACLE_Q03,
