@@ -3681,12 +3681,14 @@ SELECT shingle, df, postings FROM idx, nd WHERE 10 * df < n AND df >= 2
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
-# skipped — round-3 verdict #2), so the dict leads with the entries
-# that have never had a driver row (q51-q58) and retires the LAST 8
-# positions to queries that are triple-green in BOTH
-# CORRECTNESS_r02.json and CORRECTNESS_r03.json (q04 q07 q12 q18 q21
-# q30 q33 q36 — small, stable, double-verified).  Every entry stays in
-# the catalog and in tools/selfcheck.py regardless of position.
+# skipped — round-3 verdict #2), so the dict leads with the 20 entries
+# that have never had a driver row (q51-q56 from round 3 plus the
+# round-4 additions q57-q70) and retires the tail positions to queries
+# that are triple-green in BOTH CORRECTNESS_r02.json and
+# CORRECTNESS_r03.json (small, stable, double-verified).  Every entry
+# stays in the catalog and in tools/selfcheck.py regardless of
+# position; if the driver cap is still 50, the last 20 registry
+# entries ride on selfcheck + their r02/r03 driver rows.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never driver-checked (round-3 cap) — first in line
     "q51_trending_tokens": q51_trending_tokens,
