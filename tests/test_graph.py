@@ -106,3 +106,14 @@ def test_pagerank_duplicate_edges_are_weighted(spark):
     got = {r["node"]: r["rank_scaled"] for r in pagerank_integer(df, iterations=2).collect()}
     assert got == _pr_python(edges, 2)
     assert got[2] > got[3]
+
+
+def test_cc_raises_on_non_convergence(spark):
+    import pytest
+
+    from watermark_remove_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2).collect()

@@ -98,8 +98,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("component"))
+            return labels.select("node", F.col("label").alias("component"))
+    # fail loud: silently returning a non-fixpoint labeling would split
+    # components (wrong KEEP/DROP decisions downstream)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "with pointer jumping this needs O(log n) rounds — raise max_iter"
+    )
 
 
 def duck_connected_components_sql(edges_cte: str) -> str:
