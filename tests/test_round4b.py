@@ -1,0 +1,164 @@
+"""Non-vacuity + semantics tests for the round-4b operators (q73-q78):
+duplicate-n-gram rate, incremental MV maintenance, stream-stream
+interval join, weighted sampling, z-order layout, drift monitor.
+
+Each query is hash-checked against DuckDB by the driver; these tests
+pin what the hash can't: that the fixtures actually exercise both
+sides of every gate (a trivially-empty branch would still hash-match),
+and the operator-level invariants the oracle doesn't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_duplicate_ngram_rate_non_vacuous(spark):
+    from watermark_remove_spark.queries import q73_duplicate_ngram_rate
+
+    out = q73_duplicate_ngram_rate(spark, SF).cache()
+    rows = out.count()
+    assert rows > 0
+    # both gate sides populated: duplicated mass exists, but no doc is
+    # 100% duplicate-free-or-full on the whole corpus
+    assert out.where(F.col("dup_grams") > 0).count() > 0
+    assert out.where(F.col("dup_grams") < F.col("total_grams")).count() > 0
+    # keep gate fires both ways
+    keeps = {r["keep"] for r in out.select("keep").distinct().collect()}
+    assert keeps == {0, 1}
+    # dup mass never exceeds total mass
+    assert out.where(F.col("dup_grams") > F.col("total_grams")).count() == 0
+    out.unpersist()
+
+
+def test_incremental_mv_merge_equals_scratch(spark):
+    from watermark_remove_spark.operators.incremental import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    from watermark_remove_spark.functions.portable_hash import md5_i64_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    keys = ["lang", "source"]
+    is_base = (
+        md5_i64_expr(F.col("doc_id").cast("string"), salt="mv#") % 10 < 8
+    ) & (F.col("lang") != "fr")
+    base = agg_state(docs.where(is_base), keys)
+    delta_rows = docs.where(~is_base)
+    delta = agg_state(delta_rows, keys)
+
+    # non-vacuity: the delta must exercise BOTH merge paths
+    base_keys = {tuple(r) for r in base.select(*keys).collect()}
+    delta_keys = {tuple(r) for r in delta.select(*keys).collect()}
+    assert delta_keys - base_keys, "no not-matched-insert keys in delta"
+    assert delta_keys & base_keys, "no matched-update keys in delta"
+
+    merged = merge_agg_state(base, delta, keys)
+    scratch = agg_state(docs, keys)
+    assert merged.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(merged).count() == 0
+
+
+def test_incremental_mv_merge_empty_delta_is_identity(spark):
+    from watermark_remove_spark.operators.incremental import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    keys = ["lang"]
+    base = agg_state(docs, keys)
+    empty = agg_state(docs.where(F.lit(False)), keys)
+    merged = merge_agg_state(base, empty, keys)
+    assert merged.exceptAll(base).count() == 0
+    assert base.exceptAll(merged).count() == 0
+
+
+def test_streaming_interval_join_rejects_ambiguous_columns(spark):
+    from watermark_remove_spark.streaming.pipeline import streaming_interval_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.select("user_id", "ts", "event_id")
+    with pytest.raises(ValueError, match="both sides"):
+        streaming_interval_join(left, right, left_ts="ts", right_ts="ts")
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from watermark_remove_spark.queries import q76_weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    total = docs.count()
+    out = q76_weighted_sample(spark, SF).cache()
+    kept = out.count()
+    # non-vacuous, non-total
+    assert 0 < kept < total
+    # inclusion probability is n_chars/1000: the kept set must skew long.
+    kept_avg = out.agg(F.avg("n_chars")).first()[0]
+    all_avg = docs.agg(F.avg("n_chars")).first()[0]
+    assert kept_avg > all_avg, "weighted sample failed to skew toward heavy rows"
+    # determinism: a second evaluation yields the identical membership
+    again = q76_weighted_sample(spark, SF)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+    out.unpersist()
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    from watermark_remove_spark.queries import q77_zorder_layout
+
+    out = q77_zorder_layout(spark, SF).cache()
+    assert out.count() > 1
+    # the skipping bound: a 16-bit z-prefix fixes the high 8 bits of
+    # each 16-bit dim, so per-bucket spans are < 256 on BOTH dims...
+    assert out.where((F.col("x_span") > 255) | (F.col("y_span") > 255)).count() == 0
+    # ...while the data's global y span is much wider (else the bound
+    # would be vacuous)
+    g = out.agg(
+        (F.max("max_y") - F.min("min_y")).alias("gy"),
+    ).first()
+    assert g["gy"] > 255
+    out.unpersist()
+
+
+def test_zvalue_interleave_inverse_roundtrip(spark):
+    """z-value must be invertible: de-interleaving even/odd bits
+    recovers (x, y) exactly — pinned in the JVM, not just in Python."""
+    from watermark_remove_spark.functions.zorder import zvalue_expr
+
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 65536).alias("x"),
+        (F.col("id") * 104729 % 65536).alias("y"),
+    )
+    z = df.select("x", "y", zvalue_expr(F.col("x"), F.col("y")).alias("z"))
+    back_x = sum(
+        F.shiftleft(F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1)), i)
+        for i in range(16)
+    )
+    back_y = sum(
+        F.shiftleft(F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1)), i)
+        for i in range(16)
+    )
+    bad = z.where((back_x != F.col("x")) | (back_y != F.col("y"))).count()
+    assert bad == 0
+
+
+def test_drift_monitor_non_vacuous(spark):
+    from watermark_remove_spark.queries import q78_drift_monitor
+
+    out = q78_drift_monitor(spark, SF).cache()
+    assert out.count() > 1
+    # at least one window actually drifts, and none double-counts:
+    # l1 <= total_cur + total_prev always
+    assert out.where(F.col("l1") > 0).count() > 0
+    assert out.where(
+        F.col("l1") > F.col("total_cur") + F.col("total_prev")
+    ).count() == 0
+    # a first window (no predecessor) scores full mass: drift_pct 100
+    first = out.orderBy("window_epoch").first()
+    assert first["total_prev"] == 0 and first["drift_pct"] == 100
+    out.unpersist()

@@ -111,6 +111,12 @@ def main() -> None:
         "q68_triangle_counts": dict(forbid_node=("CartesianProduct",)),
         "q69_hll_merge_rollup": dict(forbid_node=("CartesianProduct",)),
         "q70_inverted_index": dict(forbid_node=("CartesianProduct",)),
+        # duplicate-gram rate: the (doc,gram)-counts x gram-df join
+        # must stay an equi-join on the gram key
+        "q73_duplicate_ngram_rate": dict(forbid_node=("CartesianProduct",)),
+        # MV merge: full-outer on the group keys — never all-pairs
+        "q74_incremental_mv_merge": dict(forbid_node=("CartesianProduct",)),
+        "q78_drift_monitor": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -3345,23 +3345,15 @@ HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0
 SENTINEL_USER = -1
 
 
-def q66_streaming_funnels(spark, sf_dir):
-    """STREAMING CEP strict-sequence detection (the north_star's CEP
-    mandate in stateful form): the q65 pattern — strictly consecutive
-    view -> click -> purchase within 24 h per user — detected over a
-    micro-batch event stream via applyInPandasWithState, one output
-    row per completed match, emitted exactly once when the watermark
-    proves the run's neighborhood final (streaming/cep.py).
-
-    ORACLE-CHECKED: events arrive time-ordered in 4 micro-batches, two
-    far-future sentinel events (user -1, non-pattern type) pin the
-    final watermark past every real event, so the emitted match set
-    equals the batch lag-window SQL — per-MATCH rows, stronger than
-    q65's per-user aggregate."""
+def _events_stream_fixture(spark, sf_dir, n_files: int = 4, prefix: str = "wrs-q-cep-") -> str:
+    """Time-ordered events as micro-batch files, plus two far-future
+    sentinel events (user -1, non-pattern type) pinning the final
+    watermark past every real event.  Shared by the streaming CEP
+    (q66) and the stream-stream interval join (q75)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
-    from .sources.pages import stream_events_files, write_batch_files
+    from .sources.pages import write_batch_files
 
     ev = (
         pq.read_table(f"{sf_dir}/events.parquet")
@@ -3379,12 +3371,30 @@ def q66_streaming_funnels(spark, sf_dir):
             "props": ["{}", "{}"],
         }
     )
-    n_files = 4
     per = (len(ev) + n_files - 1) // n_files
     batches = [ev.iloc[i * per : (i + 1) * per] for i in range(n_files)]
     batches = [b for b in batches if len(b)] + [sent.iloc[:1], sent.iloc[1:]]
-    src = _q_tmpdir("wrs-q-cep-")
+    src = _q_tmpdir(prefix)
     write_batch_files(batches, src)
+    return src
+
+
+def q66_streaming_funnels(spark, sf_dir):
+    """STREAMING CEP strict-sequence detection (the north_star's CEP
+    mandate in stateful form): the q65 pattern — strictly consecutive
+    view -> click -> purchase within 24 h per user — detected over a
+    micro-batch event stream via applyInPandasWithState, one output
+    row per completed match, emitted exactly once when the watermark
+    proves the run's neighborhood final (streaming/cep.py).
+
+    ORACLE-CHECKED: events arrive time-ordered in 4 micro-batches, two
+    far-future sentinel events (user -1, non-pattern type) pin the
+    final watermark past every real event, so the emitted match set
+    equals the batch lag-window SQL — per-MATCH rows, stronger than
+    q65's per-user aggregate."""
+    from .sources.pages import stream_events_files
+
+    src = _events_stream_fixture(spark, sf_dir)
 
     from .streaming.cep import stateful_sequence_match
 
@@ -3787,6 +3797,359 @@ FROM cum GROUP BY ws, lang
 """
 
 
+def q73_duplicate_ngram_rate(spark, sf_dir):
+    """Corpus-wide duplicate-n-gram rate per document (the exact
+    substring-duplication metric of Lee et al.'s "Deduplicating
+    Training Data" pipeline, at shingle granularity): a document's
+    gram INSTANCE is duplicated iff its gram text occurs in >= 2
+    distinct documents; emit per-doc totals and the keep gate
+    (<= 60% duplicated mass — tuned so BOTH gate outcomes occur in
+    this corpus's boilerplate density, pytest-asserted; the threshold
+    is policy, the metric is the operator).
+
+    Scale shape: gram instances are pre-aggregated to (doc, gram)
+    counts BEFORE the corpus-wide df aggregate and the join back, so
+    both shuffles and the equi-join move fixed-width (gram, count)
+    rows, never raw text; nothing is quadratic in corpus size.  All
+    surfaces integer-exact (counts + integer-div percent)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(doc_shingles_expr(F.col("text"))).alias("g")
+    )
+    per = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dfc = per.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    tot = per.groupBy("doc_id").agg(F.sum("c").alias("total_grams"))
+    dup = (
+        per.join(dfc.where(F.col("df") >= 2), "g")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_grams"))
+    )
+    return (
+        tot.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("total_grams").cast("bigint").alias("total_grams"),
+            F.coalesce(F.col("dup_grams"), F.lit(0)).cast("bigint").alias("dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "total_grams",
+            "dup_grams",
+            F.expr("100 * dup_grams div total_grams").alias("dup_pct"),
+            F.expr("CAST(dup_grams * 5 <= total_grams * 3 AS BIGINT)").alias("keep"),
+        )
+    )
+
+
+ORACLE_Q73 = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES.format(col='text')}) AS g FROM documents
+), per AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), dfc AS (
+  SELECT g, count(*) AS df FROM per GROUP BY g
+), tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_grams FROM per GROUP BY doc_id
+), dup AS (
+  SELECT per.doc_id, CAST(sum(per.c) AS BIGINT) AS dup_grams
+  FROM per JOIN dfc USING (g) WHERE dfc.df >= 2 GROUP BY per.doc_id
+)
+SELECT tot.doc_id, total_grams,
+       coalesce(dup_grams, 0) AS dup_grams,
+       100 * coalesce(dup_grams, 0) // total_grams AS dup_pct,
+       CAST(coalesce(dup_grams, 0) * 5 <= total_grams * 3 AS BIGINT) AS keep
+FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+"""
+
+
+def q74_incremental_mv_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance
+    (operators/incremental.py): the per-(lang, source) corpus
+    aggregate is refreshed by aggregating ONLY a delta batch and
+    full-outer-merging its monoid partials (count/sum by +, min/max by
+    least/greatest) onto the stored base state — the engine-neutral
+    form of Iceberg ``MERGE INTO ... WHEN MATCHED / WHEN NOT
+    MATCHED``, and the refresh pattern that avoids re-scanning 100 TB
+    per batch (the merge join moves #groups rows, the scan only the
+    delta).
+
+    The base/delta split is a portable-HASH bucket of doc_id (a plain
+    doc_id modulus would correlate with the synthetic corpus's
+    source = doc_id % 20 layout and starve the update path), and the
+    base additionally excludes ALL 'fr' rows — so the delta exercises
+    BOTH merge paths: matched-update (shared keys) and
+    not-matched-insert ('fr' keys); pytest asserts non-vacuity of
+    each.  Oracle = the from-scratch aggregate over the whole table,
+    which the merged state must equal exactly (derived avg kept as a
+    scaled-integer division of exactly-agreed integers)."""
+    from .operators.incremental import agg_state, merge_agg_state
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = ["lang", "source"]
+    is_base = (
+        md5_i64_expr(F.col("doc_id").cast("string"), salt="mv#") % 10 < 8
+    ) & (F.col("lang") != "fr")
+    base = agg_state(docs.where(is_base), keys)
+    delta = agg_state(docs.where(~is_base), keys)
+    merged = merge_agg_state(base, delta, keys)
+    return merged.select(
+        *keys,
+        "n_docs",
+        "sum_chars",
+        "min_doc_id",
+        "max_doc_id",
+        F.expr("100 * sum_chars div n_docs").alias("avg_chars_x100"),
+    )
+
+
+ORACLE_Q74 = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       100 * CAST(sum(n_chars) AS BIGINT) // count(*) AS avg_chars_x100
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q75_streaming_attribution_join(spark, sf_dir):
+    """O-15 SYMMETRIC form: watermark-bounded stream-stream INNER
+    interval join (streaming/pipeline.py:streaming_interval_join) —
+    the attribution join of every event pipeline: each purchase joins
+    every view by the same user in the strictly-preceding 2 hours.
+    q29 is the as-of (latest-wins, leftOuter) variant; this is the
+    all-matches inner variant, the other canonical Spark stream-stream
+    join shape.
+
+    The time bound in the join condition is what bounds the state
+    store: each side buffers only rows younger than watermark +
+    horizon — without it a 10^12-event stream accretes join state
+    forever.  Inner matches emit when both sides have arrived, so the
+    drained fixture equals the batch interval join, which ORACLE_Q75
+    computes directly."""
+    from .sources.pages import stream_events_files
+    from .streaming.pipeline import streaming_interval_join
+
+    src = _events_stream_fixture(spark, sf_dir, prefix="wrs-q-attr-")
+    views = (
+        stream_events_files(spark, src, 1)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        stream_events_files(spark, src, 1)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = streaming_interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        horizon="2 hours",
+    )
+    out = _drain(
+        joined.select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.unix_timestamp("view_ts").alias("view_epoch"),
+            F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        ),
+        spark,
+    )
+    return out.where(F.col("user_id") != SENTINEL_USER)
+
+
+ORACLE_Q75 = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+def q76_weighted_sample(spark, sf_dir):
+    """Deterministic WEIGHT-PROPORTIONAL sampling: keep a document
+    with probability n_chars/1000 (length as a quality-mass proxy —
+    the up-weight-long-documents step of corpus mixing), decided by a
+    pure map-side integer comparison of the portable 60-bit hash
+    against the row's own weight.  q47 is fixed per-stratum rates;
+    this is per-ROW weights.
+
+    Membership is a pure function of (doc_id, n_chars): reproducible
+    across clusters, partitionings and reruns — `df.sample` can
+    guarantee none of that — and zero-shuffle (the only plan nodes
+    are scan + filter).  Weight clamps at the modulus so p caps at 1."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars"), F.lit(1000)).cast("bigint")
+    h = md5_i64_expr(F.col("doc_id").cast("string"), salt="wsamp#") % 1000
+    return docs.where(h < w).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_Q76 = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {duck_md5_i64("doc_id::VARCHAR", salt="wsamp#")} % 1000
+      < least(n_chars, 1000)
+"""
+
+
+def q77_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key + layout audit
+    (functions/zorder.py): interleave the bits of two query dimensions
+    — user bucket and event minute — into one bigint z-value, then
+    verify the data-skipping property per z-prefix bucket: fixing the
+    top 16 z-bits fixes the high 8 bits of BOTH dims, so every
+    bucket's min/max span is <= 255 on each dimension while the global
+    spans are ~65535.  That bound is exactly why a z-ordered file
+    layout lets min/max stats prune scans on BOTH dims at 100 TB,
+    where a single-column sort prunes only one.
+
+    The z-value itself is a pure-Catalyst map-side expression (16
+    unrolled shift/mask terms, constant-folded, whole-stage codegen);
+    the only shuffle is the audit aggregate."""
+    from .functions.zorder import zvalue_expr
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("user_id % 65536").alias("x"),
+        F.expr("(unix_timestamp(ts) div 60) % 65536").alias("y"),
+    )
+    z = d.select("x", "y", zvalue_expr(F.col("x"), F.col("y")).alias("z"))
+    return (
+        z.groupBy(F.shiftright(F.col("z"), 16).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .select(
+            "zbucket",
+            "n_rows",
+            "min_x",
+            "max_x",
+            "min_y",
+            "max_y",
+            (F.col("max_x") - F.col("min_x")).alias("x_span"),
+            (F.col("max_y") - F.col("min_y")).alias("y_span"),
+        )
+    )
+
+
+def _oracle_q77() -> str:
+    from .functions.zorder import duck_zvalue
+
+    return f"""
+WITH d AS (
+  SELECT user_id % 65536 AS x,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 60) % 65536 AS y
+  FROM events
+), z AS (
+  SELECT x, y, {duck_zvalue('x', 'y')} AS z FROM d
+)
+SELECT z >> 16 AS zbucket, count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y,
+       max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+FROM z GROUP BY 1
+"""
+
+
+def q78_drift_monitor(spark, sf_dir):
+    """Hour-over-hour distribution-drift monitor: per hour window, the
+    L1 distance between this hour's and the previous hour's event-type
+    count vectors — the ingest-quality tripwire that catches a crawler
+    or producer silently changing mix (the streaming-ops counterpart
+    of a training-data contamination alarm).
+
+    JOIN-FREE shape: instead of a self-join of windows onto lagged
+    windows (whose missing-type edges need a full-outer join), each
+    count row is emitted twice — once as "current" mass at w, once as
+    "previous" mass at w+3600 — and two linear aggregates do the rest.
+    Phantom tail windows (previous mass only) are dropped by the
+    total_cur > 0 gate; a window with no predecessor scores its full
+    mass as drift, documented and oracle-mirrored.  Integer-exact
+    throughout."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            (F.expr("unix_timestamp(ts) div 3600") * 3600).alias("w"),
+            "event_type",
+        )
+        .groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    signed = c.select(
+        "w", "event_type", F.col("c").alias("cc"), F.lit(0).cast("bigint").alias("pc")
+    ).unionByName(
+        c.select(
+            (F.col("w") + 3600).alias("w"),
+            "event_type",
+            F.lit(0).cast("bigint").alias("cc"),
+            F.col("c").alias("pc"),
+        )
+    )
+    per = signed.groupBy("w", "event_type").agg(
+        F.sum("cc").alias("cc"), F.sum("pc").alias("pc")
+    )
+    return (
+        per.groupBy("w")
+        .agg(
+            F.sum(F.abs(F.col("cc") - F.col("pc"))).alias("l1"),
+            F.sum("cc").alias("total_cur"),
+            F.sum("pc").alias("total_prev"),
+        )
+        .where(F.col("total_cur") > 0)
+        .select(
+            F.col("w").alias("window_epoch"),
+            "l1",
+            "total_cur",
+            "total_prev",
+            F.expr("100 * l1 div (total_cur + total_prev)").alias("drift_pct"),
+        )
+    )
+
+
+ORACLE_Q78 = """
+WITH c AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS w,
+         event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), signed AS (
+  SELECT w, event_type, c AS cc, 0 AS pc FROM c
+  UNION ALL
+  SELECT w + 3600 AS w, event_type, 0 AS cc, c AS pc FROM c
+), per AS (
+  SELECT w, event_type, CAST(sum(cc) AS BIGINT) AS cc,
+         CAST(sum(pc) AS BIGINT) AS pc
+  FROM signed GROUP BY 1, 2
+)
+SELECT w AS window_epoch,
+       CAST(sum(abs(cc - pc)) AS BIGINT) AS l1,
+       CAST(sum(cc) AS BIGINT) AS total_cur,
+       CAST(sum(pc) AS BIGINT) AS total_prev,
+       100 * CAST(sum(abs(cc - pc)) AS BIGINT)
+         // (CAST(sum(cc) AS BIGINT) + CAST(sum(pc) AS BIGINT)) AS drift_pct
+FROM per GROUP BY w HAVING sum(cc) > 0
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -3800,6 +4163,12 @@ FROM cum GROUP BY ws, lang
 # entries ride on selfcheck + their r02/r03 driver rows.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never driver-checked (round-3 cap) — first in line
+    "q73_duplicate_ngram_rate": q73_duplicate_ngram_rate,
+    "q74_incremental_mv_merge": q74_incremental_mv_merge,
+    "q75_streaming_attribution_join": q75_streaming_attribution_join,
+    "q76_weighted_sample": q76_weighted_sample,
+    "q77_zorder_layout": q77_zorder_layout,
+    "q78_drift_monitor": q78_drift_monitor,
     "q71_doclen_quantiles": q71_doclen_quantiles,
     "q72_streaming_windowed_quantiles": q72_streaming_windowed_quantiles,
     "q51_trending_tokens": q51_trending_tokens,
@@ -3879,6 +4248,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q73_duplicate_ngram_rate": ORACLE_Q73,
+    "q74_incremental_mv_merge": ORACLE_Q74,
+    "q75_streaming_attribution_join": ORACLE_Q75,
+    "q76_weighted_sample": ORACLE_Q76,
+    "q77_zorder_layout": _oracle_q77(),
+    "q78_drift_monitor": ORACLE_Q78,
     "q71_doclen_quantiles": ORACLE_Q71,
     "q72_streaming_windowed_quantiles": ORACLE_Q72,
     "q51_trending_tokens": ORACLE_Q51,

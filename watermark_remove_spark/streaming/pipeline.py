@@ -168,3 +168,51 @@ def streaming_asof_template_join(
         F.col("p.warc_ts").alias("warc_ts"),
         F.col("p.domain").alias("domain"),
     ).agg(F.max(F.col("t.valid_from")).alias("template_valid_from"))
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """O-15 symmetric form: watermark-bounded stream-stream INNER
+    interval join — right events joined to left events of the same key
+    arriving within ``(left_ts, left_ts + horizon]`` (strict >, so an
+    event never attributes to itself when both sides derive from one
+    stream).  The attribution join of every event pipeline: views x
+    purchases, impressions x clicks, crawl-fetch x parse-complete.
+
+    Scale semantics: the time bound INSIDE the join condition is what
+    lets Spark size the state store — each side buffers only rows
+    younger than (watermark + horizon); without the bound, stream-
+    stream join state grows without limit and a 10^12-event stream
+    OOMs.  Inner matches emit as soon as both sides arrive; the
+    watermark only governs state eviction, so output content is
+    deterministic for a drained fixture.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    joined = l.join(
+        r,
+        F.expr(
+            f"""
+            l.{key} = r.{key} AND
+            r.{right_ts} > l.{left_ts} AND
+            r.{right_ts} <= l.{left_ts} + interval {horizon}
+            """
+        ),
+        "inner",
+    )
+    # Flatten to an unambiguous schema: join key once, then each
+    # side's remaining columns (caller keeps them disjointly named).
+    dup = [c for c in left.columns if c != key and c in right.columns]
+    if dup:
+        raise ValueError(f"non-key columns present on both sides: {dup}")
+    out = [F.col(f"l.{key}").alias(key)]
+    out += [F.col(f"l.{c}") for c in left.columns if c != key]
+    out += [F.col(f"r.{c}") for c in right.columns if c != key]
+    return joined.select(*out)
