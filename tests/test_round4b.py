@@ -1,6 +1,8 @@
-"""Non-vacuity + semantics tests for the round-4b operators (q73-q78):
+"""Non-vacuity + semantics tests for the round-4b operators (q73-q81):
 duplicate-n-gram rate, incremental MV maintenance, stream-stream
-interval join, weighted sampling, z-order layout, drift monitor.
+interval join, weighted sampling, z-order layout, drift monitor,
+index-backed retrieval, sketch-driven range partitioning, per-source
+representation cap.
 
 Each query is hash-checked against DuckDB by the driver; these tests
 pin what the hash can't: that the fixtures actually exercise both
@@ -161,4 +163,48 @@ def test_drift_monitor_non_vacuous(spark):
     # a first window (no predecessor) scores full mass: drift_pct 100
     first = out.orderBy("window_epoch").first()
     assert first["total_prev"] == 0 and first["drift_pct"] == 100
+    out.unpersist()
+
+
+def test_index_retrieval_scores_and_order(spark):
+    from watermark_remove_spark.queries import q79_index_retrieval
+
+    rows = q79_index_retrieval(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    # probe docs never retrieve themselves
+    assert all(r["doc_id"] not in (0, 1) for r in rows)
+    # deterministic total order: score desc, doc_id asc
+    key = [(-r["score"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+    assert rows[0]["score"] >= 1
+
+
+def test_sketch_range_partition_buckets_disjoint(spark):
+    from watermark_remove_spark.queries import q80_sketch_range_partition
+
+    rows = sorted(
+        q80_sketch_range_partition(spark, SF).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert len(rows) >= 3  # quartiles may merge only under extreme skew
+    total = sum(r["n_docs"] for r in rows)
+    # every bucket non-empty and no bucket hoards the corpus
+    assert all(r["n_docs"] > 0 for r in rows)
+    assert max(r["n_docs"] for r in rows) < total
+    # bucket value-ranges are DISJOINT (bin ids are monotone in value)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_chars"] < hi["min_chars"]
+
+
+def test_domain_cap_respects_cap_and_determinism(spark):
+    from watermark_remove_spark.queries import q81_domain_cap
+
+    out = q81_domain_cap(spark, SF).cache()
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+    # the cap binds (fixtures carry >10 docs per source)
+    assert any(r["count"] == 10 for r in per)
+    again = q81_domain_cap(spark, SF)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
     out.unpersist()

@@ -117,6 +117,10 @@ def main() -> None:
         # MV merge: full-outer on the group keys — never all-pairs
         "q74_incremental_mv_merge": dict(forbid_node=("CartesianProduct",)),
         "q78_drift_monitor": dict(forbid_node=("CartesianProduct",)),
+        # retrieval probes must broadcast into the postings join
+        "q79_index_retrieval": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

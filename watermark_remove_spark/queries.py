@@ -4150,6 +4150,176 @@ FROM per GROUP BY w HAVING sum(cc) > 0
 """
 
 
+def q79_index_retrieval(spark, sf_dir):
+    """Index-backed phrase retrieval: score every document by how many
+    of a probe shingle set it shares (the query-time half of q70's
+    inverted index — candidate docs come from posting intersections,
+    i.e. a shingle equi-join, never a corpus scan per query), top-10
+    with a deterministic tie-break.
+
+    The probe set (all distinct shingles of docs 0-1) is metadata-
+    scale vs the corpus, so it BROADCASTS into the join — the plan a
+    retrieval head wants at 100 TB: probe-side broadcast, doc-side
+    postings streamed, one count shuffle.  Integer scores, total
+    order pinned by (score DESC, doc_id)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle"),
+    )
+    probes = (
+        docs.where(F.col("doc_id").isin(0, 1))
+        .select(
+            F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+    )
+    return (
+        pairs.where(~F.col("doc_id").isin(0, 1))
+        .join(F.broadcast(probes), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+ORACLE_Q79 = f"""
+WITH pairs AS (
+  SELECT doc_id,
+         unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS shingle
+  FROM documents
+), probes AS (
+  SELECT DISTINCT shingle FROM pairs WHERE doc_id IN (0, 1)
+)
+SELECT doc_id, count(*) AS score
+FROM pairs JOIN probes USING (shingle)
+WHERE doc_id NOT IN (0, 1)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+def q80_sketch_range_partition(spark, sf_dir):
+    """Sketch-driven range partitioning: quartile boundaries come from
+    the mergeable HDR histogram (functions/histogram.py) — ONE bounded
+    bin-count aggregate — and rows are then assigned to buckets by a
+    pure map-side bin comparison.  This is how you range-partition
+    100 TB without `repartitionByRange`'s sample-based exchange or a
+    global sort: the sketch is exact-by-construction on bin
+    boundaries, deterministic (no sampling), and the boundary collect
+    moves THREE integers to the driver.
+
+    Buckets are a monotone function of the value (bin ids are
+    monotone), so bucket value-ranges are provably disjoint —
+    pytest-asserted, and the audit aggregate's min/max per bucket
+    shows it.  Nearest-rank targets use the catalog-wide integer
+    convention (N*p + 99) div 100.  (The unpartitioned cum-walk
+    window triggers Spark's single-partition warning — deliberately:
+    it walks the <= 960-row SKETCH, never data rows.)"""
+    from .functions.histogram import hist_bin_expr
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    v = docs.where(F.col("n_chars").isNotNull() & (F.col("n_chars") >= 0))
+    binned = v.select(
+        "n_chars", hist_bin_expr(F.col("n_chars").cast("long")).alias("b")
+    )
+    bins = binned.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "b",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    # bounded metadata collect: exactly three integers cross the driver
+    # (the IVF-centroid convention) — never data rows
+    bounds = [
+        cum.where(F.col("cum") >= F.expr(f"(total * {p} + 99) div 100"))
+        .agg(F.min("b"))
+        .first()[0]
+        for p in (25, 50, 75)
+    ]
+    bucket = (
+        F.when(F.col("b") <= F.lit(bounds[0]), 0)
+        .when(F.col("b") <= F.lit(bounds[1]), 1)
+        .when(F.col("b") <= F.lit(bounds[2]), 2)
+        .otherwise(3)
+    )
+    return (
+        binned.select(bucket.cast("bigint").alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_DUCK_HIST_BIN = """
+  greatest(length(bin({v})) - 5, 0) * 16
+    + ({v} >> greatest(length(bin({v})) - 5, 0))
+"""
+
+ORACLE_Q80 = f"""
+WITH v AS (
+  SELECT n_chars, {_DUCK_HIST_BIN.format(v='n_chars')} AS b
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+), bins AS (
+  SELECT b, count(*) AS c FROM v GROUP BY b
+), cum AS (
+  SELECT b, sum(c) OVER (ORDER BY b) AS cum, sum(c) OVER () AS total
+  FROM bins
+), bounds AS (
+  SELECT min(CASE WHEN cum >= (total * 25 + 99) // 100 THEN b END) AS b25,
+         min(CASE WHEN cum >= (total * 50 + 99) // 100 THEN b END) AS b50,
+         min(CASE WHEN cum >= (total * 75 + 99) // 100 THEN b END) AS b75
+  FROM cum
+)
+SELECT CAST(CASE WHEN b <= b25 THEN 0 WHEN b <= b50 THEN 1
+            WHEN b <= b75 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM v, bounds
+GROUP BY 1
+"""
+
+
+def q81_domain_cap(spark, sf_dir):
+    """Per-group representation cap: keep at most 10 documents per
+    source, chosen by portable-hash rank (deterministic on any
+    cluster/partitioning — `ORDER BY rand()` is not reproducible and
+    a plain doc_id-order cap biases toward old crawls).  The
+    anti-over-representation step of corpus mixing: no single site may
+    dominate the training mix.
+
+    One shuffle on the group key; the rank window never sees more
+    than one group per task partition stream — the standard scale
+    shape for per-group top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    h = md5_i64_expr(F.col("doc_id").cast("string"), salt="cap#")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("doc_id", "source", "lang")
+    )
+
+
+ORACLE_Q81 = f"""
+SELECT doc_id, source, lang
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY {duck_md5_i64("doc_id::VARCHAR", salt="cap#")}, doc_id
+) <= 10
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -4163,6 +4333,9 @@ FROM per GROUP BY w HAVING sum(cc) > 0
 # entries ride on selfcheck + their r02/r03 driver rows.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never driver-checked (round-3 cap) — first in line
+    "q79_index_retrieval": q79_index_retrieval,
+    "q80_sketch_range_partition": q80_sketch_range_partition,
+    "q81_domain_cap": q81_domain_cap,
     "q73_duplicate_ngram_rate": q73_duplicate_ngram_rate,
     "q74_incremental_mv_merge": q74_incremental_mv_merge,
     "q75_streaming_attribution_join": q75_streaming_attribution_join,
@@ -4248,6 +4421,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q79_index_retrieval": ORACLE_Q79,
+    "q80_sketch_range_partition": ORACLE_Q80,
+    "q81_domain_cap": ORACLE_Q81,
     "q73_duplicate_ngram_rate": ORACLE_Q73,
     "q74_incremental_mv_merge": ORACLE_Q74,
     "q75_streaming_attribution_join": ORACLE_Q75,
