@@ -208,3 +208,57 @@ def test_domain_cap_respects_cap_and_determinism(spark):
     assert out.exceptAll(again).count() == 0
     assert again.exceptAll(out).count() == 0
     out.unpersist()
+
+
+def test_streaming_outer_attribution_emits_both_sides(spark):
+    """The outer join's entire point: matched rows AND watermark-
+    expired unmatched rows (null purchase) both emit, exactly once."""
+    from watermark_remove_spark.queries import q82_streaming_outer_attribution
+
+    out = q82_streaming_outer_attribution(spark, SF).cache()
+    n = out.count()
+    views = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("event_type") == "view")
+        .count()
+    )
+    assert n >= views  # every view emits at least once
+    assert out.where(F.col("purchase_id").isNull()).count() > 0
+    assert out.where(F.col("purchase_id").isNotNull()).count() > 0
+    # an unmatched view emits exactly once (no duplicate null rows)
+    dup_nulls = (
+        out.where(F.col("purchase_id").isNull())
+        .groupBy("view_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup_nulls == 0
+    out.unpersist()
+
+
+def test_streaming_interval_join_rejects_unknown_how(spark):
+    from watermark_remove_spark.streaming.pipeline import streaming_interval_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.select("user_id", F.col("ts").alias("lts"))
+    right = ev.select("user_id", F.col("ts").alias("rts"))
+    with pytest.raises(ValueError, match="not supported"):
+        streaming_interval_join(
+            left, right, left_ts="lts", right_ts="rts", how="fullOuter"
+        )
+
+
+def test_containment_scores_non_vacuous(spark):
+    from watermark_remove_spark.queries import q83_containment_scores
+
+    out = q83_containment_scores(spark, SF).cache()
+    assert out.count() > 0
+    # graded: scores exist strictly between the extremes
+    assert out.where((F.col("containment_pct") > 0) & (F.col("containment_pct") < 100)).count() > 0
+    # overlap never exceeds the doc's own gram count
+    assert out.where(F.col("n_overlap") > F.col("n_grams")).count() == 0
+    # both flag outcomes occur
+    flags = {r["blocked"] for r in out.select("blocked").distinct().collect()}
+    assert flags == {0, 1}
+    out.unpersist()

@@ -121,6 +121,10 @@ def main() -> None:
         "q79_index_retrieval": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # containment: eval grams broadcast, like q45
+        "q83_containment_scores": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

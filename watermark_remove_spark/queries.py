@@ -4320,6 +4320,140 @@ QUALIFY row_number() OVER (
 """
 
 
+def q82_streaming_outer_attribution(spark, sf_dir):
+    """O-15 stream-stream LEFT OUTER interval join: q75's attribution
+    join, but views with NO purchase in the following 2 h must ALSO
+    emit (null-extended) — and in a stream that emission is a
+    watermark decision, not a join decision: Spark holds the unmatched
+    view in state until the watermark proves no matching purchase can
+    still arrive, then emits the null row exactly once.  That
+    watermark-driven outer emission is the semantics this query pins
+    on the driver's oracle.
+
+    The sentinel events must SURVIVE the pre-join filters here (they
+    pass as extra event types and are dropped from the output) —
+    filtering them out before ``withWatermark`` would freeze the
+    watermark below 2027 and the tail of unmatched views would never
+    emit.  Oracle = the batch LEFT JOIN with the purchase predicates
+    in the ON clause."""
+    from .sources.pages import stream_events_files
+    from .streaming.pipeline import streaming_interval_join
+
+    src = _events_stream_fixture(spark, sf_dir, prefix="wrs-q-oattr-")
+    stream = stream_events_files(spark, src, 1)
+    views = stream.where(F.col("event_type").isin("view", "sentinel")).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = stream.where(
+        F.col("event_type").isin("purchase", "sentinel")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = streaming_interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        horizon="2 hours",
+        how="leftOuter",
+    )
+    out = _drain(
+        joined.select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.unix_timestamp("view_ts").alias("view_epoch"),
+            F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        ),
+        spark,
+    )
+    return out.where(F.col("user_id") != SENTINEL_USER)
+
+
+ORACLE_Q82 = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+FROM events v LEFT JOIN events p
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+WHERE v.event_type = 'view'
+"""
+
+
+def q83_containment_scores(spark, sf_dir):
+    """Graded eval-set containment per training document — the scored
+    form of q45's boolean decontamination gate: containment(d) =
+    |distinct k-grams of d ∩ eval grams| / |distinct k-grams of d|,
+    kept as an exact integer pair + integer-div percent, with the
+    ship/block flag at >= 50% containment.  Asymmetric by design
+    (MinHash-Jaccard under-flags a short eval item embedded in a long
+    train doc; containment is what contamination audits actually
+    rank by).
+
+    Same 100-TB posture as q45: the eval gram set broadcasts, the
+    train side streams through one equi-join, and per-doc totals are
+    map-side array sizes — no corpus-side distinct shuffle."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % DECON_MOD) == 0
+    grams = F.array_distinct(doc_shingles_expr(F.col("text"), DECON_K))
+
+    eval_grams = docs.where(is_eval).select(F.explode(grams).alias("g")).distinct()
+    train = docs.where(~is_eval).select(
+        "doc_id", F.size(grams).alias("n_grams"), F.explode(grams).alias("g")
+    )
+    ov = (
+        train.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = train.groupBy("doc_id").agg(F.max("n_grams").alias("n_grams"))
+    return (
+        totals.join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            F.expr("100 * n_overlap div n_grams").alias("containment_pct"),
+            F.expr("CAST(n_overlap * 2 >= n_grams AS BIGINT)").alias("blocked"),
+        )
+    )
+
+
+def _oracle_q83() -> str:
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT unnest(list_distinct({_duck_doc_kgrams('text', DECON_K)})) AS g
+  FROM documents WHERE doc_id % {DECON_MOD} = 0
+), tr AS (
+  SELECT doc_id, unnest(list_distinct({_duck_doc_kgrams('text', DECON_K)})) AS g
+  FROM documents WHERE doc_id % {DECON_MOD} <> 0
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id
+), ov AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM tr WHERE g IN (SELECT g FROM ev) GROUP BY doc_id
+)
+SELECT tot.doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       100 * CAST(coalesce(n_overlap, 0) AS BIGINT) // n_grams AS containment_pct,
+       CAST(coalesce(n_overlap, 0) * 2 >= n_grams AS BIGINT) AS blocked
+FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -4333,6 +4467,8 @@ QUALIFY row_number() OVER (
 # entries ride on selfcheck + their r02/r03 driver rows.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never driver-checked (round-3 cap) — first in line
+    "q82_streaming_outer_attribution": q82_streaming_outer_attribution,
+    "q83_containment_scores": q83_containment_scores,
     "q79_index_retrieval": q79_index_retrieval,
     "q80_sketch_range_partition": q80_sketch_range_partition,
     "q81_domain_cap": q81_domain_cap,
@@ -4421,6 +4557,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q82_streaming_outer_attribution": ORACLE_Q82,
+    "q83_containment_scores": _oracle_q83(),
     "q79_index_retrieval": ORACLE_Q79,
     "q80_sketch_range_partition": ORACLE_Q80,
     "q81_domain_cap": ORACLE_Q81,

@@ -178,9 +178,10 @@ def streaming_interval_join(
     right_ts: str = "ts",
     horizon: str = "30 minutes",
     watermark: str = DEFAULT_WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
-    """O-15 symmetric form: watermark-bounded stream-stream INNER
-    interval join — right events joined to left events of the same key
+    """O-15 symmetric form: watermark-bounded stream-stream interval
+    join — right events joined to left events of the same key
     arriving within ``(left_ts, left_ts + horizon]`` (strict >, so an
     event never attributes to itself when both sides derive from one
     stream).  The attribution join of every event pipeline: views x
@@ -190,10 +191,19 @@ def streaming_interval_join(
     lets Spark size the state store — each side buffers only rows
     younger than (watermark + horizon); without the bound, stream-
     stream join state grows without limit and a 10^12-event stream
-    OOMs.  Inner matches emit as soon as both sides arrive; the
-    watermark only governs state eviction, so output content is
-    deterministic for a drained fixture.
+    OOMs.  Inner matches emit as soon as both sides arrive, so output
+    content is deterministic for a drained fixture; with
+    ``how='leftOuter'`` an unmatched left row emits null-extended only
+    once the WATERMARK passes ``left_ts + horizon`` (state eviction
+    proves no match can still arrive) — callers must pin the final
+    watermark past every real row (the sentinel-batch fixture
+    convention) or tail rows stay unemitted.
     """
+    allowed = {"inner", "leftOuter", "left_outer"}
+    if how not in allowed:
+        # rightOuter/fullOuter would need the mirrored eviction
+        # analysis and are untested here — refuse rather than guess
+        raise ValueError(f"how={how!r} not supported; use one of {sorted(allowed)}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     joined = l.join(
@@ -205,7 +215,7 @@ def streaming_interval_join(
             r.{right_ts} <= l.{left_ts} + interval {horizon}
             """
         ),
-        "inner",
+        how,
     )
     # Flatten to an unambiguous schema: join key once, then each
     # side's remaining columns (caller keeps them disjointly named).
