@@ -262,3 +262,30 @@ def test_containment_scores_non_vacuous(spark):
     flags = {r["blocked"] for r in out.select("blocked").distinct().collect()}
     assert flags == {0, 1}
     out.unpersist()
+
+
+def test_sink_incremental_read_partitions_the_view(spark, tmp_path):
+    """as-of(k) + incremental(from=k) == full view, exactly; the diff
+    honors bounds, returns empty past the head, and raises once vacuum
+    prunes a batch dir inside the requested range."""
+    from watermark_remove_spark.streaming.sink import ParquetLedgerSink
+
+    sink = ParquetLedgerSink(str(tmp_path / "out"))
+    for b in range(4):
+        df = spark.range(b * 10, b * 10 + 10).selectExpr("id", "id * 2 AS v")
+        sink.write_batch(df, b)
+
+    inc = sink.read_incremental(spark, from_batch=1)
+    assert {r.id for r in inc.collect()} == set(range(20, 40))
+    # bounded diff (from, to]
+    assert sink.read_incremental(spark, 0, 2).count() == 20
+    # partition property vs the as-of read
+    asof = sink.read_committed(spark, as_of_batch=1)
+    assert asof.count() + inc.count() == sink.read_committed(spark).count()
+    # nothing past the head
+    assert sink.read_incremental(spark, from_batch=3).count() == 0
+
+    sink.compact(spark)
+    sink.vacuum(tmp_min_age_sec=0.0)
+    with pytest.raises(RuntimeError, match="pruned by vacuum"):
+        sink.read_incremental(spark, from_batch=1)

@@ -4454,6 +4454,66 @@ FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
 """
 
 
+def q84_sink_incremental_read(spark, sf_dir):
+    """INCREMENTAL (CDC) read on the exactly-once sink
+    (``ParquetLedgerSink.read_incremental``): after the 4-batch drain,
+    return exactly the rows committed AFTER batch 1 — the Iceberg
+    incremental snapshot-diff a downstream consumer tails instead of
+    re-reading the table per refresh.  Complements q59's as-of read:
+    together they partition the exactly-once view, which the query
+    asserts in-line (fail-loud, so a ledger-accounting bug turns the
+    driver row red).
+
+    Batches are doc_id-ordered ceil-slices, so the diff is the strict
+    suffix rn > 2*ceil(N/4) — pure SQL for the oracle."""
+    from .sources.pages import stream_pages_files, write_batch_files
+    from .streaming.pipeline import run_stream_to_sink
+    from .streaming.sink import ParquetLedgerSink
+
+    pages, _ = _derived_pages_pandas(sf_dir)
+    batches = _split_batches(pages, 4, sentinels=False)
+    src = _q_tmpdir("wrs-q-inc-src-")
+    write_batch_files(batches, src)
+    sink = ParquetLedgerSink(_q_tmpdir("wrs-q-inc-sink-"))
+    q = run_stream_to_sink(
+        stream_pages_files(spark, src, 1).select("url", "warc_ts", "lang", "text"),
+        sink,
+        _q_tmpdir("wrs-q-inc-ck-"),
+    )
+    q.awaitTermination(600)
+
+    inc = sink.read_incremental(spark, from_batch=1)
+    n_inc = inc.count()
+    n_asof = sink.read_committed(spark, as_of_batch=1).count()
+    n_full = sink.read_committed(spark).count()
+    if n_inc == 0 or n_asof + n_inc != n_full:
+        raise RuntimeError(
+            f"as-of + incremental must partition the view: "
+            f"{n_asof} + {n_inc} != {n_full}"
+        )
+    return inc.select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_ts_epoch"),
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+ORACLE_Q84 = f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), ranked AS (
+  SELECT url, warc_ts, lang, text,
+         row_number() OVER (ORDER BY doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM pages
+)
+SELECT url, CAST(floor(epoch(warc_ts)) AS BIGINT) AS warc_ts_epoch,
+       lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM ranked WHERE rn > 2 * ceil(n / 4.0)
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -4467,6 +4527,7 @@ FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
 # entries ride on selfcheck + their r02/r03 driver rows.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never driver-checked (round-3 cap) — first in line
+    "q84_sink_incremental_read": q84_sink_incremental_read,
     "q82_streaming_outer_attribution": q82_streaming_outer_attribution,
     "q83_containment_scores": q83_containment_scores,
     "q79_index_retrieval": q79_index_retrieval,
@@ -4557,6 +4618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q84_sink_incremental_read": ORACLE_Q84,
     "q82_streaming_outer_attribution": ORACLE_Q82,
     "q83_containment_scores": _oracle_q83(),
     "q79_index_retrieval": ORACLE_Q79,
