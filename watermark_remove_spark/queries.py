@@ -4235,13 +4235,20 @@ def q80_sketch_range_partition(spark, sf_dir):
         F.sum("c").over(Window.partitionBy()).alias("total"),
     )
     # bounded metadata collect: exactly three integers cross the driver
-    # (the IVF-centroid convention) — never data rows
-    bounds = [
-        cum.where(F.col("cum") >= F.expr(f"(total * {p} + 99) div 100"))
-        .agg(F.min("b"))
-        .first()[0]
-        for p in (25, 50, 75)
-    ]
+    # (the IVF-centroid convention) — never data rows; ONE aggregate
+    # job computes all three boundaries (3 separate jobs benched 3x)
+    row = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(total * {p} + 99) div 100"),
+                    F.col("b"),
+                )
+            ).alias(f"b{p}")
+            for p in (25, 50, 75)
+        ]
+    ).first()
+    bounds = [row["b25"], row["b50"], row["b75"]]
     bucket = (
         F.when(F.col("b") <= F.lit(bounds[0]), 0)
         .when(F.col("b") <= F.lit(bounds[1]), 1)
