@@ -285,6 +285,12 @@ def test_sink_incremental_read_partitions_the_view(spark, tmp_path):
     # nothing past the head
     assert sink.read_incremental(spark, from_batch=3).count() == 0
 
+    # a to_batch beyond the committed head must refuse, not truncate:
+    # a consumer checkpointing the REQUESTED bound would skip batches
+    # 4..5 forever once they commit
+    with pytest.raises(RuntimeError, match="beyond the committed head"):
+        sink.read_incremental(spark, 1, 5)
+
     sink.compact(spark)
     sink.vacuum(tmp_min_age_sec=0.0)
     with pytest.raises(RuntimeError, match="pruned by vacuum"):

@@ -187,3 +187,14 @@ def hist_quantiles_windowed_stream(
         "n_values",
         "n_bins",
     )
+
+
+def duck_hist_bin(v: str) -> str:
+    """DuckDB SQL mirror of :func:`hist_bin_expr` — THE one copy
+    (ORACLE_Q71/Q72/Q80 all format this; a binning change that missed
+    an inline copy would silently de-sync quantiles from boundaries).
+    The 5 / 16 constants are SUB_BITS+1 / SUB with SUB_BITS=4."""
+    return (
+        f"greatest(length(bin({v})) - 5, 0) * 16"
+        f" + ({v} >> greatest(length(bin({v})) - 5, 0))"
+    )

@@ -24,7 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# (output column, source expression builder, merge function)
+# output column -> merge function (the matching source expressions
+# live in agg_state; both must list the same metric columns)
 _MERGE_FNS = {
     "n_docs": lambda a, b: a + b,
     "sum_chars": lambda a, b: a + b,

@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .functions.histogram import duck_hist_bin
 from .functions.portable_hash import (
     HEX_BIT_CHARS,
     duck_md5_i64,
@@ -3724,9 +3725,7 @@ WITH v AS (
   SELECT source, n_chars AS v FROM documents
   WHERE n_chars IS NOT NULL AND n_chars >= 0
 ), bn AS (
-  SELECT source,
-         greatest(length(bin(v)) - 5, 0) * 16
-           + (v >> greatest(length(bin(v)) - 5, 0)) AS b
+  SELECT source, {duck_hist_bin('v')} AS b
   FROM v
 ), c AS (
   SELECT source, b, count(*) AS c FROM bn GROUP BY 1, 2
@@ -3782,9 +3781,7 @@ WITH pages AS (
   FROM pages
   WHERE length(text) IS NOT NULL AND length(text) >= 0
 ), bn AS (
-  SELECT ws, lang,
-         greatest(length(bin(v)) - 5, 0) * 16
-           + (v >> greatest(length(bin(v)) - 5, 0)) AS b
+  SELECT ws, lang, {duck_hist_bin('v')} AS b
   FROM v
 ), c AS (
   SELECT ws, lang, b, count(*) AS c FROM bn GROUP BY 1, 2, 3
@@ -4266,14 +4263,9 @@ def q80_sketch_range_partition(spark, sf_dir):
     )
 
 
-_DUCK_HIST_BIN = """
-  greatest(length(bin({v})) - 5, 0) * 16
-    + ({v} >> greatest(length(bin({v})) - 5, 0))
-"""
-
 ORACLE_Q80 = f"""
 WITH v AS (
-  SELECT n_chars, {_DUCK_HIST_BIN.format(v='n_chars')} AS b
+  SELECT n_chars, {duck_hist_bin('n_chars')} AS b
   FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
 ), bins AS (
   SELECT b, count(*) AS c FROM v GROUP BY b
@@ -4412,15 +4404,20 @@ def q83_containment_scores(spark, sf_dir):
     grams = F.array_distinct(doc_shingles_expr(F.col("text"), DECON_K))
 
     eval_grams = docs.where(is_eval).select(F.explode(grams).alias("g")).distinct()
-    train = docs.where(~is_eval).select(
-        "doc_id", F.size(grams).alias("n_grams"), F.explode(grams).alias("g")
-    )
+    train = docs.where(~is_eval).select("doc_id", F.explode(grams).alias("g"))
     ov = (
         train.join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    totals = train.groupBy("doc_id").agg(F.max("n_grams").alias("n_grams"))
+    # per-doc totals map-side from the pre-explode array size — no
+    # second pass over gram-granularity rows (the >0 filter keeps the
+    # zero-gram-doc exclusion the exploded form had implicitly)
+    totals = (
+        docs.where(~is_eval)
+        .select("doc_id", F.size(grams).alias("n_grams"))
+        .where(F.col("n_grams") > 0)
+    )
     return (
         totals.join(ov, "doc_id", "left")
         .select(
@@ -4524,14 +4521,14 @@ FROM ranked WHERE rn > 2 * ceil(n / 4.0)
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
-# skipped — round-3 verdict #2), so the dict leads with the 22 entries
-# that have never had a driver row (q51-q56 from round 3 plus the
-# round-4 additions q57-q70) and retires the tail positions to queries
-# that are triple-green in BOTH CORRECTNESS_r02.json and
-# CORRECTNESS_r03.json (small, stable, double-verified).  Every entry
-# stays in the catalog and in tools/selfcheck.py regardless of
-# position; if the driver cap is still 50, the last 20 registry
-# entries ride on selfcheck + their r02/r03 driver rows.
+# skipped — round-3 verdict #2), so the dict leads with the 34 entries
+# that have never had a driver row (q84, q82-q83, q79-q81, q73-q78,
+# q71-q72, q51-q70) and retires the tail positions to queries with
+# existing driver-green rows (q23-q50 region r03-green, oldest 11
+# double-green in r02+r03).  Every entry stays in the catalog and in
+# tools/selfcheck.py regardless of position; if the driver cap is
+# still 50, the 34 entries past position 50 ride on selfcheck + their
+# r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never driver-checked (round-3 cap) — first in line
     "q84_sink_incremental_read": q84_sink_incremental_read,

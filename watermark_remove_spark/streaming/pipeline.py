@@ -204,6 +204,12 @@ def streaming_interval_join(
         # rightOuter/fullOuter would need the mirrored eviction
         # analysis and are untested here — refuse rather than guess
         raise ValueError(f"how={how!r} not supported; use one of {sorted(allowed)}")
+    # validate BEFORE constructing the join: on a self-join Spark's
+    # eager analysis would otherwise fail first with an opaque
+    # ambiguous-column error instead of this one
+    dup = [c for c in left.columns if c != key and c in right.columns]
+    if dup:
+        raise ValueError(f"non-key columns present on both sides: {dup}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     joined = l.join(
@@ -218,10 +224,7 @@ def streaming_interval_join(
         how,
     )
     # Flatten to an unambiguous schema: join key once, then each
-    # side's remaining columns (caller keeps them disjointly named).
-    dup = [c for c in left.columns if c != key and c in right.columns]
-    if dup:
-        raise ValueError(f"non-key columns present on both sides: {dup}")
+    # side's remaining columns (disjointly named, validated above).
     out = [F.col(f"l.{key}").alias(key)]
     out += [F.col(f"l.{c}") for c in left.columns if c != key]
     out += [F.col(f"r.{c}") for c in right.columns if c != key]

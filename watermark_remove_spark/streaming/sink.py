@@ -236,21 +236,12 @@ class ParquetLedgerSink:
             want = sorted(
                 b for b in self.committed_batches() if b <= as_of_batch
             )
-            paths = []
-            for b in want:
-                p = os.path.join(self.data_dir, f"batch_id={b}")
-                if not os.path.exists(p):
-                    raise RuntimeError(
-                        f"as-of read at batch {as_of_batch}: batch {b}'s "
-                        "dir was pruned by vacuum (compacted history); "
-                        "time travel to this point is no longer available"
-                    )
-                paths.append(p)
-            if not paths:
-                from pyspark.sql.types import StructType
-
-                return spark.createDataFrame([], StructType([]))
-            return spark.read.parquet(*paths)
+            return self._read_batch_dirs(
+                spark,
+                want,
+                f"as-of read at batch {as_of_batch}",
+                "time travel to this point is no longer available",
+            )
         covered = self._compacted_away()
         paths = [
             os.path.join(self.compacted_dir, f"gen={r['compaction']}")
@@ -282,18 +273,43 @@ class ParquetLedgerSink:
         Served from the original per-batch dirs; like
         ``read_committed(as_of_batch=...)``, history pruned by
         ``vacuum()`` raises loudly rather than returning a silently
-        incomplete diff."""
+        incomplete diff — and a caller-supplied ``to_batch`` beyond the
+        committed head ALSO raises: silently truncating it would let a
+        consumer checkpoint a batch id it never consumed and skip the
+        gap forever."""
         have = self.committed_batches()
-        hi = max(have, default=from_batch) if to_batch is None else to_batch
+        head = max(have, default=from_batch)
+        if to_batch is None:
+            hi = head
+        elif to_batch > head:
+            raise RuntimeError(
+                f"incremental read ({from_batch}, {to_batch}]: to_batch "
+                f"is beyond the committed head {head}; refusing to "
+                "truncate silently (checkpoint the returned range, "
+                "not the requested one)"
+            )
+        else:
+            hi = to_batch
         want = sorted(b for b in have if from_batch < b <= hi)
+        return self._read_batch_dirs(
+            spark,
+            want,
+            f"incremental read ({from_batch}, {hi}]",
+            "the diff is no longer reconstructable",
+        )
+
+    def _read_batch_dirs(
+        self, spark, want: list[int], ctx: str, consequence: str
+    ) -> DataFrame:
+        """Shared ledger-pinned per-batch-dir reader for the as-of and
+        incremental views: vacuum-pruned history raises loudly."""
         paths = []
         for b in want:
             p = os.path.join(self.data_dir, f"batch_id={b}")
             if not os.path.exists(p):
                 raise RuntimeError(
-                    f"incremental read ({from_batch}, {hi}]: batch {b}'s "
-                    "dir was pruned by vacuum (compacted history); the "
-                    "diff is no longer reconstructable"
+                    f"{ctx}: batch {b}'s dir was pruned by vacuum "
+                    f"(compacted history); {consequence}"
                 )
             paths.append(p)
         if not paths:
