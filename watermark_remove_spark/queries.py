@@ -4518,6 +4518,245 @@ FROM ranked WHERE rn > 2 * ceil(n / 4.0)
 """
 
 
+def q85_sequence_packing(spark, sf_dir):
+    """Training-sequence packing: assign documents to fixed
+    token-budget bins (2048 tokens) in a deterministic portable-hash
+    order — the batch that turns a filtered corpus into the contiguous
+    context-window stream a trainer consumes.  Contiguous-prefix
+    semantics: a doc goes to the bin its exclusive cumulative token
+    count falls in, so bins are full except for (at most) one straddle
+    doc each — and the assignment is a pure function of (lang, doc_id,
+    n_tok), reproducible on any cluster/partitioning.
+
+    Scale shape: packing is per (lang, shard) where shard = hash % 8 —
+    the window sort never sees more than one shard's docs, so the
+    1000-executor plan sorts 8×|langs| independent streams instead of
+    one global order (a global ORDER BY over 100 TB is the anti-
+    pattern this shard term removes)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    h = md5_i64_expr(F.col("doc_id").cast("string"), salt="pack#")
+    d = docs.select(
+        "lang",
+        "doc_id",
+        token_count_expr(F.col("text")).cast("bigint").alias("n_tok"),
+        h.alias("h"),
+        (h % 8).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = d.withColumn("cum_excl", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        o.withColumn("bin_id", F.expr("cum_excl div 2048"))
+        .groupBy("lang", "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        )
+    )
+
+
+ORACLE_Q85 = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
+         {duck_md5_i64("doc_id::VARCHAR", salt="pack#")} AS h
+  FROM documents
+), o AS (
+  SELECT lang, h % 8 AS shard, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY lang, h % 8 ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM d
+)
+SELECT lang, shard, cum_excl // 2048 AS bin_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+FROM o GROUP BY 1, 2, 3
+"""
+
+
+def q86_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level corpus dedup with document reassembly (the
+    C4/CCNet hygiene step): chunk every document into 10-token
+    paragraphs, keep each distinct paragraph ONLY at its first
+    occurrence ordered by (doc_id, idx), then rebuild each document
+    from its surviving paragraphs in order.  Emits per-doc paragraph
+    counts plus an md5 of the reassembled text so the oracle pins the
+    exact surviving byte stream, not just counts.
+
+    Scale shape: one shuffle on the paragraph string (the dedup
+    window) and one on doc_id (the reassembly agg).  Reassembly uses
+    collect_list of (idx, para) structs + array_sort — bounded by the
+    document's own paragraph count, never by the corpus."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    n = F.size(tk)
+    n_chunks = F.floor((n + F.lit(9)) / F.lit(10)).cast("int")
+    paras_arr = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(tk, i * 10 + 1, 10), " "),
+        )
+    )
+    paras = docs.select("doc_id", F.posexplode(paras_arr).alias("idx", "para"))
+    w = Window.partitionBy("para").orderBy("doc_id", "idx")
+    kept = paras.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                    lambda x: x["para"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    totals = docs.select("doc_id", n_chunks.cast("bigint").alias("n_paras"))
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+    )
+
+
+ORACLE_Q86 = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), paras AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS idx,
+         array_to_string(list_slice(toks, u.i*10+1, u.i*10+10), ' ') AS para
+  FROM tk, UNNEST(range((len(toks)+9)//10)) AS u(i)
+), kept AS (
+  SELECT doc_id, idx, para FROM paras
+  QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(para, ' ' ORDER BY idx)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST((len(t.toks)+9)//10 AS BIGINT) AS n_paras,
+       CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(p.kept_md5, md5('')) AS kept_md5
+FROM tk t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q87_token_rarity(spark, sf_dir):
+    """Unigram-LM proxy scoring (perplexity-bucket filtering without a
+    model): rank the corpus vocabulary by global frequency, score each
+    document by the integer mean frequency-rank of its token stream,
+    and bucket documents by score — the cheap first-pass language-model
+    quality gate of a training pipeline, self-trained on the corpus
+    itself (two passes, zero external data).
+
+    Scale shape: pass 1 is one token-count aggregate; the rank window
+    runs over the VOCABULARY (metadata-scale vs the corpus — ~10^7
+    terms vs 10^12 docs), and the ranked vocab then BROADCASTS back
+    onto the token stream — the corpus-side pass is map-side only.
+    All-integer arithmetic (sum of ranks div token count): bit-exact
+    on any engine."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = vocab.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+    scored = (
+        tok.join(F.broadcast(ranked.select("token", "rank")), "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr("sum(rank) div count(1)").alias("score"),
+        )
+    )
+    return (
+        scored.withColumn("bucket", F.expr("score div 5"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+ORACLE_Q87 = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+), ranked AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS rank
+  FROM tok GROUP BY token
+), scored AS (
+  SELECT doc_id, lang, sum(rank) // count(*) AS score
+  FROM tok JOIN ranked USING (token)
+  GROUP BY doc_id, lang
+)
+SELECT lang, score // 5 AS bucket, count(*) AS n_docs,
+       min(score) AS min_score, max(score) AS max_score
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q88_vocab_coverage(spark, sf_dir):
+    """Tokenizer-design telemetry: the cumulative corpus-coverage curve
+    of the frequency-ranked vocabulary — for each of the top-25 terms,
+    what share of ALL token occurrences the vocabulary up to that rank
+    covers (the curve that sizes a vocab / quantifies OOV rate).
+
+    Scale shape: one token-count aggregate over the corpus; the
+    rank/cumsum windows run over the vocabulary only (metadata-scale),
+    and the total is a window aggregate over that same tiny relation —
+    the corpus is touched exactly once.  Coverage is integer per-cent
+    ((100 * cum) div total): bit-exact across engines."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rk = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    cum_w = rk.rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.partitionBy()
+    return (
+        vocab.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("total", F.sum("cnt").over(tot_w))
+        .where(F.col("rank") <= 25)
+        .select(
+            "rank",
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("(100 * cum) div total").alias("cov_pct"),
+        )
+    )
+
+
+ORACLE_Q88 = """
+WITH vocab AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM vocab GROUP BY token
+), curve AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+         sum(cnt) OVER (ORDER BY cnt DESC, token
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS total
+  FROM counts
+)
+SELECT rank, token, CAST(cnt AS BIGINT) AS cnt, (100 * cum) // total AS cov_pct
+FROM curve WHERE rank <= 25
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -4530,6 +4769,11 @@ FROM ranked WHERE rn > 2 * ceil(n / 4.0)
 # still 50, the 34 entries past position 50 ride on selfcheck + their
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # new this session — never driver-checked, first in line
+    "q85_sequence_packing": q85_sequence_packing,
+    "q86_paragraph_dedup": q86_paragraph_dedup,
+    "q87_token_rarity": q87_token_rarity,
+    "q88_vocab_coverage": q88_vocab_coverage,
     # never driver-checked (round-3 cap) — first in line
     "q84_sink_incremental_read": q84_sink_incremental_read,
     "q82_streaming_outer_attribution": q82_streaming_outer_attribution,
@@ -4622,6 +4866,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q85_sequence_packing": ORACLE_Q85,
+    "q86_paragraph_dedup": ORACLE_Q86,
+    "q87_token_rarity": ORACLE_Q87,
+    "q88_vocab_coverage": ORACLE_Q88,
     "q84_sink_incremental_read": ORACLE_Q84,
     "q82_streaming_outer_attribution": ORACLE_Q82,
     "q83_containment_scores": _oracle_q83(),
