@@ -115,3 +115,43 @@ def naive_window_domain_agg(
             "total_chars",
         )
     )
+
+
+_SALTED_JOIN_HOWS = frozenset({"inner", "left", "leftouter", "left_outer"})
+
+
+def salted_equi_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+    salt_from: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join for a dim table too big to broadcast but
+    cheap to replicate S×: the big side gets ``salt = hash(row) % S``
+    and the dim side is exploded into S replicas, so the shuffle key
+    becomes (key, salt) and a hot key spreads across S partitions
+    instead of melting one task — the standard salting answer when the
+    40%-of-corpus mega-key meets a sort-merge join at 1000 executors
+    (AQE skew-split handles the sorted-run case; explicit salting is
+    the deterministic-plan form and works pre-shuffle).
+
+    Semantically identical to ``big.join(dim, on, how)`` for inner and
+    left joins: each big row carries exactly ONE salt so it matches
+    (or null-extends) exactly once.  right/full outer would emit one
+    null-extended row PER dim replica — rejected, like
+    range_join_bucketed does.
+    """
+    if how not in _SALTED_JOIN_HOWS:
+        raise ValueError(
+            f"salted_equi_join supports {sorted(_SALTED_JOIN_HOWS)}, got {how!r}"
+        )
+    cols = salt_from or [c for c in big.columns]
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets)).cast("int")
+    )
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return big_s.join(dim_s, [on, "__salt"], how).drop("__salt")

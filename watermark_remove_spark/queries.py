@@ -4757,6 +4757,231 @@ FROM curve WHERE rank <= 25
 """
 
 
+def q89_fuzzy_blocked_join(spark, sf_dir):
+    """Blocked fuzzy record linkage: match dirty entity mentions back
+    to a canonical catalog under edit-distance ≤ 2 — WITHOUT the
+    all-pairs scan.  Candidates come from a prefix-block equi-join
+    (first 4 chars survive every modeled corruption: truncation,
+    transposition, suffix noise), then the exact levenshtein predicate
+    filters inside the block and a (distance, name) window picks one
+    deterministic best match per mention.
+
+    Scale shape: the only shuffle is the block-key equi-join — blocks
+    bound the candidate fan-out the way LSH bands do for MinHash; the
+    levenshtein runs post-join on block-local pairs only.  A naive
+    fuzzy join is a cross product; this is the linkage plan that
+    survives 10^12 mentions."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    canon_name = F.concat(
+        F.col("source"), F.lit("-item-"), (F.col("doc_id") % 40).cast("string")
+    )
+    catalog = docs.select(canon_name.alias("canon")).distinct()
+    m = F.col("doc_id") % 4
+    dirty_name = (
+        F.when(m == 1, F.expr("substring(c, 1, length(c) - 1)"))
+        .when(m == 2, F.replace(F.col("c"), F.lit("item"), F.lit("itme")))
+        .when(m == 3, F.concat(F.col("c"), F.lit("x")))
+        .otherwise(F.col("c"))
+    )
+    dirty = docs.select("doc_id", canon_name.alias("c")).select(
+        "doc_id", dirty_name.alias("dirty")
+    )
+    cand = dirty.join(
+        catalog,
+        F.substring("dirty", 1, 4) == F.substring("canon", 1, 4),
+    ).withColumn("dist", F.levenshtein("dirty", "canon").cast("bigint"))
+    w = Window.partitionBy("doc_id").orderBy("dist", "canon")
+    return (
+        cand.where(F.col("dist") <= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "dirty", F.col("canon").alias("best_canon"), "dist")
+    )
+
+
+ORACLE_Q89 = """
+WITH catalog AS (
+  SELECT DISTINCT source || '-item-' || (doc_id % 40) AS canon FROM documents
+), dirty AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 1 THEN substring(c, 1, length(c) - 1)
+           WHEN 2 THEN replace(c, 'item', 'itme')
+           WHEN 3 THEN c || 'x'
+           ELSE c
+         END AS dirty
+  FROM (SELECT doc_id, source || '-item-' || (doc_id % 40) AS c FROM documents)
+), cand AS (
+  SELECT doc_id, dirty, canon,
+         CAST(levenshtein(dirty, canon) AS BIGINT) AS dist
+  FROM dirty JOIN catalog ON substring(dirty, 1, 4) = substring(canon, 1, 4)
+  WHERE levenshtein(dirty, canon) <= 2
+)
+SELECT doc_id, dirty, canon AS best_canon, dist
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, canon) = 1
+"""
+
+
+def q90_salted_skew_join(spark, sf_dir):
+    """Salted skewed equi-join (the JOIN face of O-21): ~40% of fact
+    rows share ONE dim key; `salted_equi_join` salts the fact side
+    (hash(row) % 8) and replicates the dim 8×, so the hot key's rows
+    spread over 8 shuffle partitions instead of one straggler task.
+    Semantics proven identical to the unsalted join by the oracle,
+    which joins WITHOUT salt.
+
+    Dim here is built from ``range`` (both engines) — stand-in for a
+    dim too big to broadcast at 100 TB scale; aggregates are
+    all-integer."""
+    from .operators.skew import salted_equi_join
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select(
+        F.when(F.col("user_id") % 10 < 4, F.lit(0))
+        .otherwise(F.col("user_id") % 97)
+        .cast("bigint")
+        .alias("dom"),
+        "user_id",
+        "event_id",
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("dom"),
+        F.when(F.col("id") == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold-"), (F.col("id") % 3).cast("string")))
+        .alias("tier"),
+        (F.col("id") % 7 + 1).alias("weight"),
+    )
+    joined = salted_equi_join(facts, dim, on="dom", salt_buckets=8)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").cast("bigint").alias("sum_uid"),
+        F.sum("weight").cast("bigint").alias("sum_weight"),
+    )
+
+
+ORACLE_Q90 = """
+WITH facts AS (
+  SELECT CASE WHEN user_id % 10 < 4 THEN 0 ELSE user_id % 97 END AS dom,
+         user_id, event_id
+  FROM events
+), dim AS (
+  SELECT i AS dom,
+         CASE WHEN i = 0 THEN 'hot' ELSE 'cold-' || (i % 3) END AS tier,
+         i % 7 + 1 AS weight
+  FROM UNNEST(range(97)) AS u(i)
+)
+SELECT tier, count(*) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       CAST(sum(weight) AS BIGINT) AS sum_weight
+FROM facts JOIN dim USING (dom)
+GROUP BY tier
+"""
+
+
+def q91_url_rule_filter(spark, sf_dir):
+    """Crawl-policy rule filtering: a deny-rule table (admin paths,
+    tracking params, binary-download suffixes, mobile mirrors) applied
+    to every frontier URL, attributing each URL to the FIRST matching
+    rule — robots/blocklist semantics.
+
+    Scale shape: the rule set is metadata-scale (thousands of rules vs
+    10^12 URLs), so it compiles DRIVER-SIDE into one first-match
+    predicate chain that runs map-side inside codegen — zero joins,
+    zero shuffles until the final per-(source, rule) rollup.  The
+    anti-pattern this avoids is a LIKE-join (BroadcastNestedLoopJoin)
+    of URLs × rules."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    url = F.concat(
+        F.lit("https://"),
+        F.when(m == 4, F.lit("m.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.when(m == 0, F.lit("admin/panel"))
+        .when(m == 1, F.concat(F.lit("p/"), F.col("doc_id").cast("string"), F.lit("?utm_source=feed")))
+        .when(m == 2, F.concat(F.lit("dl/"), F.col("doc_id").cast("string"), F.lit(".zip")))
+        .otherwise(F.concat(F.lit("p/"), F.col("doc_id").cast("string"))),
+    )
+    # deny rules, first match wins (rule_id -1 = kept)
+    rules = [(0, "/admin/"), (1, "[?&]utm_"), (2, "\\.zip$"), (3, "//m\\.")]
+    rule_id = F.lit(-1)
+    for rid, pat in reversed(rules):
+        rule_id = F.when(F.col("url").rlike(pat), F.lit(rid)).otherwise(rule_id)
+    return (
+        docs.select("source", url.alias("url"))
+        .withColumn("rule_id", rule_id.cast("bigint"))
+        .groupBy("source", "rule_id")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+ORACLE_Q91 = """
+WITH urls AS (
+  SELECT source,
+         'https://' || CASE WHEN doc_id % 5 = 4 THEN 'm.' ELSE '' END
+           || source || '.example.com/' ||
+         CASE doc_id % 5
+           WHEN 0 THEN 'admin/panel'
+           WHEN 1 THEN 'p/' || doc_id || '?utm_source=feed'
+           WHEN 2 THEN 'dl/' || doc_id || '.zip'
+           ELSE 'p/' || doc_id
+         END AS url
+  FROM documents
+)
+SELECT source,
+       CAST(CASE
+         WHEN regexp_matches(url, '/admin/') THEN 0
+         WHEN regexp_matches(url, '[?&]utm_') THEN 1
+         WHEN regexp_matches(url, '\\.zip$') THEN 2
+         WHEN regexp_matches(url, '//m\\.') THEN 3
+         ELSE -1
+       END AS BIGINT) AS rule_id,
+       count(*) AS n_urls
+FROM urls GROUP BY 1, 2
+"""
+
+
+def q92_checksum_audit(spark, sf_dir):
+    """Corpus integrity checksums: an order-independent per-source
+    checksum (sum of 60-bit md5-derived row digests, exact DECIMAL(38)
+    arithmetic) plus the grand-total rollup row — the audit primitive
+    that certifies a 100-TB migration/replication moved every byte
+    (commutative sum ⇒ any partitioning, any order, same checksum;
+    the digest covers doc_id AND text so both row loss and silent
+    corruption shift it).
+
+    Scale shape: one map-side digest per row, one rollup aggregate —
+    the cheapest possible full-corpus pass."""
+    docs = _t(spark, sf_dir, "documents")
+    digest = md5_i64_expr(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5(F.col("text"))),
+        salt="ck#",
+    )
+    return (
+        docs.select("source", digest.cast("decimal(38,0)").alias("d"))
+        .rollup("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("d").alias("s"))
+        .select(
+            F.coalesce(F.col("source"), F.lit("<ALL>")).alias("source_g"),
+            "n_docs",
+            F.col("s").cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+    )
+
+
+ORACLE_Q92 = f"""
+WITH d AS (
+  SELECT source,
+         {duck_md5_i64("doc_id::VARCHAR || ':' || md5(text)", salt="ck#")} AS dg
+  FROM documents
+)
+SELECT coalesce(source, '<ALL>') AS source_g, count(*) AS n_docs,
+       CAST(CAST(sum(dg) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM d GROUP BY ROLLUP (source)
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -4770,6 +4995,10 @@ FROM curve WHERE rank <= 25
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q89_fuzzy_blocked_join": q89_fuzzy_blocked_join,
+    "q90_salted_skew_join": q90_salted_skew_join,
+    "q91_url_rule_filter": q91_url_rule_filter,
+    "q92_checksum_audit": q92_checksum_audit,
     "q85_sequence_packing": q85_sequence_packing,
     "q86_paragraph_dedup": q86_paragraph_dedup,
     "q87_token_rarity": q87_token_rarity,
@@ -4866,6 +5095,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q89_fuzzy_blocked_join": ORACLE_Q89,
+    "q90_salted_skew_join": ORACLE_Q90,
+    "q91_url_rule_filter": ORACLE_Q91,
+    "q92_checksum_audit": ORACLE_Q92,
     "q85_sequence_packing": ORACLE_Q85,
     "q86_paragraph_dedup": ORACLE_Q86,
     "q87_token_rarity": ORACLE_Q87,
