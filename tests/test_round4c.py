@@ -145,3 +145,49 @@ def test_paragraph_dedup_reassembly_exact(spark):
     assert got[1][0] == 2
     assert got[2] == (1, hashlib.md5((" ".join(["c"] * 10)).encode()).hexdigest())
     assert 3 not in got  # every paragraph previously seen
+
+
+def test_asof_union_merge_vs_naive(spark):
+    """Union-merge as-of equals the naive greatest-dim-ts<=fact-ts
+    join on edge cases: tie at equal ts (inclusive), fact before any
+    dim row (null), multiple versions, key isolation."""
+    import pandas as pd
+
+    from watermark_remove_spark.operators.joins import asof_join_union_merge
+
+    facts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 3],
+                "ts": [5, 10, 2, 7, 9],
+                "fid": [100, 101, 102, 103, 104],
+            }
+        )
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "vts": [5, 8, 9], "rate": [10, 20, 30]})
+    )
+    got = {
+        r.fid: r.rate
+        for r in asof_join_union_merge(
+            facts, dim, key="k", fact_ts="ts", dim_ts="vts", dim_cols=["rate"]
+        ).collect()
+    }
+    #  fid 100: ts=5 ties dim ts=5 inclusively -> 10
+    #  fid 101: ts=10 -> latest version 8 -> 20
+    #  fid 102: ts=2 before any version -> None
+    #  fid 103: k=2 ts=7 < vts 9 -> None ; fid 104: k=3 no dim -> None
+    assert got == {100: 10, 101: 20, 102: None, 103: None, 104: None}
+
+
+def test_asof_union_merge_rejects_overlap(spark):
+    import pandas as pd
+
+    from watermark_remove_spark.operators.joins import asof_join_union_merge
+
+    facts = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [1], "rate": [9]}))
+    dim = spark.createDataFrame(pd.DataFrame({"k": [1], "vts": [1], "rate": [2]}))
+    with pytest.raises(ValueError, match="overlap"):
+        asof_join_union_merge(
+            facts, dim, key="k", fact_ts="ts", dim_ts="vts", dim_cols=["rate"]
+        )

@@ -244,3 +244,48 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def asof_join_union_merge(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    dim_ts: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """As-of join where BOTH sides are big: tagged union + running
+    last-non-null window — zero joins, ONE shuffle on the key.
+
+    ``asof_join_latest*`` broadcast the dim side; at 100 TB the dim
+    (e.g. a rate/template changelog with 10^9 versions) may itself
+    dwarf executor memory, and a range join would replicate intervals.
+    The union-merge form sorts each key's partition of the UNION of
+    both relations by (ts, side) — dim rows sort BEFORE facts at equal
+    ts, so ``fact.ts >= dim.ts`` ties attribute inclusively — and
+    carries each dim column forward with last(ignorenulls) over an
+    unbounded-preceding row frame.  Facts with no preceding dim row
+    come out null-extended (left-join semantics).
+
+    Contract: ``dim`` must be unique per (key, dim_ts) — pre-aggregate
+    otherwise (at equal ts the carried value would depend on intra-ts
+    order) — and ``dim_cols`` must be disjoint from fact columns.
+    """
+    overlap = set(dim_cols) & set(facts.columns)
+    if overlap:
+        raise ValueError(f"dim_cols overlap fact columns: {sorted(overlap)}")
+    if key not in facts.columns or fact_ts not in facts.columns:
+        raise ValueError(f"facts must carry {key!r} and {fact_ts!r}")
+    d = dim.select(
+        F.col(key), F.col(dim_ts).alias(fact_ts), *dim_cols
+    ).withColumn("__side", F.lit(0))
+    f = facts.withColumn("__side", F.lit(1))
+    u = f.unionByName(d, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(fact_ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in dim_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.where(F.col("__side") == 1).drop("__side")

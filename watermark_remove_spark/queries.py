@@ -4982,6 +4982,180 @@ FROM d GROUP BY ROLLUP (source)
 """
 
 
+def q93_asof_backfill(spark, sf_dir):
+    """Big-dim as-of backfill: every view event attributed to the
+    LATEST purchase-derived rate at or before its timestamp, per user
+    — with the union-merge as-of plan (`asof_join_union_merge`): tag
+    both relations, union, ONE shuffle on user_id, and carry the rate
+    forward with a running last(ignorenulls).  No join operator at
+    all — the as-of form that survives a dim side too big to
+    broadcast and too dense to range-bucket.
+
+    Oracle is DuckDB's native ASOF LEFT JOIN — engine-level parity for
+    the trickiest semantics (inclusive ties, null extension before the
+    first version)."""
+    from .operators.joins import asof_join_union_merge
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "ts", "user_id")
+    rates = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("event_id") % 100 + 1).cast("bigint").alias("rate"))
+    )
+    out = asof_join_union_merge(
+        views, rates, key="user_id", fact_ts="ts", dim_ts="ts", dim_cols=["rate"]
+    )
+    return out.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("view_epoch"),
+        F.col("rate").cast("bigint").alias("rate"),
+    )
+
+
+ORACLE_Q93 = """
+WITH views AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'
+), rates AS (
+  SELECT user_id, ts, CAST(max(event_id % 100 + 1) AS BIGINT) AS rate
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT v.event_id, CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch, r.rate
+FROM views v ASOF LEFT JOIN rates r
+  ON v.user_id = r.user_id AND v.ts >= r.ts
+"""
+
+
+def q94_mixture_quota(spark, sf_dir):
+    """Training-mix construction: a target mixture-weights table
+    (lang → percent of a 200-doc budget) joined onto the corpus;
+    each language contributes its quota = min(available, pct × budget)
+    documents, chosen by portable-hash rank — the step that turns "we
+    want 40% en / 20% de ..." into a concrete reproducible document
+    set.  Languages absent from the weights table contribute nothing.
+
+    Scale shape: weights are metadata (broadcast); per-lang counts are
+    one tiny aggregate also broadcast back; the rank window partitions
+    by lang.  The selection is a pure function of (doc_id, lang,
+    weights) — layout- and cluster-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("en", 40), ("de", 20), ("es", 20), ("fr", 20)], ["lang", "pct"]
+    )
+    n_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_avail"))
+    h = md5_i64_expr(F.col("doc_id").cast("string"), salt="mix#")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    sel = (
+        ranked.join(F.broadcast(weights), "lang")
+        .join(F.broadcast(n_lang), "lang")
+        .where(F.col("rn") <= F.least(F.col("n_avail"), F.expr("pct * 200 div 100")))
+    )
+    return sel.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_sel"),
+        F.sum(token_count_expr(F.col("text"))).cast("bigint").alias("sel_tokens"),
+    )
+
+
+ORACLE_Q94 = f"""
+WITH weights(lang, pct) AS (VALUES ('en', 40), ('de', 20), ('es', 20), ('fr', 20)),
+n_lang AS (SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang),
+ranked AS (
+  SELECT doc_id, lang, source, text,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {duck_md5_i64("doc_id::VARCHAR", salt="mix#")}, doc_id
+         ) AS rn
+  FROM documents
+), sel AS (
+  SELECT r.* FROM ranked r
+  JOIN weights w_ USING (lang) JOIN n_lang n USING (lang)
+  WHERE r.rn <= least(n.n_avail, (w_.pct * 200) // 100)
+)
+SELECT lang, source, count(*) AS n_sel,
+       CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+         AS sel_tokens
+FROM sel GROUP BY 1, 2
+"""
+
+
+TTL_T0_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def q95_streaming_ttl_dedup(spark, sf_dir):
+    """STREAMING dedup with TTL state (`dropDuplicatesWithinWatermark`)
+    — the re-crawl-aware form of O-25: a page seen again WITHIN the
+    10-min TTL is a duplicate and is dropped; seen again after the
+    watermark evicts its state, it is a legitimate re-crawl and is
+    emitted AGAIN.  Plain dropDuplicates state grows forever on an
+    unbounded crawl stream; the TTL form is the bounded-state answer.
+
+    Fixture batches (one file per trigger, so watermark progression is
+    pinned): b1 = 50 first crawls; b2 = a dup of every key 4 min later
+    (state alive -> all dropped); b3 = watermark pushers at +35 min
+    (wm -> +25 min, evicting every b1 key's state); b4 = re-crawls of
+    the even keys at +50 min (state gone -> emitted); b5 = dups of the
+    k%10==0 re-crawls at +52 min (state alive again -> dropped).
+    Emissions are therefore exactly b1 ∪ b4 — a pure arithmetic set
+    the oracle rebuilds from range(50)."""
+    import pandas as pd
+
+    from .sources.pages import stream_events_files, write_batch_files
+
+    t0 = pd.Timestamp(TTL_T0_EPOCH, unit="s")
+
+    def ev_batch(keys, off_sec, id0):
+        # ts spreads by POSITION, not key — a key-derived offset would
+        # let the large pusher keys throw the watermark hours ahead
+        # and the re-crawls would be dropped as late data
+        return pd.DataFrame(
+            {
+                "event_id": [id0 + i for i, _ in enumerate(keys)],
+                "ts": [
+                    t0 + pd.Timedelta(seconds=off_sec + i * 7)
+                    for i, _ in enumerate(keys)
+                ],
+                "user_id": list(keys),
+                "event_type": ["crawl"] * len(keys),
+                "value": [0.0] * len(keys),
+                "props": ["{}"] * len(keys),
+            }
+        )
+
+    ks = list(range(50))
+    batches = [
+        ev_batch(ks, 0, 0),  # b1: firsts -> emitted
+        ev_batch(ks, 240, 1000),  # b2: +4 min dups -> dropped
+        ev_batch([1000, 1001], 2100, 2000),  # b3: wm pushers (+35 min)
+        # b3b: a second pusher batch — the watermark computed from
+        # b3's data is APPLIED to state eviction one batch later, so
+        # the re-crawl batch must not be the very next one
+        ev_batch([1002, 1003], 2160, 2500),
+        ev_batch([k for k in ks if k % 2 == 0], 3000, 3000),  # b4: re-crawls
+        ev_batch([k for k in ks if k % 10 == 0], 3120, 4000),  # b5: dropped
+    ]
+    src = _q_tmpdir("wrs-q-ttl-")
+    write_batch_files(batches, src)
+
+    stream = stream_events_files(spark, src, 1)
+    dedup = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    out = _drain(dedup, spark)
+    return out.where(F.col("user_id") < 1000).select(
+        "user_id", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+
+
+ORACLE_Q95 = f"""
+WITH ks AS (SELECT CAST(u.i AS BIGINT) AS i FROM UNNEST(range(50)) AS u(i))
+SELECT i AS user_id, {TTL_T0_EPOCH} + i * 7 AS ts_epoch FROM ks
+UNION ALL
+SELECT i AS user_id, {TTL_T0_EPOCH} + 3000 + (i // 2) * 7 AS ts_epoch
+FROM ks WHERE i % 2 = 0
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -4995,6 +5169,9 @@ FROM d GROUP BY ROLLUP (source)
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q93_asof_backfill": q93_asof_backfill,
+    "q94_mixture_quota": q94_mixture_quota,
+    "q95_streaming_ttl_dedup": q95_streaming_ttl_dedup,
     "q89_fuzzy_blocked_join": q89_fuzzy_blocked_join,
     "q90_salted_skew_join": q90_salted_skew_join,
     "q91_url_rule_filter": q91_url_rule_filter,
@@ -5095,6 +5272,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q93_asof_backfill": ORACLE_Q93,
+    "q94_mixture_quota": ORACLE_Q94,
+    "q95_streaming_ttl_dedup": ORACLE_Q95,
     "q89_fuzzy_blocked_join": ORACLE_Q89,
     "q90_salted_skew_join": ORACLE_Q90,
     "q91_url_rule_filter": ORACLE_Q91,
