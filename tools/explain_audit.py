@@ -125,6 +125,41 @@ def main() -> None:
         "q83_containment_scores": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # round-4c: paragraph dedup is window+agg only — never all-pairs
+        "q86_paragraph_dedup": dict(forbid_node=("CartesianProduct",)),
+        # token rarity: the ranked vocab must broadcast back onto the
+        # token stream (the corpus-side pass stays map-side)
+        "q87_token_rarity": dict(broadcast=True, forbid_node=("CartesianProduct",)),
+        # fuzzy linkage candidates come from the block-key EQUI-join;
+        # a bare levenshtein predicate would plan as a nested loop
+        "q89_fuzzy_blocked_join": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        "q90_salted_skew_join": dict(forbid_node=("CartesianProduct",)),
+        # rule filter compiles driver-side: ZERO join nodes allowed —
+        # the anti-pattern is a LIKE-join of URLs x rules
+        "q91_url_rule_filter": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+            )
+        ),
+        # union-merge as-of: the WHOLE POINT is zero join operators —
+        # one union, one window
+        "q93_asof_backfill": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+            )
+        ),
+        # mixture quotas: weights + per-lang counts broadcast
+        "q94_mixture_quota": dict(broadcast=True, forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
