@@ -160,6 +160,11 @@ def main() -> None:
         ),
         # mixture quotas: weights + per-lang counts broadcast
         "q94_mixture_quota": dict(broadcast=True, forbid_node=("CartesianProduct",)),
+        # phrase search: postings join on (doc_id, pos+1) — an
+        # equi-join, never a position-inequality nested loop
+        "q96_phrase_search": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

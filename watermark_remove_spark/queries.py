@@ -5156,6 +5156,58 @@ FROM ks WHERE i % 2 = 0
 """
 
 
+def q96_phrase_search(spark, sf_dir):
+    """Positional-index phrase search: exact-phrase ("fast table")
+    matching via position arithmetic over the postings — p2.pos =
+    p1.pos + 1 — the query the flat shingle index (q70/q79) cannot
+    answer for phrases longer than its k or crossing its df prunes.
+
+    Scale shape: token-filtered postings join on the fixed-width
+    (doc_id, adjacent-position) equi-key; the token predicates prune
+    each side to one posting list BEFORE the join (at production scale
+    the stored positional index serves these scans), so the join moves
+    two posting lists, never the corpus.  Per-doc hit counts with
+    first-occurrence position, integer-exact."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_expr(F.col("text"))).alias("pos", "token")
+    )
+    # Rename BOTH join keys per side: the two posting lists share a
+    # lineage (one posexplode), and joining on same-lineage columns
+    # makes Spark construct a trivially-true `doc_id == doc_id` that
+    # only self-join disambiguation rescues.  Distinct names keep the
+    # equi-join condition unambiguous by construction.
+    p1 = pos.where(F.col("token") == "fast").select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1")
+    )
+    p2 = pos.where(F.col("token") == "table").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    hits = p1.join(
+        p2, (F.col("d1") == F.col("d2")) & (F.col("p2") == F.col("p1") + 1)
+    ).select(F.col("d1").alias("doc_id"), "p1")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("p1").cast("bigint").alias("first_pos"),
+    )
+
+
+ORACLE_Q96 = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, u.i AS pos, toks[CAST(u.i + 1 AS INT)] AS token
+  FROM tk, UNNEST(range(len(toks))) AS u(i)
+)
+SELECT p1.doc_id, count(*) AS n_hits, CAST(min(p1.pos) AS BIGINT) AS first_pos
+FROM pos p1 JOIN pos p2
+  ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+WHERE p1.token = 'fast' AND p2.token = 'table'
+GROUP BY p1.doc_id
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -5172,6 +5224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_asof_backfill": q93_asof_backfill,
     "q94_mixture_quota": q94_mixture_quota,
     "q95_streaming_ttl_dedup": q95_streaming_ttl_dedup,
+    "q96_phrase_search": q96_phrase_search,
     "q89_fuzzy_blocked_join": q89_fuzzy_blocked_join,
     "q90_salted_skew_join": q90_salted_skew_join,
     "q91_url_rule_filter": q91_url_rule_filter,
@@ -5275,6 +5328,7 @@ ORACLES: dict[str, str] = {
     "q93_asof_backfill": ORACLE_Q93,
     "q94_mixture_quota": ORACLE_Q94,
     "q95_streaming_ttl_dedup": ORACLE_Q95,
+    "q96_phrase_search": ORACLE_Q96,
     "q89_fuzzy_blocked_join": ORACLE_Q89,
     "q90_salted_skew_join": ORACLE_Q90,
     "q91_url_rule_filter": ORACLE_Q91,
