@@ -165,6 +165,40 @@ def main() -> None:
         "q96_phrase_search": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # filter cascade: pure map-side rules + one 5-row aggregate —
+        # ZERO join nodes of any kind
+        "q97_filter_cascade": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+            )
+        ),
+        # collocations: unigram counts + 1-row total broadcast onto the
+        # support-pruned bigrams (the 1-row total is a benign
+        # BroadcastNestedLoopJoin by construction); top-k must be
+        # TakeOrderedAndProject, never a global Sort
+        "q98_pmi_collocations": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        # overlap chunking is a shuffle-free passthrough: per-row array
+        # expressions + posexplode only.  The ONLY Exchange allowed is
+        # the fixture's explicit widening repartition (REPARTITION_BY_NUM
+        # in _t_wide); an ENSURE_REQUIREMENTS exchange would mean the
+        # operator itself demanded a shuffle — forbidden, as is any join
+        "q99_overlap_chunking": dict(
+            codegen=False,
+            forbid_node=(
+                "ENSURE_REQUIREMENTS",
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+            ),
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

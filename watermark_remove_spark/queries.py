@@ -5208,19 +5208,328 @@ GROUP BY p1.doc_id
 """
 
 
+def q97_filter_cascade(spark, sf_dir):
+    """Ordered quality-gate cascade with first-reject reason codes —
+    the RefinedWeb/CCNet-style hygiene funnel: each document is tagged
+    by the FIRST rule it fails (length floor, length ceiling, language
+    allow-list, distinct-token repetitiveness), survivors are 'kept',
+    and the output is the per-reason survival funnel (doc count, token
+    mass, integer share of corpus) that a pipeline operator reads to
+    see which gate is eating the corpus.
+
+    Scale shape: every rule is a map-side Catalyst expression over one
+    corpus scan (no joins, no UDFs); the single shuffle is the 5-row
+    reason aggregate, and the share window runs over that 5-row
+    relation only.  All-integer arithmetic — bit-exact anywhere."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    d = docs.select(
+        "lang",
+        F.size(tk).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(tk)).cast("bigint").alias("n_uniq"),
+    )
+    reason = (
+        F.when(F.col("n_tok") < 20, "too_short")
+        .when(F.col("n_tok") > 90, "too_long")
+        .when(~F.col("lang").isin("en", "de", "fr"), "lang_filtered")
+        .when(F.expr("(100 * n_uniq) div n_tok") < 40, "repetitive")
+        .otherwise("kept")
+    )
+    funnel = (
+        d.select(reason.alias("reason"), "n_tok")
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tok_sum"),
+        )
+    )
+    return funnel.withColumn(
+        "doc_pct", F.expr("(100 * n_docs) div sum(n_docs) over ()")
+    ).select("reason", "n_docs", "tok_sum", F.col("doc_pct").cast("bigint").alias("doc_pct"))
+
+
+ORACLE_Q97 = """
+WITH d AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_uniq
+  FROM documents
+), tagged AS (
+  SELECT CASE WHEN n_tok < 20 THEN 'too_short'
+              WHEN n_tok > 90 THEN 'too_long'
+              WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_filtered'
+              WHEN (100 * n_uniq) // n_tok < 40 THEN 'repetitive'
+              ELSE 'kept' END AS reason,
+         n_tok
+  FROM d
+), funnel AS (
+  SELECT reason, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+  FROM tagged GROUP BY reason
+)
+SELECT reason, n_docs, tok_sum,
+       CAST((100 * n_docs) // sum(n_docs) OVER () AS BIGINT) AS doc_pct
+FROM funnel
+"""
+
+
+def q98_pmi_collocations(spark, sf_dir):
+    """Collocation mining for tokenizer/vocab design: rank adjacent
+    token bigrams by pointwise lift — (n_ab * N) / (n_a * n_b), the
+    exponent-free monotone twin of PMI — computed entirely in scaled
+    integer arithmetic (x1000, integer division) so the ranking is
+    bit-exact across engines.  Top-50 by (lift, count, pair).
+
+    Scale shape: one bigram-count shuffle over the corpus, pruned by
+    the n_ab >= 3 support floor BEFORE any join; unigram counts and
+    the 1-row token total are vocabulary-/metadata-scale and broadcast
+    onto the surviving bigrams, so the expensive side is touched
+    map-side only after its one aggregate.  Top-k goes through
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    global sort).  At web scale the x1000 lift product stays in int64
+    while n_ab * N < 2^53; past that, promote the final scoring (and
+    only it) to log-space floats — the counts pipeline is unchanged."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    n = F.size(tk)
+    pairs = docs.where(n >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, n - 1).alias("t1"), F.slice(tk, 2, n - 1).alias("t2")
+            )
+        ).alias("p")
+    )
+    big = (
+        pairs.select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    toks = docs.select(F.explode(tk).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    scored = (
+        big.join(
+            F.broadcast(uni.select(F.col("token").alias("t1"), F.col("cnt").alias("n_a"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("t2"), F.col("cnt").alias("n_b"))),
+            "t2",
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr("(n_ab * 1000 * n_total) div (n_a * n_b)").alias("lift_x1000"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_x1000").desc(), F.col("n_ab").desc(), "t1", "t2"
+    ).limit(50)
+
+
+ORACLE_Q98 = """
+WITH tk AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT toks[CAST(u.i + 1 AS INT)] AS t1, toks[CAST(u.i + 2 AS INT)] AS t2
+  FROM tk, UNNEST(range(len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), big AS (
+  SELECT t1, t2, count(*) AS n_ab FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+), uni AS (
+  SELECT unnest(toks) AS token FROM tk
+), cnts AS (
+  SELECT token, count(*) AS cnt FROM uni GROUP BY token
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts
+)
+SELECT b.t1, b.t2, CAST(b.n_ab AS BIGINT) AS n_ab,
+       CAST((b.n_ab * 1000 * t.n_total) // (a.cnt * c.cnt) AS BIGINT) AS lift_x1000
+FROM big b
+JOIN cnts a ON a.token = b.t1
+JOIN cnts c ON c.token = b.t2
+CROSS JOIN tot t
+ORDER BY lift_x1000 DESC, n_ab DESC, t1, t2
+LIMIT 50
+"""
+
+
+def q99_overlap_chunking(spark, sf_dir):
+    """Context-window chunking with overlap (the RAG / long-context
+    prep step q86's disjoint paragraphs cannot express): slice each
+    document into 64-token windows at stride 48 (16-token overlap, so
+    no phrase is ever split across a retrieval boundary), emitting one
+    identity-carrying row per chunk — (doc_id, chunk_id, token count,
+    md5 of the chunk text) — the exact payload an embedding/indexing
+    stage consumes.
+
+    Chunk count is max(1, ceil((n-16)/48)) — NOT ceil(n/48): when the
+    last stride start lands inside the previous chunk's 16-token
+    overlap, the naive count emits a runt chunk fully CONTAINED in its
+    predecessor (pure duplication downstream).  This formula provably
+    covers every token (48·(nc-1)+64 >= n) and never emits a contained
+    chunk (every chunk i >= 1 has n > 48i+16); the invariant
+    sum(chunk tokens) = n + 16·(nc-1) holds for every document and is
+    pytest-asserted.
+
+    Scale shape: chunking is a pure per-row array expression
+    (sequence + slice) — zero joins, zero UDFs, and the posexplode
+    fans out map-side; there is NO shuffle at all in this plan, which
+    is the property that lets it run as a passthrough stage of a
+    100-TB corpus scan."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    n = F.size(tk)
+    # only evaluated under the n > 0 branch below (n == 0 yields the
+    # empty chunk array before this is consulted)
+    n_chunks = F.greatest(
+        F.lit(1), F.floor((n + F.lit(31)) / F.lit(48))
+    ).cast("int")
+    chunks = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(tk, i * 48 + 1, 64), " "),
+        )
+    )
+    out = docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(tokens_expr(F.col("chunk"))).cast("bigint").alias("n_tok"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )
+
+
+ORACLE_Q99 = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, u.i*48 + 1, u.i*48 + 64)) AS BIGINT) AS n_tok,
+       md5(array_to_string(list_slice(toks, u.i*48 + 1, u.i*48 + 64), ' ')) AS chunk_md5
+FROM tk, UNNEST(range(
+  CASE WHEN len(toks) = 0 THEN 0
+       ELSE greatest(1, (len(toks) + 31) // 48) END)) AS u(i)
+"""
+
+
+STATIC_T0_EPOCH = 1767225600  # 2026-01-01T00:00:00Z (divisible by 600)
+
+
+def q100_streaming_static_enrich(spark, sf_dir):
+    """STREAMING stream-static enrichment join — the dimension-lookup
+    form no other streaming query exercises: an unbounded crawl-event
+    stream broadcast-joined per micro-batch to a STATIC cohort
+    dimension (Spark re-plans the static side each trigger — the
+    mechanism that picks up dimension-file updates without restarting
+    the stream), then windowed per-cohort aggregation under a
+    watermark.  The join itself is stateless (nothing buffers — only
+    the downstream window agg holds state), which is why stream-static
+    is THE scale answer when one side fits in a broadcast.
+
+    Fixture: b1 = 60 events at t0 + i*21s (windows 0..2); b2 = re-hits
+    of the i%3==0 users at t0+1500+i*3 (window 2); b3/b4 = watermark
+    pushers at +3600 (two batches — the wm computed from b3 is applied
+    one trigger later), flushing every real window.  The pusher rows'
+    own window starts at +3600 and is filtered out; everything kept is
+    pure arithmetic the oracle rebuilds from range(60)."""
+    import pandas as pd
+
+    from .sources.pages import stream_events_files, write_batch_files
+
+    t0 = pd.Timestamp(STATIC_T0_EPOCH, unit="s")
+
+    def ev_batch(rows, id0):
+        return pd.DataFrame(
+            {
+                "event_id": [id0 + j for j in range(len(rows))],
+                "ts": [t0 + pd.Timedelta(seconds=s) for _, s in rows],
+                "user_id": [u for u, _ in rows],
+                "event_type": ["crawl"] * len(rows),
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    batches = [
+        ev_batch([(i, i * 21) for i in range(60)], 0),
+        ev_batch([(i, 1500 + i * 3) for i in range(60) if i % 3 == 0], 1000),
+        ev_batch([(1000, 3600), (1001, 3607)], 2000),
+        ev_batch([(1002, 3614), (1003, 3621)], 2500),
+    ]
+    src = _q_tmpdir("wrs-q-static-")
+    write_batch_files(batches, src)
+
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cohort_id": list(range(5)),
+                "cohort_name": [f"c{i}" for i in range(5)],
+                "weight": [(i + 1) * 10 for i in range(5)],
+            }
+        )
+    )
+    dim_path = _q_tmpdir("wrs-q-dim-")
+    dim.write.mode("overwrite").parquet(dim_path)
+    static_dim = spark.read.parquet(dim_path)
+
+    stream = stream_events_files(spark, src, 1).withWatermark("ts", "10 minutes")
+    enriched = stream.withColumn("cohort_id", F.col("user_id") % 5).join(
+        F.broadcast(static_dim), "cohort_id"
+    )
+    agg = enriched.groupBy(F.window("ts", "10 minutes"), "cohort_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("weight").cast("bigint").alias("weight_sum"),
+    )
+    out = _drain(
+        agg.select(
+            F.unix_timestamp("window.start").alias("window_start_epoch"),
+            "cohort_name",
+            "n_events",
+            "weight_sum",
+        ),
+        spark,
+    )
+    return out.where(F.col("window_start_epoch") < STATIC_T0_EPOCH + 3000)
+
+
+ORACLE_Q100 = f"""
+WITH ks AS (SELECT CAST(u.i AS BIGINT) AS i FROM UNNEST(range(60)) AS u(i)),
+ev AS (
+  SELECT i AS user_id, {STATIC_T0_EPOCH} + i * 21 AS epoch FROM ks
+  UNION ALL
+  SELECT i AS user_id, {STATIC_T0_EPOCH} + 1500 + i * 3 AS epoch FROM ks WHERE i % 3 = 0
+)
+SELECT (epoch // 600) * 600 AS window_start_epoch,
+       'c' || CAST(user_id % 5 AS VARCHAR) AS cohort_name,
+       count(*) AS n_events,
+       CAST(sum((user_id % 5 + 1) * 10) AS BIGINT) AS weight_sum
+FROM ev
+GROUP BY 1, 2
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
-# skipped — round-3 verdict #2), so the dict leads with the 34 entries
-# that have never had a driver row (q84, q82-q83, q79-q81, q73-q78,
-# q71-q72, q51-q70) and retires the tail positions to queries with
-# existing driver-green rows (q23-q50 region r03-green, oldest 11
-# double-green in r02+r03).  Every entry stays in the catalog and in
+# skipped — round-3 verdict #2), so the dict leads with the 50 entries
+# that have never had a driver row (q97-q100, q85-q96, q71-q84,
+# q51-q70) and retires positions past 50 to queries with existing
+# driver-green rows (q01-q50 region, each r03-green and/or r02+r03
+# double-green).  Every entry stays in the catalog and in
 # tools/selfcheck.py regardless of position; if the driver cap is
-# still 50, the 34 entries past position 50 ride on selfcheck + their
+# still 50, the 50 entries past position 50 ride on selfcheck + their
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q97_filter_cascade": q97_filter_cascade,
+    "q98_pmi_collocations": q98_pmi_collocations,
+    "q99_overlap_chunking": q99_overlap_chunking,
+    "q100_streaming_static_enrich": q100_streaming_static_enrich,
     "q93_asof_backfill": q93_asof_backfill,
     "q94_mixture_quota": q94_mixture_quota,
     "q95_streaming_ttl_dedup": q95_streaming_ttl_dedup,
@@ -5325,6 +5634,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q97_filter_cascade": ORACLE_Q97,
+    "q98_pmi_collocations": ORACLE_Q98,
+    "q99_overlap_chunking": ORACLE_Q99,
+    "q100_streaming_static_enrich": ORACLE_Q100,
     "q93_asof_backfill": ORACLE_Q93,
     "q94_mixture_quota": ORACLE_Q94,
     "q95_streaming_ttl_dedup": ORACLE_Q95,
