@@ -5513,6 +5513,161 @@ GROUP BY 1, 2
 """
 
 
+_Q101_SEGMENTS = ["news", "blog", "shop", "admin", "tmp", "static", "user"]
+# (prefix, policy) — first column must be unique; longest match wins,
+# so '/user/x1' overrides the '/user' deny for that subtree
+_Q101_RULES = [
+    ("/admin", "deny"),
+    ("/tmp", "deny"),
+    ("/user", "deny"),
+    ("/user/x1", "allow"),
+    ("/shop", "allow"),
+    ("/shop/x3", "deny"),
+    ("/news", "allow"),
+]
+
+
+def q101_robots_prefix_match(spark, sf_dir):
+    """Longest-prefix-match policy routing (robots.txt / crawl-policy
+    semantics): every frontier URL is attributed to the most specific
+    matching path-prefix rule, with deeper rules overriding shallower
+    ones ('/user' deny, '/user/x1' allow) and unmatched URLs falling
+    to the default policy.
+
+    Scale shape: the rule table is metadata-scale, the URL side is the
+    10^12-row frontier — so the operator explodes each URL into its
+    BOUNDED prefix chain (path depth, here 3) and equi-joins that
+    against the broadcast rule table; the winner per URL is a max_by
+    on prefix length (lengths are strictly increasing along one URL's
+    chain, so no ties).  The anti-patterns avoided: a LIKE-join of
+    URLs × rules (BroadcastNestedLoopJoin) and a per-row loop over
+    rules (O(|rules|) per URL instead of O(depth))."""
+    docs = _t(spark, sf_dir, "documents")
+    seg1 = F.element_at(
+        F.array(*[F.lit(s) for s in _Q101_SEGMENTS]),
+        ((F.col("doc_id") % 7) + 1).cast("int"),
+    )
+    p1 = F.concat(F.lit("/"), seg1)
+    p2 = F.concat(p1, F.lit("/x"), (F.col("doc_id") % 13).cast("string"))
+    p3 = F.concat(p2, F.lit("/d"), F.col("doc_id").cast("string"))
+    urls = docs.select("doc_id", F.array(p1, p2, p3).alias("prefixes"))
+    rules = spark.createDataFrame(_Q101_RULES, "prefix string, policy string")
+    matched = (
+        urls.select("doc_id", F.explode("prefixes").alias("prefix"))
+        .join(F.broadcast(rules), "prefix")
+        .groupBy("doc_id")
+        .agg(
+            F.max_by("policy", F.length("prefix")).alias("policy"),
+            F.max_by("prefix", F.length("prefix")).alias("rule_prefix"),
+        )
+    )
+    return (
+        urls.join(matched, "doc_id", "left")
+        .groupBy(
+            F.coalesce(F.col("policy"), F.lit("allow")).alias("policy"),
+            F.coalesce(F.col("rule_prefix"), F.lit("<default>")).alias("rule_prefix"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+_Q101_SEG_SQL = "[" + ", ".join(f"'{s}'" for s in _Q101_SEGMENTS) + "]"
+_Q101_RULES_SQL = ", ".join(f"('{p}', '{pol}')" for p, pol in _Q101_RULES)
+
+ORACLE_Q101 = f"""
+WITH u AS (
+  SELECT doc_id,
+         '/' || ({_Q101_SEG_SQL})[(doc_id % 7) + 1] AS p1
+  FROM documents
+), chains AS (
+  SELECT doc_id, p1,
+         p1 || '/x' || (doc_id % 13) AS p2
+  FROM u
+), pref AS (
+  SELECT doc_id,
+         unnest([p1, p2, p2 || '/d' || doc_id]) AS prefix
+  FROM chains
+), rules(prefix, policy) AS (VALUES {_Q101_RULES_SQL}),
+m AS (
+  SELECT p.doc_id,
+         arg_max(r.policy, length(r.prefix)) AS policy,
+         arg_max(r.prefix, length(r.prefix)) AS rule_prefix
+  FROM pref p JOIN rules r USING (prefix)
+  GROUP BY 1
+)
+SELECT coalesce(m.policy, 'allow') AS policy,
+       coalesce(m.rule_prefix, '<default>') AS rule_prefix,
+       count(*) AS n_urls
+FROM chains c LEFT JOIN m USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+def q102_gapfill_ffill(spark, sf_dir):
+    """Time-series gap-fill over a generated hour spine + forward-fill
+    (the resampling primitive every monitoring/feature pipeline needs):
+    hourly event volumes per event_type, with missing hours
+    materialized as zero rows and the last OBSERVED volume carried
+    forward (``last(ignorenulls)``) so downstream consumers see both
+    the true zero and the last-known reading.
+
+    Scale shape: the spine is generated DISTRIBUTED via
+    ``sequence(min,max,interval)`` + explode per key — never a driver
+    loop or a calendar crossJoin; the gap-fill join is on (key, hour)
+    so it co-partitions with the aggregate that produced it, and the
+    forward fill is one window per key.  Spine cardinality is
+    #keys × horizon-hours — metadata-scale next to the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("hour").alias("hour_epoch"),
+            F.coalesce(F.col("n_raw"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("n_raw", ignorenulls=True).over(w).alias("carried_n"),
+            F.col("n_raw").isNull().alias("is_gap"),
+        )
+    )
+
+
+ORACLE_Q102 = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_raw
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM b
+), f AS (
+  SELECT s.event_type, s.hour, h.n_raw
+  FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+)
+SELECT event_type, epoch(hour)::BIGINT AS hour_epoch,
+       CAST(coalesce(n_raw, 0) AS BIGINT) AS n_events,
+       last_value(n_raw IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_n,
+       n_raw IS NULL AS is_gap
+FROM f
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -5526,6 +5681,8 @@ GROUP BY 1, 2
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q101_robots_prefix_match": q101_robots_prefix_match,
+    "q102_gapfill_ffill": q102_gapfill_ffill,
     "q97_filter_cascade": q97_filter_cascade,
     "q98_pmi_collocations": q98_pmi_collocations,
     "q99_overlap_chunking": q99_overlap_chunking,
@@ -5634,6 +5791,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q101_robots_prefix_match": ORACLE_Q101,
+    "q102_gapfill_ffill": ORACLE_Q102,
     "q97_filter_cascade": ORACLE_Q97,
     "q98_pmi_collocations": ORACLE_Q98,
     "q99_overlap_chunking": ORACLE_Q99,
