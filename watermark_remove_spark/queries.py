@@ -5668,6 +5668,182 @@ FROM f
 """
 
 
+def q103_split_leakage(spark, sf_dir):
+    """Leakage-safe train/val/test splitting — the assignment must be
+    a pure function of the GROUP key (source), not the row, or near-
+    duplicate documents from one site leak across splits and inflate
+    eval scores.  The query runs BOTH schemes side by side — naive
+    per-doc hashing vs per-source hashing — and audits each: a source
+    is 'leaked' if its documents land in more than one split.  The
+    per-source scheme's leak count is zero by construction; the
+    per-doc scheme's is nonzero, which is exactly the defect report a
+    corpus gatekeeper publishes.
+
+    Scale shape: assignment is a map-side 60-bit portable hash (no
+    lookup table to join, layout-independent so re-partitioning a
+    100-TB corpus never reshuffles the split); the audit is two linear
+    aggregations, and the 2-row leak table broadcasts back onto the
+    6-row stats table."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def bucket(h):
+        return (
+            F.when(h % 100 < 80, F.lit("train"))
+            .when(h % 100 < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    d = docs.select(
+        "source",
+        token_count_expr(F.col("text")).cast("bigint").alias("n_tok"),
+        bucket(md5_i64_expr(F.col("doc_id").cast("string"), salt="split#")).alias(
+            "by_doc"
+        ),
+        bucket(md5_i64_expr(F.col("source"), salt="split#")).alias("by_source"),
+    )
+    melted = d.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("by_doc").alias("scheme"), F.col("by_doc").alias("split")),
+                F.struct(
+                    F.lit("by_source").alias("scheme"), F.col("by_source").alias("split")
+                ),
+            )
+        ).alias("s"),
+        "source",
+        "n_tok",
+    ).select("s.scheme", "s.split", "source", "n_tok")
+    per_split = melted.groupBy("scheme", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    leaks = (
+        melted.groupBy("scheme", "source")
+        .agg(F.countDistinct("split").alias("k"))
+        .groupBy("scheme")
+        .agg(
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked_sources")
+        )
+    )
+    return per_split.join(F.broadcast(leaks), "scheme")
+
+
+_Q103_BUCKET = """CASE WHEN {h} % 100 < 80 THEN 'train'
+                       WHEN {h} % 100 < 90 THEN 'val'
+                       ELSE 'test' END"""
+
+ORACLE_Q103 = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok,
+         {_Q103_BUCKET.format(h=duck_md5_i64("doc_id::VARCHAR", salt="split#"))} AS by_doc,
+         {_Q103_BUCKET.format(h=duck_md5_i64("source", salt="split#"))} AS by_source
+  FROM documents
+), melted AS (
+  SELECT 'by_doc' AS scheme, by_doc AS split, source, n_tok FROM d
+  UNION ALL
+  SELECT 'by_source' AS scheme, by_source AS split, source, n_tok FROM d
+), per_split AS (
+  SELECT scheme, split, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         count(DISTINCT source) AS n_sources
+  FROM melted GROUP BY 1, 2
+), leaks AS (
+  SELECT scheme, CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_sources
+  FROM (SELECT scheme, source, count(DISTINCT split) AS k FROM melted GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT p.scheme, p.split, p.n_docs, p.total_tokens, p.n_sources, l.leaked_sources
+FROM per_split p JOIN leaks l USING (scheme)
+"""
+
+
+def q104_winsorized_stats(spark, sf_dir):
+    """Robust per-language token statistics via EXACT nearest-rank
+    percentiles (p05/p95) and a winsorized mean — outlier docs (spam
+    walls, truncation artifacts) clipped to the percentile boundaries
+    before averaging, the quality-dashboard primitive that a plain AVG
+    gets wrong on web text.
+
+    Exactness: percentile_approx is a sketch (non-deterministic across
+    partitionings), so this uses the nearest-rank definition — value at
+    row_number ceil(q*n) in value order — computed with pure integer
+    arithmetic ((n+19) div 20, (19n+19) div 20).  The value at a rank
+    is tie-permutation-invariant, so ordering by value alone stays
+    deterministic.  All outputs are integers (mean as milli-tokens via
+    integer div) — no float drift between engines.
+
+    Scale shape: one window sort per lang (the per-key sort a 100-TB
+    corpus can afford; never a global ORDER BY), boundaries reduce to
+    one row per lang and broadcast back for the clip."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", token_count_expr(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tok")
+    ranked = d.select(
+        "lang",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    )
+    bounds = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt + 19) div 20"), F.col("n_tok"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(19 * cnt + 19) div 20"), F.col("n_tok"))
+        ).alias("p95"),
+    )
+    clipped = d.join(F.broadcast(bounds), "lang").select(
+        "lang",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("n_tok"), F.col("p05")), F.col("p95")).alias("c"),
+        (F.col("n_tok") < F.col("p05")).cast("int").alias("lo"),
+        (F.col("n_tok") > F.col("p95")).cast("int").alias("hi"),
+    )
+    return clipped.groupBy("lang", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("(1000 * sum(c)) div count(1)").alias("wmean_milli"),
+        F.sum("lo").cast("bigint").alias("n_clipped_low"),
+        F.sum("hi").cast("bigint").alias("n_clipped_high"),
+    )
+
+
+ORACLE_Q104 = """
+WITH d AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), ranked AS (
+  SELECT lang, n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM d
+), bounds AS (
+  SELECT lang,
+         max(CASE WHEN rn = (cnt + 19) // 20 THEN n_tok END) AS p05,
+         max(CASE WHEN rn = (19 * cnt + 19) // 20 THEN n_tok END) AS p95
+  FROM ranked GROUP BY 1
+), clipped AS (
+  SELECT d.lang, b.p05, b.p95,
+         least(greatest(d.n_tok, b.p05), b.p95) AS c,
+         CASE WHEN d.n_tok < b.p05 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN d.n_tok > b.p95 THEN 1 ELSE 0 END AS hi
+  FROM d JOIN bounds b USING (lang)
+)
+SELECT lang, p05, p95, count(*) AS n_docs,
+       (1000 * sum(c)) // count(*) AS wmean_milli,
+       CAST(sum(lo) AS BIGINT) AS n_clipped_low,
+       CAST(sum(hi) AS BIGINT) AS n_clipped_high
+FROM clipped GROUP BY 1, 2, 3
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -5683,6 +5859,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
     "q101_robots_prefix_match": q101_robots_prefix_match,
     "q102_gapfill_ffill": q102_gapfill_ffill,
+    "q103_split_leakage": q103_split_leakage,
+    "q104_winsorized_stats": q104_winsorized_stats,
     "q97_filter_cascade": q97_filter_cascade,
     "q98_pmi_collocations": q98_pmi_collocations,
     "q99_overlap_chunking": q99_overlap_chunking,
@@ -5793,6 +5971,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "q101_robots_prefix_match": ORACLE_Q101,
     "q102_gapfill_ffill": ORACLE_Q102,
+    "q103_split_leakage": ORACLE_Q103,
+    "q104_winsorized_stats": ORACLE_Q104,
     "q97_filter_cascade": ORACLE_Q97,
     "q98_pmi_collocations": ORACLE_Q98,
     "q99_overlap_chunking": ORACLE_Q99,
