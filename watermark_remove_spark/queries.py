@@ -5844,6 +5844,136 @@ FROM clipped GROUP BY 1, 2, 3
 """
 
 
+_Q105_QUERIES: list[tuple[str, str]] = [
+    ("qa", "vector"),
+    ("qa", "join"),
+    ("qb", "stream"),
+    ("qb", "window"),
+    ("qb", "batch"),
+    ("qc", "hash"),
+    ("qc", "merge"),
+    ("qd", "customer"),
+    ("qd", "order"),
+    ("qd", "slow"),
+]
+_Q105_VOCAB = sorted({t for _, t in _Q105_QUERIES})
+
+
+def q105_bm25_retrieval(spark, sf_dir):
+    """BM25 full-text retrieval (k1=1.2, b=0.75) with an INTEGER-EXACT
+    scoring kernel: top-5 documents per query under Okapi BM25 where
+    every float in the textbook formula has been cleared into one
+    integer-rational expression, so the ranking (and the scores
+    themselves) sit on the hash-compared oracle — something a
+    log/double BM25 can never do across two engines' libm.
+
+    Derivation (k1=6/5, b=3/4, avgdl=A/N where A=sum dl over the
+    corpus):  tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+            = 22*tf*A / (10*tf*A + 3*A + 9*N*dl)
+    and the Robertson idf's argument (N-df+0.5)/(df+0.5) becomes the
+    monotone integer twin (1000*(2*(N-df)+1)) div (2*df+1).  Per-term
+    scores integer-divide FIRST, then sum — associative, so the final
+    score is partitioning-independent.  Intermediates run in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): at 10^12 docs the
+    numerator product reaches ~10^34, past int64 but 4 digits inside
+    DECIMAL(38).
+
+    Scale shape: the token stream is pruned to the query vocabulary
+    MAP-SIDE (inside the explode projection, before the tf shuffle) —
+    the only corpus-wide shuffle moves (doc, query-term) rows, a
+    vanishing fraction of the corpus.  df, the query table and the
+    1-row corpus totals are all metadata-scale broadcasts; dl rides
+    the explode as a carried column so no join back to the corpus is
+    ever needed.  Top-k is a rank window over per-query candidate
+    sets, never raw postings."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        F.size(tk).alias("dl"),
+        F.explode(F.filter(tk, lambda t: t.isin(_Q105_VOCAB))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tk)).cast("bigint").alias("total_dl"),
+    )
+    qt = spark.createDataFrame(_Q105_QUERIES, "qid string, token string")
+    term = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(dfq), "token")
+        .join(F.broadcast(tot))
+        .select(
+            "qid",
+            "doc_id",
+            F.expr(
+                """CAST(
+                     (CAST((1000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)
+                           AS DECIMAL(38,0))
+                      * 22 * tf * total_dl)
+                     div
+                     (CAST(10 AS DECIMAL(38,0)) * tf * total_dl
+                      + 3 * total_dl + 9 * n_docs * dl)
+                   AS BIGINT)"""
+            ).alias("s"),
+        )
+    )
+    agg = term.groupBy("qid", "doc_id").agg(
+        F.sum("s").cast("bigint").alias("score_milli"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score_milli").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "rank", "doc_id", "score_milli", "n_terms")
+    )
+
+
+_Q105_Q_SQL = ", ".join(f"('{q}', '{t}')" for q, t in _Q105_QUERIES)
+_Q105_V_SQL = ", ".join(f"'{t}'" for t in _Q105_VOCAB)
+
+ORACLE_Q105 = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), toks AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM tk
+), tf AS (
+  SELECT doc_id, dl, token, count(*) AS tf
+  FROM toks WHERE token IN ({_Q105_V_SQL})
+  GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_dl FROM tk
+), q(qid, token) AS (VALUES {_Q105_Q_SQL}),
+term AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(
+           (CAST((1000 * (2 * (tot.n_docs - dfq.df) + 1)) // (2 * dfq.df + 1)
+                 AS HUGEINT)
+            * 22 * tf.tf * tot.total_dl)
+           //
+           (CAST(10 AS HUGEINT) * tf.tf * tot.total_dl
+            + 3 * tot.total_dl + 9 * tot.n_docs * tf.dl)
+         AS BIGINT) AS s
+  FROM tf JOIN q USING (token) JOIN dfq USING (token) CROSS JOIN tot
+), agg AS (
+  SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_milli,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM term GROUP BY 1, 2
+)
+SELECT qid, rank, doc_id, score_milli, n_terms FROM (
+  SELECT qid, doc_id, score_milli, n_terms,
+         CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY score_milli DESC, doc_id) AS INT) AS rank
+  FROM agg
+) WHERE rank <= 5
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -5857,6 +5987,7 @@ FROM clipped GROUP BY 1, 2, 3
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q105_bm25_retrieval": q105_bm25_retrieval,
     "q101_robots_prefix_match": q101_robots_prefix_match,
     "q102_gapfill_ffill": q102_gapfill_ffill,
     "q103_split_leakage": q103_split_leakage,
@@ -5969,6 +6100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q105_bm25_retrieval": ORACLE_Q105,
     "q101_robots_prefix_match": ORACLE_Q101,
     "q102_gapfill_ffill": ORACLE_Q102,
     "q103_split_leakage": ORACLE_Q103,
