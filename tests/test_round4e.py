@@ -35,6 +35,98 @@ def test_bm25_topk_shape(spark):
     assert full_match > 0, "no top-5 doc matches all its query's terms"
 
 
+def test_duplicate_spans_are_real_and_long(spark):
+    # every reported extent must be a literally identical token run in
+    # both documents — the property the window-hash/island machinery
+    # exists to guarantee, checked against the raw corpus text.
+    from watermark_remove_spark.queries import q106_duplicate_span_extents
+
+    spans = q106_duplicate_span_extents(spark, SF).collect()
+    assert len(spans) > 0, "fixture has no duplicated spans — operator untested"
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t != ""]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    seen = set()
+    for s in spans:
+        key = (s["doc_a"], s["doc_b"], s["start_a"], s["start_b"])
+        assert key not in seen, f"duplicate extent row {key}"
+        seen.add(key)
+        assert s["span_tokens"] >= 12
+        ta, tb = docs[s["doc_a"]], docs[s["doc_b"]]
+        i, j, n = s["start_a"] - 1, s["start_b"] - 1, s["span_tokens"]
+        assert ta[i : i + n] == tb[j : j + n] != [], (s, ta[i : i + n][:5])
+
+
+def test_interleave_round_robin_while_supplied(spark):
+    # while every lang still has supply, any 5 consecutive positions
+    # must contain each lang exactly once, and positions must be the
+    # contiguous prefix 0..k — the property that makes the order a
+    # mixture schedule rather than a shuffle.
+    from watermark_remove_spark.queries import (
+        _Q107_LANGS,
+        q107_interleaved_mixture_order,
+    )
+
+    rows = sorted(
+        q107_interleaved_mixture_order(spark, SF).collect(),
+        key=lambda r: r["position"],
+    )
+    import pyspark.sql.functions as F  # noqa: N812
+
+    supply = dict(
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    n_full_blocks = min(supply[lang] for lang in _Q107_LANGS)
+    upto = min(len(rows) // 5, n_full_blocks)
+    assert upto >= 2, "fixture too small to test two full round-robin blocks"
+    assert [r["position"] for r in rows[: upto * 5]] == list(range(upto * 5))
+    for b in range(upto):
+        block = rows[b * 5 : (b + 1) * 5]
+        assert sorted(r["lang"] for r in block) == sorted(_Q107_LANGS), (b, block)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_snapshot_sink_swap_and_replay(spark, tmp_path):
+    # the complete-mode sink contract: readers only ever see the
+    # marker-committed version; a replayed batch_id republishes
+    # identical content; history keeps every version dir.
+    from watermark_remove_spark.streaming.sink import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(str(tmp_path / "snap"))
+    assert sink.latest_batch_id() is None
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        sink.read_latest(spark)
+
+    v0 = spark.createDataFrame([(1, 10), (2, 20)], "k int, n int")
+    v1 = spark.createDataFrame([(1, 11), (3, 30)], "k int, n int")
+    sink.write_snapshot(v0, 0)
+    assert sink.latest_batch_id() == 0
+    sink.write_snapshot(v1, 1)
+    assert sink.latest_batch_id() == 1
+    assert sink.versions() == [0, 1]
+    got = sorted(tuple(r) for r in sink.read_latest(spark).collect())
+    assert got == [(1, 11), (3, 30)]
+
+    # replay of batch 1 (checkpoint recovery): rewrite + re-point, no
+    # duplication, same content
+    sink.write_snapshot(v1, 1)
+    assert sink.versions() == [0, 1]
+    assert sorted(tuple(r) for r in sink.read_latest(spark).collect()) == got
+
+    # a crashed write that never reached the marker must stay
+    # invisible: simulate by writing a version dir without committing
+    import os
+
+    os.makedirs(os.path.join(sink.versions_dir, "batch_id=2"), exist_ok=True)
+    assert sink.latest_batch_id() == 1
+
+
 def test_bm25_kernel_tf_saturation(spark):
     # the integer kernel must be monotone non-decreasing in tf and
     # saturating: the marginal gain of tf 1->2 exceeds that of 9->10

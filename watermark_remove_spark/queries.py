@@ -5974,6 +5974,244 @@ SELECT qid, rank, doc_id, score_milli, n_terms FROM (
 """
 
 
+def q106_duplicate_span_extents(spark, sf_dir):
+    """Maximal duplicated-span detection (the span-granular exact
+    substring dedup of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better"): find every cross-document run of >= 12
+    identical consecutive tokens and report its EXTENT — (doc_a,
+    doc_b, start_a, start_b, span_tokens) — not just a per-doc dup
+    flag (q50/q73) or a whole-paragraph key (q86).  Extents are what a
+    surgical span-removal pass consumes.
+
+    Mechanics: 8-token windows at stride 1 are hashed to fixed-width
+    60-bit keys; cross-doc matches equi-join on the hash; matches on
+    one (doc_a, doc_b) pair with the same positional offset
+    (diag = pos_b - pos_a) whose start positions are CONSECUTIVE merge
+    into one maximal span via the islands trick (pos - row_number is
+    constant exactly on a consecutive run).  A span of L windows
+    covers L+7 tokens; >= 5 windows => >= 12 duplicated tokens.
+
+    Scale shape: window hashing is map-side (one explode, fixed-width
+    output — the corpus text itself never shuffles); ubiquitous
+    windows (global count > 20, i.e. boilerplate) are pruned BEFORE
+    the self-join, the same candidate-bounding that keeps q62/q16
+    off the quadratic cliff; the join is a fixed-width-key equi-join
+    and the islands window sorts only matched positions per
+    (pair, diag) — a vanishing set next to the corpus."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens_expr(F.col("text")).alias("tk"))
+    wins = d.where(F.size("tk") >= 8).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 7),"
+                " i -> concat_ws(' ', slice(tk, i, 8)))"
+            )
+        ).alias("pos0", "win"),
+    )
+    hashed = wins.select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        md5_i64_expr(F.col("win"), salt="span#").alias("h"),
+    )
+    cnt = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    kept = (
+        hashed.join(cnt, "h")
+        .where((F.col("c") >= 2) & (F.col("c") <= 20))
+        .select("h", "doc_id", "pos")
+    )
+    a = kept.select("h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"))
+    b = kept.select("h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"))
+    matches = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("diag"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    spans = (
+        matches.withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(F.min("pa").alias("start_a"), F.count(F.lit(1)).alias("len_w"))
+        .where(F.col("len_w") >= 5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("start_a").cast("int").alias("start_a"),
+            (F.col("start_a") + F.col("diag")).cast("int").alias("start_b"),
+            (F.col("len_w") + 7).cast("bigint").alias("span_tokens"),
+        )
+    )
+    return spans
+
+
+_Q106_WIN_HASH = duck_md5_i64(
+    "array_to_string(list_slice(toks, CAST(u.i + 1 AS INT), CAST(u.i + 8 AS INT)), ' ')",
+    salt="span#",
+)
+
+ORACLE_Q106 = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), wins AS (
+  SELECT doc_id, CAST(u.i + 1 AS INT) AS pos, {_Q106_WIN_HASH} AS h
+  FROM tk, UNNEST(range(len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+), c AS (
+  SELECT h, count(*) AS c FROM wins GROUP BY 1
+), kept AS (
+  SELECT w.h, w.doc_id, w.pos FROM wins w JOIN c USING (h)
+  WHERE c.c BETWEEN 2 AND 20
+), matches AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         b.pos - a.pos AS diag
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS isl
+  FROM matches
+)
+SELECT doc_a, doc_b, CAST(start_a AS INT) AS start_a,
+       CAST(start_a + diag AS INT) AS start_b,
+       CAST(len_w + 7 AS BIGINT) AS span_tokens
+FROM (
+  SELECT doc_a, doc_b, diag, isl, min(pa) AS start_a, count(*) AS len_w
+  FROM isl GROUP BY 1, 2, 3, 4
+) WHERE len_w >= 5
+"""
+
+
+_Q107_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q107_interleaved_mixture_order(spark, sf_dir):
+    """Deterministic training-order construction: a GLOBAL total order
+    over the corpus that round-robins across mixture groups (here
+    langs) — the 'don't feed the model an hour of one source' ordering
+    every large-scale trainer applies after q94 picks the mixture —
+    WITHOUT a global sort.  position = (rank_within_group - 1) *
+    n_groups + group_index, where the within-group rank orders by
+    portable hash (a deterministic shuffle).  Distinct groups can
+    never collide (positions are disjoint residues mod n_groups), so
+    this is a total order computed with one per-group window — the
+    only per-key sort a 10^12-doc corpus can afford; a global ORDER BY
+    materializes a single range-partitioned sort of the whole corpus,
+    and df.orderBy followed by zipWithIndex leaves the DataFrame API
+    entirely.  While every group still has supply, any n_groups
+    consecutive positions contain each group exactly once
+    (pytest-asserted); when a group exhausts, its residues simply go
+    unused — consumers read in position order regardless.  The query
+    returns the first 60 positions (TakeOrderedAndProject — a per-
+    partition heap, not a global sort)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    idx = F.array_position(
+        F.array(*[F.lit(lang) for lang in _Q107_LANGS]), F.col("lang")
+    ).cast("int")
+    w = Window.partitionBy("lang").orderBy(
+        md5_i64_expr(F.col("doc_id").cast("string"), salt="order#"), "doc_id"
+    )
+    ordered = docs.select(
+        "doc_id",
+        "lang",
+        ((F.row_number().over(w) - 1) * len(_Q107_LANGS) + idx - 1)
+        .cast("bigint")
+        .alias("position"),
+    )
+    return ordered.orderBy("position").limit(60)
+
+
+_Q107_LANG_SQL = "[" + ", ".join(f"'{lang}'" for lang in _Q107_LANGS) + "]"
+
+ORACLE_Q107 = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {duck_md5_i64("doc_id::VARCHAR", salt="order#")}, doc_id
+         ) AS rn,
+         list_position({_Q107_LANG_SQL}, lang) AS idx
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST((rn - 1) * {len(_Q107_LANGS)} + idx - 1 AS BIGINT) AS position
+FROM ranked
+ORDER BY position
+LIMIT 60
+"""
+
+
+def q108_streaming_leaderboard(spark, sf_dir):
+    """COMPLETE-mode streaming aggregation + latest-wins snapshot sink
+    (the live-leaderboard contract) — the one output mode no other
+    catalog query exercises: every append-mode query here emits rows
+    exactly once; this one REPUBLISHES the full updated answer each
+    trigger and the sink's job is to swap it in atomically
+    (ParquetSnapshotSink: versioned dirs + an os.replace'd _LATEST
+    marker; on Iceberg, INSERT OVERWRITE under snapshot isolation).
+
+    The streaming plan is the unbounded per-user aggregate; the top-10
+    trim (a rank window, which complete-mode streaming plans cannot
+    hold) runs batch-side inside foreachBatch each trigger.  After the
+    drain, the marker points at the final trigger's snapshot, which
+    must equal the batch top-10 — ORACLE_Q108.  Replayed batches
+    rewrite byte-identical content and re-point the marker: idempotent
+    by construction (pytest-asserted along with marker atomicity and
+    version history).
+
+    Scale shape: state is ONE row per user (bounded by the user
+    universe, not the stream); each trigger publishes 10 rows.  The
+    leaderboard pattern collapses a 10^12-event stream into a
+    metadata-scale artifact refreshed per trigger — the right shape
+    for a dashboard, vs draining the full aggregate through an
+    append sink."""
+    from .sources.pages import stream_events_files
+    from .streaming.pipeline import run_complete_to_snapshot
+    from .streaming.sink import ParquetSnapshotSink
+
+    src = _events_stream_fixture(spark, sf_dir, prefix="wrs-q-board-")
+    ev = stream_events_files(spark, src, 1).where(F.col("user_id") != SENTINEL_USER)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("n_purchases"),
+        F.unix_timestamp(F.max("ts")).alias("last_epoch"),
+    )
+
+    def top10(bdf):
+        w = Window.orderBy(
+            F.col("n_events").desc(), F.col("user_id")
+        )
+        return (
+            bdf.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("rank", "user_id", "n_events", "n_purchases", "last_epoch")
+        )
+
+    sink = ParquetSnapshotSink(_q_tmpdir("wrs-q-snap-"))
+    sess = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_complete_to_snapshot(agg, sink, _q_tmpdir("wrs-q-snapck-"), top10)
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess)
+    return sink.read_latest(spark)
+
+
+ORACLE_Q108 = """
+SELECT CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS INT) AS rank,
+       user_id, n_events, n_purchases, last_epoch
+FROM (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+  FROM events GROUP BY user_id
+) QUALIFY rank <= 10
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -5987,6 +6225,9 @@ SELECT qid, rank, doc_id, score_milli, n_terms FROM (
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q108_streaming_leaderboard": q108_streaming_leaderboard,
+    "q107_interleaved_mixture_order": q107_interleaved_mixture_order,
+    "q106_duplicate_span_extents": q106_duplicate_span_extents,
     "q105_bm25_retrieval": q105_bm25_retrieval,
     "q101_robots_prefix_match": q101_robots_prefix_match,
     "q102_gapfill_ffill": q102_gapfill_ffill,
@@ -6100,6 +6341,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q108_streaming_leaderboard": ORACLE_Q108,
+    "q107_interleaved_mixture_order": ORACLE_Q107,
+    "q106_duplicate_span_extents": ORACLE_Q106,
     "q105_bm25_retrieval": ORACLE_Q105,
     "q101_robots_prefix_match": ORACLE_Q101,
     "q102_gapfill_ffill": ORACLE_Q102,

@@ -131,6 +131,28 @@ def run_stream_to_sink(
     return writer.start()
 
 
+def run_complete_to_snapshot(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    finalize=None,
+    query_name: str = "wrs-snapshot",
+):
+    """Start a COMPLETE-mode streaming aggregate into the latest-wins
+    snapshot sink (``ParquetSnapshotSink``).  Each trigger republishes
+    the full updated aggregate atomically; ``finalize`` runs batch-side
+    per trigger (rank/top-k trims that complete-mode streaming plans
+    cannot hold).  availableNow drains pending files then stops."""
+    return (
+        df.writeStream.queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink.foreach_batch(finalize))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_asof_template_join(
     pages: DataFrame,
     templates: DataFrame,

@@ -447,6 +447,77 @@ class ParquetLedgerSink:
         return spark.read.parquet(*paths)
 
 
+class ParquetSnapshotSink:
+    """Latest-wins snapshot sink for complete-mode aggregates (the
+    live-leaderboard contract, the overwrite dual of
+    ``ParquetLedgerSink``'s append MERGE): every trigger REPLACES the
+    published snapshot rather than appending to it.
+
+    Commit protocol: the batch writes to ``versions/batch_id=N``
+    (rmtree'd first if a crashed attempt left it behind), then a
+    ``_LATEST`` marker file naming N is swapped in with ``os.replace``
+    — the atomic commit point.  Readers resolve the marker, then read
+    that one version dir, so they never observe a half-written
+    snapshot.  A replayed batch (same batch_id after checkpoint
+    recovery) rewrites byte-identical content and re-points the marker
+    at the same version — idempotent by construction.  On Iceberg this
+    maps to ``INSERT OVERWRITE`` / ``REPLACE TABLE AS SELECT`` with
+    snapshot isolation; prior versions stay on disk as the time-travel
+    history (the append sink's q59 contract, overwrite flavor)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.versions_dir = os.path.join(out_dir, "versions")
+        self.marker_path = os.path.join(out_dir, "_LATEST")
+        os.makedirs(self.versions_dir, exist_ok=True)
+
+    def write_snapshot(self, df: DataFrame, batch_id: int) -> None:
+        dest = os.path.join(self.versions_dir, f"batch_id={batch_id}")
+        if os.path.exists(dest):  # crashed or replayed attempt
+            shutil.rmtree(dest)
+        df.write.mode("overwrite").parquet(dest)
+        tmp = os.path.join(self.out_dir, f"_marker.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.marker_path)  # atomic commit point
+
+    def latest_batch_id(self) -> int | None:
+        if not os.path.exists(self.marker_path):
+            return None
+        with open(self.marker_path) as f:
+            return int(f.read().strip())
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.versions_dir):
+            if name.startswith("batch_id="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def read_latest(self, spark) -> DataFrame:
+        bid = self.latest_batch_id()
+        if bid is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {self.out_dir} (no _LATEST marker)"
+            )
+        return spark.read.parquet(
+            os.path.join(self.versions_dir, f"batch_id={bid}")
+        )
+
+    def foreach_batch(self, finalize=None):
+        """foreachBatch body; ``finalize`` (optional) is a batch-side
+        DataFrame transform applied before publishing — complete-mode
+        aggregates can't hold rank windows in the streaming plan, so
+        top-k trimming happens here, in batch context, per trigger."""
+
+        def _body(df: DataFrame, batch_id: int) -> None:
+            self.write_snapshot(finalize(df) if finalize else df, batch_id)
+
+        return _body
+
+
 class IcebergMergeSink:
     """Real Iceberg MERGE path (requires the Iceberg runtime jar; not
     installable in this sandbox — kept config-switchable per SURVEY §7
