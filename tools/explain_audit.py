@@ -199,6 +199,47 @@ def main() -> None:
                 "ShuffledHashJoin",
             ),
         ),
+        # longest-prefix routing: rule table must broadcast onto the
+        # exploded prefix chain — the anti-pattern is a LIKE-join
+        # (BroadcastNestedLoopJoin) of URLs x rules
+        "q101_robots_prefix_match": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        ),
+        # gap-fill: the spine comes from sequence()+explode per key,
+        # never a calendar crossJoin
+        "q102_gapfill_ffill": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # split audit: the 2-row leak table broadcasts back onto stats
+        "q103_split_leakage": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        # winsorize: percentile bounds broadcast back for the clip
+        "q104_winsorized_stats": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        # BM25: queries/df/totals broadcast onto the vocab-pruned tf
+        # rows (the 1-row totals join is a benign broadcast NLJ)
+        "q105_bm25_retrieval": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        # span extents: the window-hash self-join must be an equi-join
+        # — a position-predicate nested loop is the quadratic cliff
+        "q106_duplicate_span_extents": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # interleave order: one per-group window, ZERO joins; top-60
+        # must plan as TakeOrderedAndProject, never a global sort
+        "q107_interleaved_mixture_order": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+            )
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))
