@@ -127,6 +127,45 @@ def test_snapshot_sink_swap_and_replay(spark, tmp_path):
     assert sink.latest_batch_id() == 1
 
 
+def test_kn_count_identities(spark):
+    # structural identities of the bigram relation: both continuation
+    # tables partition the same distinct-bigram set, and left-mass
+    # equals total bigram occurrences sum_docs(n_tok - 1).
+    from watermark_remove_spark.queries import q109_kn_lm_counts
+
+    rows = q109_kn_lm_counts(spark, SF).collect()
+    assert len(rows) > 0
+    tot = rows[0]["n_bigrams_total"]
+    assert all(r["n_bigrams_total"] == tot for r in rows)
+    assert sum(r["fanout"] for r in rows) == tot
+    assert sum(r["n_left"] for r in rows) == tot
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    expected_mass = sum(
+        max(0, len([t for t in r["text"].split(" ") if t != ""]) - 1) for r in docs
+    )
+    assert sum(r["c_left"] for r in rows) == expected_mass
+    # every token's continuation count is bounded by its raw count
+    # shapes: n_left <= c_uni (each left-context needs an occurrence)
+    assert all(r["n_left"] <= r["c_uni"] for r in rows)
+
+
+def test_semantic_decontamination_flags_both_ways(spark):
+    from watermark_remove_spark.queries import q110_semantic_decontamination
+
+    rows = q110_semantic_decontamination(spark, "/root/testdata/sf0.01").collect()
+    n_train = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .where("vec_id % 50 <> 0")
+        .count()
+    )
+    assert len(rows) == n_train  # exactly one verdict per train vector
+    flags = {r["contaminated"] for r in rows}
+    assert flags == {True, False}, "gate vacuous on the fixture"
+    for r in rows:
+        assert -1.0 <= r["best_cosine"] <= 1.0
+        assert r["best_eval_id"] % 50 == 0
+
+
 def test_bm25_kernel_tf_saturation(spark):
     # the integer kernel must be monotone non-decreasing in tf and
     # saturating: the marginal gain of tf 1->2 exceeds that of 9->10

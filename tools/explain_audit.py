@@ -240,6 +240,18 @@ def main() -> None:
                 "ShuffledHashJoin",
             )
         ),
+        # KN tables: per-token stats broadcast back onto the unigram
+        # relation; the only corpus shuffle is the bigram count
+        "q109_kn_lm_counts": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        # semantic decontamination: eval side must broadcast (the
+        # broadcast NLJ against the metadata-scale eval set is the
+        # documented q20/q45 posture; an unbroadcast CartesianProduct
+        # is not)
+        "q110_semantic_decontamination": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -6212,6 +6212,183 @@ FROM (
 """
 
 
+def q109_kn_lm_counts(spark, sf_dir):
+    """Kneser-Ney bigram language-model count tables — the estimation
+    pass of the classic n-gram LM (and of modern data-quality
+    perplexity filters trained on the corpus itself).  Per token w the
+    smoother needs FOUR integers: c(w) (raw unigram count),
+    c_left(w) = Σ_v c(w,v) (mass of bigrams starting at w),
+    fanout(w) = |{v : c(w,v)>0}| (distinct continuations — the
+    backoff-weight numerator), and the KN innovation
+    n_left(w) = |{v : c(v,w)>0}| (distinct left CONTEXTS — the
+    continuation-probability numerator: 'Francisco' is frequent but
+    almost always follows 'San', so its continuation count is tiny).
+    Also emitted per row: n_bigrams_total (the shared denominator).
+
+    Scale shape: ONE corpus-wide shuffle — the bigram count (map-side
+    combinable; q98's explode shape).  Everything after is
+    vocabulary-scale: the three per-token stats reduce the bigram
+    relation (|V|² rows at most) and broadcast-join back together,
+    and the unigram table is a second linear aggregate of the same
+    exploded stream.  No float ever appears; the smoother's discounts
+    divide downstream."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    n = F.size(tk)
+    pairs = docs.where(n >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, n - 1).alias("t1"), F.slice(tk, 2, n - 1).alias("t2")
+            )
+        ).alias("p")
+    )
+    big = (
+        pairs.select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    uni = (
+        docs.select(F.explode(tk).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    left = big.groupBy(F.col("t1").alias("token")).agg(
+        F.sum("n_ab").cast("bigint").alias("c_left"),
+        F.count(F.lit(1)).alias("fanout"),
+    )
+    right = big.groupBy(F.col("t2").alias("token")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams_total"))
+    return (
+        uni.join(F.broadcast(left), "token", "left")
+        .join(F.broadcast(right), "token", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "token",
+            "c_uni",
+            F.coalesce(F.col("c_left"), F.lit(0)).cast("bigint").alias("c_left"),
+            F.coalesce(F.col("fanout"), F.lit(0)).cast("bigint").alias("fanout"),
+            F.coalesce(F.col("n_left"), F.lit(0)).cast("bigint").alias("n_left"),
+            "n_bigrams_total",
+        )
+    )
+
+
+ORACLE_Q109 = """
+WITH tk AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT toks[CAST(u.i + 1 AS INT)] AS t1, toks[CAST(u.i + 2 AS INT)] AS t2
+  FROM tk, UNNEST(range(len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), big AS (
+  SELECT t1, t2, count(*) AS n_ab FROM pairs GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(toks) AS token FROM tk
+), cuni AS (
+  SELECT token, count(*) AS c_uni FROM uni GROUP BY 1
+), lft AS (
+  SELECT t1 AS token, CAST(sum(n_ab) AS BIGINT) AS c_left,
+         count(*) AS fanout
+  FROM big GROUP BY 1
+), rgt AS (
+  SELECT t2 AS token, count(*) AS n_left FROM big GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bigrams_total FROM big
+)
+SELECT c.token, c.c_uni,
+       CAST(coalesce(l.c_left, 0) AS BIGINT) AS c_left,
+       CAST(coalesce(l.fanout, 0) AS BIGINT) AS fanout,
+       CAST(coalesce(r.n_left, 0) AS BIGINT) AS n_left,
+       t.n_bigrams_total
+FROM cuni c
+LEFT JOIN lft l USING (token)
+LEFT JOIN rgt r USING (token)
+CROSS JOIN tot t
+"""
+
+
+def q110_semantic_decontamination(spark, sf_dir):
+    """Embedding-space benchmark decontamination — the semantic
+    complement of q45 (exact k-gram overlap) and q83 (graded
+    containment): paraphrased eval leakage shares no n-grams, so
+    production pipelines ALSO screen on embedding similarity.  Every
+    train vector is scored against the full eval set (vec_id % 50 == 0
+    here — eval suites are metadata-scale next to train corpora) and
+    reported with its nearest eval item, rounded cosine, and a
+    contamination flag.
+
+    Threshold note: the fixture's embeddings are near-orthogonal
+    random vectors (max observed train-eval cosine ≈ 0.45), so the
+    gate is pinned at 0.40 to keep BOTH flag outcomes populated
+    (6 contaminated / 484 clean at sf0.01); a production deployment
+    on real sentence embeddings runs the same plan at ~0.95.
+
+    Scale shape: q45's posture in vector space — the eval side
+    broadcasts and the scan stays map-side (one pass over train
+    vectors, no shuffle until the per-doc max), which is exactly
+    right while eval is metadata-scale; if the reference set ever
+    grows corpus-sized, the LSH-bucketed equi-join (q24/q34) is the
+    scale path.  Per-row float math rounded per q20's convention;
+    the deterministic (cosine desc, eval_id) tie-break keeps the
+    argmax oracle-stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    tr = emb.where(F.col("vec_id") % 50 != 0).select(
+        "vec_id", F.col("embedding").alias("tv")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).withColumn(
+        "cosine",
+        F.round(
+            cosine_expr(
+                F.col("tv").cast("array<double>"), F.col("ev").cast("array<double>")
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("best_eval_id"),
+            F.col("cosine").alias("best_cosine"),
+            (F.col("cosine") >= 0.40).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_Q110 = """
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id % 50 = 0
+), tr AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 50 <> 0
+), scored AS (
+  SELECT tr.vec_id, ev.eval_id,
+         round(list_dot_product(v, e) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(e, e))),
+               6) AS cosine
+  FROM tr CROSS JOIN ev
+)
+SELECT vec_id, eval_id AS best_eval_id, cosine AS best_cosine,
+       cosine >= 0.40 AS contaminated
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cosine DESC, eval_id ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -6225,6 +6402,8 @@ FROM (
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q109_kn_lm_counts": q109_kn_lm_counts,
+    "q110_semantic_decontamination": q110_semantic_decontamination,
     "q108_streaming_leaderboard": q108_streaming_leaderboard,
     "q107_interleaved_mixture_order": q107_interleaved_mixture_order,
     "q106_duplicate_span_extents": q106_duplicate_span_extents,
@@ -6341,6 +6520,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q109_kn_lm_counts": ORACLE_Q109,
+    "q110_semantic_decontamination": ORACLE_Q110,
     "q108_streaming_leaderboard": ORACLE_Q108,
     "q107_interleaved_mixture_order": ORACLE_Q107,
     "q106_duplicate_span_extents": ORACLE_Q106,
