@@ -252,6 +252,21 @@ def main() -> None:
         "q110_semantic_decontamination": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # scheduler: schedule summary + worker window, zero joins
+        "q111_crawl_scheduler": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
+        # distribution matching: bounds/targets broadcast back (the
+        # 1-row bounds join is a benign broadcast NLJ by construction)
+        "q112_distribution_matched_sample": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

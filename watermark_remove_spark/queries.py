@@ -6389,6 +6389,254 @@ FROM (
 """
 
 
+def q111_crawl_scheduler(spark, sf_dir):
+    """Politeness-budget crawl scheduling as pure relational
+    arithmetic — the frontier-ops step between q101 (is this URL
+    allowed?) and the fetch fleet: each source gets a deterministic
+    per-host rate interval (1 + hash%10 seconds — the robots
+    crawl-delay stand-in), URLs are sequenced within their source by
+    portable-hash priority, and fetch slot k fires at offset k*I.
+    Emitted per source: its assigned worker (hash%8 of the host — the
+    sharding a politeness-preserving fleet needs, since one host must
+    never be fetched by two workers concurrently), URL count, rate
+    interval, makespan, first-minute burst, and the worker's total
+    load (a window over the per-source aggregate — fleet balance
+    read off the same pass).
+
+    Scale shape: one shuffle on source for the slot window (the
+    per-key sort a frontier can afford), then the schedule summary is
+    sources-scale and the worker-load window runs over THAT relation
+    (metadata-scale), not the frontier.  Slots/offsets are pure
+    integer functions of (source, doc_id) — re-running on any
+    partitioning reproduces the identical schedule, which is what
+    makes resumable distributed crawling deterministic."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    interval = (
+        F.pmod(md5_i64_expr(F.col("source"), salt="rate#"), F.lit(10)) + 1
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(
+        md5_i64_expr(F.col("doc_id").cast("string"), salt="prio#"), "doc_id"
+    )
+    sched = docs.select(
+        "source",
+        interval.alias("interval_sec"),
+        ((F.row_number().over(w) - 1) * interval).alias("offset_sec"),
+    )
+    per_source = sched.groupBy("source", "interval_sec").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.max("offset_sec").cast("bigint").alias("makespan_sec"),
+        F.sum((F.col("offset_sec") < 60).cast("bigint"))
+        .cast("bigint")
+        .alias("n_first_minute"),
+    )
+    ww = Window.partitionBy("worker")
+    return per_source.select(
+        "source",
+        F.pmod(md5_i64_expr(F.col("source"), salt="worker#"), F.lit(8))
+        .cast("int")
+        .alias("worker"),
+        "interval_sec",
+        "n_urls",
+        "makespan_sec",
+        "n_first_minute",
+    ).withColumn("worker_total_urls", F.sum("n_urls").over(ww).cast("bigint"))
+
+
+_Q111_RATE = duck_md5_i64("source", salt="rate#")
+_Q111_PRIO = duck_md5_i64("doc_id::VARCHAR", salt="prio#")
+_Q111_WORKER = duck_md5_i64("source", salt="worker#")
+
+ORACLE_Q111 = f"""
+WITH sched AS (
+  SELECT source,
+         ({_Q111_RATE} % 10) + 1 AS interval_sec,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY {_Q111_PRIO}, doc_id) - 1)
+           * (({_Q111_RATE} % 10) + 1) AS offset_sec
+  FROM documents
+), per_source AS (
+  SELECT source, CAST(interval_sec AS BIGINT) AS interval_sec,
+         count(*) AS n_urls,
+         CAST(max(offset_sec) AS BIGINT) AS makespan_sec,
+         CAST(sum(CASE WHEN offset_sec < 60 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_first_minute
+  FROM sched GROUP BY 1, 2
+)
+SELECT source, CAST({_Q111_WORKER} % 8 AS INT) AS worker,
+       interval_sec, n_urls, makespan_sec, n_first_minute,
+       CAST(sum(n_urls) OVER (PARTITION BY ({_Q111_WORKER} % 8)) AS BIGINT)
+         AS worker_total_urls
+FROM per_source
+"""
+
+
+def q112_distribution_matched_sample(spark, sf_dir):
+    """Distribution-matched sampling — the corpus-balancing step after
+    q94 picks HOW MUCH of each language: make every language's
+    document-LENGTH profile match the reference language's (en), so a
+    multilingual model never learns 'German means short docs' from a
+    sampling artifact.  The en length-quartile boundaries (exact
+    nearest-rank, q104's integer convention) bucket EVERY doc
+    map-side; per (lang, bucket) the target is n_lang *
+    en_share(bucket) by integer arithmetic (floor), capped at
+    availability; selection inside a bucket is by portable-hash rank
+    — layout-independent, so the matched sample is reproducible on
+    any partitioning.
+
+    Scale shape: boundaries come from the en length HISTOGRAM — one
+    linear aggregate, then a cumulative window over the distinct-
+    length relation (metadata-scale; en's rows are never sorted) —
+    reduced to a 1-row broadcast; bucketing is map-side; targets live
+    on the (lang x 4)-row relation (broadcast back); the only
+    corpus-wide shuffle is the per-(lang,bucket) rank window that
+    realizes the selection."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        token_count_expr(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    # exact nearest-rank quartiles WITHOUT sorting en's rows: the
+    # value-histogram (one linear agg) has one row per distinct
+    # length — metadata-scale — and the boundary at rank r is
+    # min{v : cum(v) >= r}, identical to the row_number definition
+    # because the value at a rank depends only on the value order
+    # (q80's sketch-boundary technique, exact because lengths are
+    # bounded integers)
+    hist = (
+        d.where(F.col("lang") == "en")
+        .groupBy("n_tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_tok",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("cnt"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(cnt + 3) div 4"), F.col("n_tok"))
+        ).alias("b1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * cnt + 3) div 4"), F.col("n_tok"))
+        ).alias("b2"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(3 * cnt + 3) div 4"), F.col("n_tok"))
+        ).alias("b3"),
+    )
+    bucketed = d.join(F.broadcast(bounds)).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("n_tok") <= F.col("b1"), F.lit(1))
+        .when(F.col("n_tok") <= F.col("b2"), F.lit(2))
+        .when(F.col("n_tok") <= F.col("b3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("bucket"),
+    )
+    avail = bucketed.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("avail"))
+    en_share = (
+        avail.where(F.col("lang") == "en")
+        .select(F.col("bucket"), F.col("avail").alias("en_b"))
+        .join(
+            F.broadcast(
+                avail.where(F.col("lang") == "en").agg(
+                    F.sum("avail").cast("bigint").alias("en_tot")
+                )
+            )
+        )
+    )
+    lang_tot = avail.groupBy("lang").agg(F.sum("avail").cast("bigint").alias("n_lang"))
+    targets = (
+        avail.join(F.broadcast(en_share), "bucket")
+        .join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang",
+            "bucket",
+            "avail",
+            F.least(
+                F.expr("(n_lang * en_b) div en_tot"), F.col("avail").cast("bigint")
+            ).alias("target"),
+        )
+    )
+    wsel = Window.partitionBy("lang", "bucket").orderBy(
+        md5_i64_expr(F.col("doc_id").cast("string"), salt="match#"), "doc_id"
+    )
+    picked = (
+        bucketed.withColumn("rk", F.row_number().over(wsel))
+        .join(F.broadcast(targets.select("lang", "bucket", "target")), ["lang", "bucket"])
+        .where(F.col("rk") <= F.col("target"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("selected"))
+    )
+    return (
+        targets.join(picked, ["lang", "bucket"], "left")
+        .select(
+            "lang",
+            "bucket",
+            F.col("avail").cast("bigint").alias("avail"),
+            "target",
+            F.coalesce(F.col("selected"), F.lit(0)).cast("bigint").alias("selected"),
+        )
+    )
+
+
+_Q112_SEL = duck_md5_i64("doc_id::VARCHAR", salt="match#")
+
+ORACLE_Q112 = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), hist AS (
+  SELECT n_tok, count(*) AS c FROM d WHERE lang = 'en' GROUP BY 1
+), cum AS (
+  SELECT n_tok,
+         sum(c) OVER (ORDER BY n_tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS cnt
+  FROM hist
+), bounds AS (
+  SELECT min(CASE WHEN cum >= (cnt + 3) // 4 THEN n_tok END) AS b1,
+         min(CASE WHEN cum >= (2 * cnt + 3) // 4 THEN n_tok END) AS b2,
+         min(CASE WHEN cum >= (3 * cnt + 3) // 4 THEN n_tok END) AS b3
+  FROM cum
+), bucketed AS (
+  SELECT doc_id, lang,
+         CASE WHEN n_tok <= b1 THEN 1
+              WHEN n_tok <= b2 THEN 2
+              WHEN n_tok <= b3 THEN 3
+              ELSE 4 END AS bucket
+  FROM d CROSS JOIN bounds
+), avail AS (
+  SELECT lang, bucket, count(*) AS avail FROM bucketed GROUP BY 1, 2
+), en_share AS (
+  SELECT bucket, avail AS en_b,
+         (SELECT CAST(sum(avail) AS BIGINT) FROM avail WHERE lang = 'en') AS en_tot
+  FROM avail WHERE lang = 'en'
+), lang_tot AS (
+  SELECT lang, CAST(sum(avail) AS BIGINT) AS n_lang FROM avail GROUP BY 1
+), targets AS (
+  SELECT a.lang, a.bucket, a.avail,
+         least((t.n_lang * s.en_b) // s.en_tot, CAST(a.avail AS BIGINT)) AS target
+  FROM avail a JOIN en_share s USING (bucket) JOIN lang_tot t USING (lang)
+), picked AS (
+  SELECT b.lang, b.bucket, count(*) AS selected
+  FROM (
+    SELECT lang, bucket,
+           row_number() OVER (PARTITION BY lang, bucket
+                              ORDER BY {_Q112_SEL}, doc_id) AS rk
+    FROM bucketed
+  ) b JOIN targets t ON b.lang = t.lang AND b.bucket = t.bucket
+  WHERE b.rk <= t.target
+  GROUP BY 1, 2
+)
+SELECT t.lang, t.bucket, CAST(t.avail AS BIGINT) AS avail, t.target,
+       CAST(coalesce(p.selected, 0) AS BIGINT) AS selected
+FROM targets t LEFT JOIN picked p ON t.lang = p.lang AND t.bucket = p.bucket
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -6402,6 +6650,8 @@ FROM (
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q111_crawl_scheduler": q111_crawl_scheduler,
+    "q112_distribution_matched_sample": q112_distribution_matched_sample,
     "q109_kn_lm_counts": q109_kn_lm_counts,
     "q110_semantic_decontamination": q110_semantic_decontamination,
     "q108_streaming_leaderboard": q108_streaming_leaderboard,
@@ -6520,6 +6770,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q111_crawl_scheduler": ORACLE_Q111,
+    "q112_distribution_matched_sample": ORACLE_Q112,
     "q109_kn_lm_counts": ORACLE_Q109,
     "q110_semantic_decontamination": ORACLE_Q110,
     "q108_streaming_leaderboard": ORACLE_Q108,
