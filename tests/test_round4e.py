@@ -209,6 +209,83 @@ def test_distribution_matched_sample_invariants(spark):
     ), "matching vacuous"
 
 
+def test_index_delta_merge_equals_scratch(spark):
+    # the q74 invariant on a list-valued monoid: merging the delta
+    # index onto the base index must reproduce the from-scratch q70
+    # index exactly, row for row.
+    from watermark_remove_spark.queries import q70_inverted_index, q113_index_delta_merge
+
+    merged = {
+        r["shingle"]: (r["df"], r["postings"])
+        for r in q113_index_delta_merge(spark, SF).collect()
+    }
+    scratch = {
+        r["shingle"]: (r["df"], r["postings"])
+        for r in q70_inverted_index(spark, SF).collect()
+    }
+    assert merged == scratch
+    assert len(merged) > 0, "index empty — prunes swallowed the fixture"
+    # non-vacuity of the merge itself: some shingle must appear in
+    # BOTH slices (df > each slice's own contribution)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert docs.where("doc_id % 5 = 0").count() > 0
+    assert docs.where("doc_id % 5 <> 0").count() > 0
+
+
+def test_canonical_map_policy(spark):
+    from watermark_remove_spark.queries import q114_dedup_canonical_map
+
+    rows = q114_dedup_canonical_map(spark, SF).collect()
+    assert len(rows) > 0, "no near-dup clusters in fixture"
+    docs = {r["doc_id"]: r["n_chars"] for r in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    multi = 0
+    for comp, members in by_comp.items():
+        assert len({m["canonical_id"] for m in members}) == 1
+        canon = members[0]["canonical_id"]
+        kept = [m for m in members if m["is_kept"]]
+        assert len(kept) == 1 and kept[0]["doc_id"] == canon
+        # the canonical doc maximizes (n_chars, -doc_id) in its cluster
+        best = max(members, key=lambda m: (docs[m["doc_id"]], -m["doc_id"]))
+        assert best["doc_id"] == canon, (comp, canon, best["doc_id"])
+        assert all(m["cluster_size"] == len(members) for m in members)
+        multi += len(members) > 1
+    assert multi > 0, "all clusters are singletons — policy untested"
+
+
+def test_decayed_reputation_halving(spark):
+    # the decay kernel must genuinely halve per half-life step and
+    # floor at the cap; and the query's scores must re-derive from the
+    # raw events exactly.
+    w = lambda age_sec: 1048576 >> min(age_sec // 43200, 20)
+    assert w(0) == 1048576
+    assert w(43200) == 1048576 // 2
+    assert w(43199) == 1048576  # quantized INSIDE a half-life step
+    assert w(43200 * 25) == 1  # cap: every event keeps a vote
+    from watermark_remove_spark.queries import q115_decayed_reputation
+
+    rows = q115_decayed_reputation(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    ref = max(r["ts"] for r in ev)
+    import collections
+
+    expect = collections.Counter()
+    for r in ev:
+        expect[r["user_id"]] += w(int((ref - r["ts"]).total_seconds()))
+    for r in rows:
+        assert r["score"] == expect[r["user_id"]], r
+    # non-vacuity: the fixture must span more than one half-life
+    assert any(
+        (ref - r["ts"]).total_seconds() >= 43200 for r in ev
+    ), "all events within one half-life — decay untested"
+
+
 def test_bm25_kernel_tf_saturation(spark):
     # the integer kernel must be monotone non-decreasing in tf and
     # saturating: the marginal gain of tf 1->2 exceeds that of 9->10

@@ -267,6 +267,10 @@ def main() -> None:
         "q112_distribution_matched_sample": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # delta merge: index-scale full-outer join, never all-pairs
+        "q113_index_delta_merge": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -6637,6 +6637,196 @@ FROM targets t LEFT JOIN picked p ON t.lang = p.lang AND t.bucket = p.bucket
 """
 
 
+def _shingle_index_frame(docs: DataFrame) -> DataFrame:
+    """(shingle, df, postings-array) over one corpus slice — the
+    mergeable monoid form of q70's index (arrays stay arrays until
+    the final serialization so partials concat without re-exploding)."""
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias("shingle"),
+    )
+    return pairs.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"), F.collect_list("doc_id").alias("p")
+    )
+
+
+def q113_index_delta_merge(spark, sf_dir):
+    """Incremental inverted-index maintenance — q74's delta-MERGE
+    discipline applied to q70's posting lists: when a crawl delta
+    lands (doc_id % 5 == 0 plays the new batch), the index is updated
+    by building postings over the DELTA ONLY and full-outer-merging
+    them onto the stored base index (df adds; posting arrays concat —
+    disjoint doc sets, so concat-then-sort equals rebuild), instead of
+    re-exploding the whole corpus.  ORACLE_Q113 *rebuilds from
+    scratch* over all documents — the driver hash IS the
+    incremental==scratch proof (the q74 invariant, on a list-valued
+    monoid instead of scalar counts).
+
+    Scale shape: corpus-side work is delta-only (one explode+agg over
+    the new batch); the merge join moves index-scale rows (one per
+    distinct shingle), never corpus rows — at 10^12 docs that is the
+    difference between touching a day's crawl and re-shuffling a year
+    of postings.  The q70 prunes (ubiquity, singleton) apply AFTER the
+    merge with the post-delta corpus count, exactly as a rebuild
+    would."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    base_idx = _shingle_index_frame(docs.where(F.col("doc_id") % 5 != 0))
+    delta_idx = _shingle_index_frame(docs.where(F.col("doc_id") % 5 == 0))
+    empty = F.array().cast("array<bigint>")
+    merged = (
+        base_idx.alias("b")
+        .join(delta_idx.alias("d"), "shingle", "full")
+        .select(
+            "shingle",
+            (
+                F.coalesce(F.col("b.df"), F.lit(0))
+                + F.coalesce(F.col("d.df"), F.lit(0))
+            ).alias("df"),
+            F.array_join(
+                F.sort_array(
+                    F.concat(
+                        F.coalesce(F.col("b.p"), empty),
+                        F.coalesce(F.col("d.p"), empty),
+                    )
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        merged.join(F.broadcast(n_docs))
+        .where((10 * F.col("df") < F.col("n")) & (F.col("df") >= 2))
+        .select("shingle", "df", "postings")
+    )
+
+
+# the oracle REBUILDS from scratch — hash equality proves the
+# incremental merge path reaches the identical index
+ORACLE_Q113 = ORACLE_Q70
+
+
+def q114_dedup_canonical_map(spark, sf_dir):
+    """Near-dup cluster canonicalization — the ACTIONABLE artifact
+    after q62's components: per cluster, keep the best document
+    (longest n_chars, doc_id tie-break) and emit the replacement map
+    every downstream consumer applies (dup doc_id -> canonical
+    doc_id, cluster size, keep flag).  This is the policy step real
+    dedup pipelines ship: q22/q23/q62 FIND duplication; this decides
+    who survives.
+
+    Scale shape: the candidate graph and components reuse q62's
+    machinery (shingle equi-join edges, O(log n) min-label
+    propagation); the policy itself runs on the COMPONENT MEMBERSHIP
+    relation (nodes that appear in any near-dup pair — a vanishing
+    fraction of the corpus), one window per component for the
+    canonical pick and size."""
+    from .operators.graph import connected_components
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    comps = connected_components(_q62_edges(docs), "src", "dst")
+    m = comps.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    wq = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    full = wq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return m.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.first("node").over(full).alias("canonical_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    ).withColumn("is_kept", F.col("doc_id") == F.col("canonical_id"))
+
+
+ORACLE_Q114 = f"""
+WITH RECURSIVE {_Q62_EDGES_SQL},
+sym AS (
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+),
+reach(node, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.label FROM reach r JOIN sym s ON s.b = r.node
+),
+comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+),
+m AS (
+  SELECT c.node, c.component, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT node AS doc_id, component,
+       first_value(node) OVER (
+         PARTITION BY component ORDER BY n_chars DESC, node ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       node = first_value(node) OVER (
+         PARTITION BY component ORDER BY n_chars DESC, node ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS is_kept
+FROM m
+"""
+
+
+def q115_decayed_reputation(spark, sf_dir):
+    """Time-decayed activity reputation (the freshness score a crawler
+    uses to prioritize re-visits, a feed uses to rank sources) with
+    EXACT half-life decay in pure integer arithmetic: each event
+    contributes 2^20 >> floor(age/12h) — genuine exponential decay
+    with a 12-hour half-life, quantized to half-life steps, computed
+    with one shiftright.  No exp()/pow() float whose libm rounding
+    could diverge between engines; the decay floor (shift capped at
+    20) also gives every event a nonzero vote, so n_events stays an
+    exact activity count.
+
+    Scale shape: the reference instant (corpus max ts) is a 1-row
+    broadcast; scoring is map-side; one user-key shuffle aggregates;
+    top-20 goes through TakeOrderedAndProject.  On a stream this is
+    the fold a periodic batch job runs over the sink — decay weights
+    depend only on (ts, ref), so partial sums from any partitioning
+    agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    scored = ev.join(F.broadcast(ref)).select(
+        "user_id",
+        F.expr(
+            """shiftright(1048576,
+                 cast(least((unix_timestamp(ref_ts) - unix_timestamp(ts))
+                            div 43200, 20) as int))"""
+        ).alias("w"),
+    )
+    per_user = scored.groupBy("user_id").agg(
+        F.sum("w").cast("bigint").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return per_user.orderBy(F.col("score").desc(), "user_id").limit(20)
+
+
+ORACLE_Q115 = """
+WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+s AS (
+  SELECT user_id,
+         (1048576 >> least((CAST(floor(epoch(ref_ts)) AS BIGINT)
+                            - CAST(floor(epoch(ts)) AS BIGINT)) // 43200,
+                           20)) AS w
+  FROM events, ref
+)
+SELECT user_id, CAST(sum(w) AS BIGINT) AS score,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
+ORDER BY score DESC, user_id
+LIMIT 20
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -6650,6 +6840,9 @@ FROM targets t LEFT JOIN picked p ON t.lang = p.lang AND t.bucket = p.bucket
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q113_index_delta_merge": q113_index_delta_merge,
+    "q114_dedup_canonical_map": q114_dedup_canonical_map,
+    "q115_decayed_reputation": q115_decayed_reputation,
     "q111_crawl_scheduler": q111_crawl_scheduler,
     "q112_distribution_matched_sample": q112_distribution_matched_sample,
     "q109_kn_lm_counts": q109_kn_lm_counts,
@@ -6770,6 +6963,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q113_index_delta_merge": ORACLE_Q113,
+    "q114_dedup_canonical_map": ORACLE_Q114,
+    "q115_decayed_reputation": ORACLE_Q115,
     "q111_crawl_scheduler": ORACLE_Q111,
     "q112_distribution_matched_sample": ORACLE_Q112,
     "q109_kn_lm_counts": ORACLE_Q109,
