@@ -286,6 +286,86 @@ def test_decayed_reputation_halving(spark):
     ), "all events within one half-life — decay untested"
 
 
+def test_shard_rebalance_exact_counts(spark):
+    # re-derive both schemes' movement counts in pure Python from the
+    # parquet fixture and the portable hash — the query's aggregate
+    # must match exactly, and HRW must move far fewer keys than mod.
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q116_shard_rebalance_audit
+
+    rows = {r["scheme"]: r for r in q116_shard_rebalance_audit(spark, SF).collect()}
+    assert set(rows) == {"hrw", "mod"}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "doc_id"
+    ).collect()
+    exp = {"hrw": 0, "mod": 0}
+    for r in docs:
+        key = f"{r['source']}/{r['doc_id']}"
+        hrw = {
+            n: max(
+                (md5_i64_py(f"hrw{key}#s{i}"), f"s{i}") for i in range(n)
+            )[1]
+            for n in (8, 10)
+        }
+        h = md5_i64_py(f"hrw{key}")
+        exp["hrw"] += hrw[8] != hrw[10]
+        exp["mod"] += (h % 8) != (h % 10)
+    for scheme in ("hrw", "mod"):
+        assert rows[scheme]["n_keys"] == len(docs)
+        assert rows[scheme]["n_moved"] == exp[scheme], scheme
+        assert rows[scheme]["max_new_load"] >= rows[scheme]["min_new_load"] > 0
+    # the operator's entire point: consistent hashing beats mod
+    assert rows["hrw"]["n_moved"] < rows["mod"]["n_moved"]
+    assert rows["hrw"]["n_moved"] / len(docs) < 0.4
+    assert rows["mod"]["n_moved"] / len(docs) > 0.6
+
+
+def test_deletion_cascade_referential_integrity(spark):
+    from watermark_remove_spark.queries import q117_deletion_cascade
+
+    rows = {r["tbl"]: r for r in q117_deletion_cascade(spark, SF).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for tbl, r in rows.items():
+        assert r["n_total"] == r["n_purged"] + r["n_retained"], tbl
+        assert r["n_orphans_after"] == 0, tbl
+        assert r["n_purged"] > 0, f"{tbl}: deletion set vacuous"
+        assert r["n_retained"] > 0, f"{tbl}: cascade purged everything"
+    # cross-check the cascade against a straight Python re-derivation
+    cust = {r["c_custkey"] for r in
+            spark.read.parquet(f"{SF}/customer.parquet").collect()}
+    dels = {c for c in cust if c % 37 == 0}
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey").collect()
+    purged_o = {r["o_orderkey"] for r in orders if r["o_custkey"] in dels}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey").collect()
+    assert rows["customer"]["n_purged"] == len(dels)
+    assert rows["orders"]["n_purged"] == len(purged_o)
+    assert rows["lineitem"]["n_purged"] == sum(
+        r["l_orderkey"] in purged_o for r in li
+    )
+
+
+def test_kanon_release_properties(spark):
+    from watermark_remove_spark.queries import q118_kanon_release
+
+    rows = q118_kanon_release(spark, SF).collect()
+    released = [r for r in rows if not r["is_suppressed"]]
+    suppressed = [r for r in rows if r["is_suppressed"]]
+    assert released, "no group reached k — fixture too small"
+    assert len(suppressed) == 1, "suppressed groups must fold into ONE bucket"
+    s = suppressed[0]
+    assert s["lang"] == s["source"] == "(suppressed)"
+    assert s["n_groups"] > 1, "suppression vacuous in fixture"
+    for r in released:
+        assert r["n_docs"] >= 5, r
+        assert r["n_groups"] == 1, r
+    # the release must still add up to the corpus — nothing dropped
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    n_raw_groups = docs.select("lang", "source").distinct().count()
+    assert sum(r["n_groups"] for r in rows) == n_raw_groups
+
+
 def test_bm25_kernel_tf_saturation(spark):
     # the integer kernel must be monotone non-decreasing in tf and
     # saturating: the marginal gain of tf 1->2 exceeds that of 9->10

@@ -271,6 +271,11 @@ def main() -> None:
         "q113_index_delta_merge": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # HRW owner assignment is pure map-side — no join at all until
+        # the 20-row fold (CartesianProduct must never appear)
+        "q116_shard_rebalance_audit": dict(forbid_node=("CartesianProduct",)),
+        # cascade is equi semi/anti joins down the FK chain
+        "q117_deletion_cascade": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

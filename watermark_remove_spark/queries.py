@@ -6827,6 +6827,278 @@ LIMIT 20
 """
 
 
+def q116_shard_rebalance_audit(spark, sf_dir):
+    """Consistent-sharding rebalance audit — what fraction of crawl
+    state moves when the cluster grows from 8 to 10 shards, under (a)
+    rendezvous/HRW hashing (owner = argmax over shards of
+    hash(key#shard)) vs (b) naive mod hashing (owner = hash(key) mod
+    K).  HRW moves only the keys whose new per-shard hash wins on an
+    ADDED shard (~2/10 here); mod hashing reassigns ~90% of all keys —
+    the audit quantifies exactly that difference, plus the new
+    layout's balance (max/min shard load).
+
+    Portability: the per-shard hash is the 60-bit md5 scheme
+    (portable_hash.py); the argmax is a lexicographic max over
+    (hash, shard) structs — array_max in Spark, list_max in DuckDB,
+    both compare field-by-field, so ties (and there are none at 60
+    bits) break identically.
+
+    Scale shape: owner assignment is PURE MAP-SIDE (K hash
+    evaluations per key, no explode of the key set, no join); the
+    only shuffle is the (scheme, shard)-grained count — ≤ 2×10 groups
+    regardless of corpus size; the final fold runs on that 20-row
+    relation."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+
+    def hrw_owner(n_shards: int):
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        md5_i64_expr(
+                            F.concat(key, F.lit(f"#s{i}")), salt="hrw"
+                        ).alias("h"),
+                        F.lit(f"s{i}").alias("s"),
+                    )
+                    for i in range(n_shards)
+                ]
+            )
+        )["s"]
+
+    h = md5_i64_expr(key, salt="hrw")
+    assigned = docs.select(
+        hrw_owner(8).alias("hrw_old"),
+        hrw_owner(10).alias("hrw_new"),
+        F.concat(F.lit("s"), (h % 8).cast("string")).alias("mod_old"),
+        F.concat(F.lit("s"), (h % 10).cast("string")).alias("mod_new"),
+    )
+    tagged = assigned.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hrw").alias("scheme"),
+                    F.col("hrw_old").alias("old_s"),
+                    F.col("hrw_new").alias("nw"),
+                ),
+                F.struct(
+                    F.lit("mod").alias("scheme"),
+                    F.col("mod_old").alias("old_s"),
+                    F.col("mod_new").alias("nw"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.*")
+    per_shard = tagged.groupBy("scheme", "nw").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum((F.col("old_s") != F.col("nw")).cast("bigint")).alias("m"),
+    )
+    return (
+        per_shard.groupBy("scheme")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_keys"),
+            F.sum("m").cast("bigint").alias("n_moved"),
+            F.max("c").cast("bigint").alias("max_new_load"),
+            F.min("c").cast("bigint").alias("min_new_load"),
+        )
+        .orderBy("scheme")
+    )
+
+
+def _duck_hrw_list(n_shards: int) -> str:
+    entries = ", ".join(
+        "{'h': " + duck_md5_i64(f"key || '#s{i}'", salt="hrw") + f", 's': 's{i}'}}"
+        for i in range(n_shards)
+    )
+    return f"list_max([{entries}]).s"
+
+
+_Q116_KEY_SQL = "source || '/' || CAST(doc_id AS VARCHAR)"
+
+ORACLE_Q116 = f"""
+WITH k AS (
+  SELECT {_Q116_KEY_SQL} AS key,
+         {duck_md5_i64(_Q116_KEY_SQL, salt='hrw')} AS h
+  FROM documents
+),
+a AS (
+  SELECT {_duck_hrw_list(8)} AS hrw_old,
+         {_duck_hrw_list(10)} AS hrw_new,
+         's' || CAST(h % 8 AS VARCHAR) AS mod_old,
+         's' || CAST(h % 10 AS VARCHAR) AS mod_new
+  FROM k
+),
+t AS (
+  SELECT 'hrw' AS scheme, hrw_old AS old_s, hrw_new AS nw FROM a
+  UNION ALL
+  SELECT 'mod' AS scheme, mod_old AS old_s, mod_new AS nw FROM a
+),
+p AS (
+  SELECT scheme, nw, count(*) AS c,
+         sum(CASE WHEN old_s <> nw THEN 1 ELSE 0 END) AS m
+  FROM t GROUP BY scheme, nw
+)
+SELECT scheme, CAST(sum(c) AS BIGINT) AS n_keys,
+       CAST(sum(m) AS BIGINT) AS n_moved,
+       CAST(max(c) AS BIGINT) AS max_new_load,
+       CAST(min(c) AS BIGINT) AS min_new_load
+FROM p GROUP BY scheme ORDER BY scheme
+"""
+
+
+def q117_deletion_cascade(spark, sf_dir):
+    """Right-to-be-forgotten deletion cascade audit — given a set of
+    deletion requests (customers with c_custkey % 37 == 0 play the
+    GDPR erasure list), purge the subject rows AND every dependent
+    row transitively (orders of deleted customers, lineitems of
+    purged orders) and emit the per-table accounting a compliance
+    audit requires: total / purged / retained counts plus the
+    orphan count after the cascade (retained children still
+    referencing a purged parent — MUST be zero; the driver hash
+    re-proves it every run).
+
+    Scale shape: the cascade is two equi semi-joins down the foreign-
+    key chain (custkey → orderkey) — no fan-out, no explode; in
+    production the erasure list is metadata-scale (a day's requests)
+    and broadcasts, here it is left to AQE.  Counts are linear aggs
+    with map-side partials; the output is 3 rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    del_keys = cust.where(F.col("c_custkey") % 37 == 0).select(
+        F.col("c_custkey").alias("__pk")
+    )
+
+    def audit(name, df, ref_col, parent_keys):
+        flagged = df.join(
+            parent_keys, F.col(ref_col) == F.col("__pk"), "left"
+        ).select((F.col("__pk").isNotNull()).alias("p"))
+        return flagged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.col("p").cast("bigint")).cast("bigint").alias("n_purged"),
+            F.sum((~F.col("p")).cast("bigint")).cast("bigint").alias("n_retained"),
+        ).select(F.lit(name).alias("tbl"), "n_total", "n_purged", "n_retained")
+
+    purged_orders = semi_join(
+        orders, del_keys.select(F.col("__pk").alias("o_custkey")), ["o_custkey"]
+    ).select(F.col("o_orderkey").alias("__pk"))
+    kept_orders = anti_join(
+        orders, del_keys.select(F.col("__pk").alias("o_custkey")), ["o_custkey"]
+    )
+    kept_li = li.join(purged_orders, li.l_orderkey == purged_orders.__pk, "left_anti")
+    # orphans AFTER the cascade: retained children referencing purged parents
+    orphan_orders = semi_join(
+        kept_orders, del_keys.select(F.col("__pk").alias("o_custkey")), ["o_custkey"]
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans_after"))
+    orphan_li = kept_li.join(
+        purged_orders, kept_li.l_orderkey == purged_orders.__pk, "left_semi"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans_after"))
+    zero = F.lit(0).cast("bigint").alias("n_orphans_after")
+    rows = (
+        audit("customer", cust, "c_custkey", del_keys)
+        .select("*", zero)
+        .unionByName(
+            audit("orders", orders, "o_custkey", del_keys).join(
+                F.broadcast(orphan_orders)
+            )
+        )
+        .unionByName(
+            audit("lineitem", li, "l_orderkey", purged_orders).join(
+                F.broadcast(orphan_li)
+            )
+        )
+    )
+    return rows.orderBy("tbl")
+
+
+ORACLE_Q117 = """
+WITH del_k AS (SELECT c_custkey AS pk FROM customer WHERE c_custkey % 37 = 0),
+purged_o AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT pk FROM del_k)),
+c_audit AS (
+  SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN c_custkey % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         CAST(sum(CASE WHEN c_custkey % 37 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
+         CAST(0 AS BIGINT) AS n_orphans_after
+  FROM customer
+),
+o_audit AS (
+  SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN o_custkey IN (SELECT pk FROM del_k) THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         CAST(sum(CASE WHEN o_custkey IN (SELECT pk FROM del_k) THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders
+           WHERE o_custkey NOT IN (SELECT pk FROM del_k)
+             AND o_custkey IN (SELECT pk FROM del_k)) AS n_orphans_after
+  FROM orders
+),
+l_audit AS (
+  SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM purged_o) THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM purged_o) THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM purged_o)
+             AND l_orderkey IN (SELECT o_orderkey FROM purged_o)) AS n_orphans_after
+  FROM lineitem
+)
+SELECT * FROM c_audit UNION ALL SELECT * FROM o_audit UNION ALL SELECT * FROM l_audit
+ORDER BY tbl
+"""
+
+
+def q118_kanon_release(spark, sf_dir):
+    """k-anonymity suppressed release — publish per-(lang, source)
+    corpus statistics ONLY for groups with at least k=5 documents;
+    smaller groups are generalized into a single '(suppressed)'
+    bucket instead of being dropped, so the released totals still add
+    up to the corpus (the property privacy reviews actually check).
+    Every row carries is_suppressed and n_groups (how many raw groups
+    it folds) so the release is self-describing.
+
+    Scale shape: one (lang, source) group-agg over the corpus with
+    map-side partials; the suppression fold then runs on the
+    GROUP-scale relation (|langs| × |sources| rows — metadata-scale),
+    not the corpus."""
+    k = 5
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("n_chars").cast("bigint").alias("sc"),
+    )
+    rel = g.select(
+        F.when(F.col("nd") >= k, F.col("lang"))
+        .otherwise(F.lit("(suppressed)"))
+        .alias("lang"),
+        F.when(F.col("nd") >= k, F.col("source"))
+        .otherwise(F.lit("(suppressed)"))
+        .alias("source"),
+        "nd",
+        "sc",
+        (F.col("nd") < k).alias("is_suppressed"),
+    )
+    return rel.groupBy("lang", "source", "is_suppressed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("nd").cast("bigint").alias("n_docs"),
+        F.sum("sc").cast("bigint").alias("sum_chars"),
+    )
+
+
+ORACLE_Q118 = """
+WITH g AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(n_chars) AS BIGINT) AS sc
+  FROM documents GROUP BY lang, source
+),
+r AS (
+  SELECT CASE WHEN nd >= 5 THEN lang ELSE '(suppressed)' END AS lang,
+         CASE WHEN nd >= 5 THEN source ELSE '(suppressed)' END AS source,
+         nd, sc, nd < 5 AS is_suppressed
+  FROM g
+)
+SELECT lang, source, is_suppressed, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(nd) AS BIGINT) AS n_docs, CAST(sum(sc) AS BIGINT) AS sum_chars
+FROM r GROUP BY lang, source, is_suppressed
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -6840,6 +7112,9 @@ LIMIT 20
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q116_shard_rebalance_audit": q116_shard_rebalance_audit,
+    "q117_deletion_cascade": q117_deletion_cascade,
+    "q118_kanon_release": q118_kanon_release,
     "q113_index_delta_merge": q113_index_delta_merge,
     "q114_dedup_canonical_map": q114_dedup_canonical_map,
     "q115_decayed_reputation": q115_decayed_reputation,
@@ -6963,6 +7238,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q116_shard_rebalance_audit": ORACLE_Q116,
+    "q117_deletion_cascade": ORACLE_Q117,
+    "q118_kanon_release": ORACLE_Q118,
     "q113_index_delta_merge": ORACLE_Q113,
     "q114_dedup_canonical_map": ORACLE_Q114,
     "q115_decayed_reputation": ORACLE_Q115,
