@@ -366,6 +366,67 @@ def test_kanon_release_properties(spark):
     assert sum(r["n_groups"] for r in rows) == n_raw_groups
 
 
+def test_crawl_diff_exact_classes(spark):
+    # re-derive the churn classes from the fixture-perturbation rules
+    # and require the per-source counts to match exactly.
+    from watermark_remove_spark.queries import q119_crawl_diff
+
+    rows = {r["source"]: r for r in q119_crawl_diff(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "doc_id").collect()
+    exp = {}
+    for r in docs:
+        e = exp.setdefault(r["source"],
+                           {"unchanged": 0, "changed": 0, "new": 0, "gone": 0})
+        i = r["doc_id"]
+        if i % 7 == 0:
+            e["gone"] += 1
+        elif i % 5 == 0:
+            e["changed"] += 1
+        else:
+            e["unchanged"] += 1
+        if i % 11 == 0:
+            e["new"] += 1
+    assert set(rows) == set(exp)
+    tot = {"unchanged": 0, "changed": 0, "new": 0, "gone": 0}
+    for src, e in exp.items():
+        for c in tot:
+            assert rows[src][f"n_{c}"] == e[c], (src, c)
+            tot[c] += e[c]
+    assert all(v > 0 for v in tot.values()), "a churn class is vacuous"
+
+
+def test_token_waterfill_optimal_threshold(spark):
+    # the waterfill level must be feasible AND maximal, and match a
+    # straight Python re-derivation of the sorted-prefix scan.
+    from watermark_remove_spark.queries import q120_token_waterfill
+
+    rows = q120_token_waterfill(spark, SF).collect()
+    cs = sorted(r["c_tokens"] for r in rows)
+    n = len(cs)
+    budget = sum(cs) * 19 // 20
+    best = None
+    cum = 0
+    for k, c in enumerate(cs, start=1):
+        cum += c
+        if k == n:
+            if cum <= budget:
+                best = c
+        elif budget >= cum and c <= (budget - cum) // (n - k):
+            best = (budget - cum) // (n - k)
+    t_exp = best if best is not None else budget // n
+    ts = {r["wf_threshold"] for r in rows}
+    assert ts == {t_exp}, (ts, t_exp)
+    t = t_exp
+    assert sum(min(c, t) for c in cs) <= budget, "infeasible level"
+    assert sum(min(c, t + 1) for c in cs) > budget, "level not maximal"
+    for r in rows:
+        assert r["allocation"] == min(r["c_tokens"], t)
+        assert r["is_capped"] == (r["c_tokens"] > t)
+    assert any(r["is_capped"] for r in rows), "no source capped — vacuous"
+    assert any(not r["is_capped"] for r in rows), "no source funded — vacuous"
+
+
 def test_bm25_kernel_tf_saturation(spark):
     # the integer kernel must be monotone non-decreasing in tf and
     # saturating: the marginal gain of tf 1->2 exceeds that of 9->10

@@ -276,6 +276,13 @@ def main() -> None:
         "q116_shard_rebalance_audit": dict(forbid_node=("CartesianProduct",)),
         # cascade is equi semi/anti joins down the FK chain
         "q117_deletion_cascade": dict(forbid_node=("CartesianProduct",)),
+        # crawl diff: ONE full-outer equi-join on url, no fan-out
+        "q119_crawl_diff": dict(forbid_node=("CartesianProduct",)),
+        # waterfill: corpus sees one agg; windows run on the sources
+        # relation; level joins back via broadcast
+        "q120_token_waterfill": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

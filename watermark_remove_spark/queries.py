@@ -7099,6 +7099,216 @@ FROM r GROUP BY lang, source, is_suppressed
 """
 
 
+def q119_crawl_diff(spark, sf_dir):
+    """Re-crawl change detection — diff two crawl snapshots of the
+    same URL space by content fingerprint and classify every URL as
+    unchanged / changed / new / gone, summarized per source (the
+    churn report that drives re-crawl scheduling and incremental
+    processing budgets).  Snapshot B is a deterministic perturbation
+    of snapshot A (documented fixture construction, both derived from
+    the documents table): doc_id % 7 == 0 pages are GONE in B,
+    doc_id % 5 == 0 survivors get a different fingerprint (CHANGED),
+    doc_id % 11 == 0 spawn a '?v=2' URL (NEW); everything else is
+    UNCHANGED.
+
+    Scale shape: fingerprints are map-side (one md5 per page); the
+    diff is ONE full-outer equi-join on url — fixed-width keys, no
+    fan-out; the churn summary is a linear per-source agg with
+    map-side partials.  At two 10^12-page snapshots this is exactly
+    the join a production crawl-diff runs."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+    fp = md5_i64_expr(F.col("text"), salt="fp")
+    a = docs.select("source", key.alias("url"), fp.alias("fp"))
+    b_kept = docs.where(F.col("doc_id") % 7 != 0).select(
+        "source",
+        key.alias("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0, md5_i64_expr(F.col("text"), salt="fp2")
+        )
+        .otherwise(fp)
+        .alias("fp"),
+    )
+    b_new = docs.where(F.col("doc_id") % 11 == 0).select(
+        "source",
+        F.concat(key, F.lit("?v=2")).alias("url"),
+        md5_i64_expr(F.col("text"), salt="fpn").alias("fp"),
+    )
+    j = a.alias("a").join(
+        b_kept.unionByName(b_new).alias("b"), "url", "full"
+    )
+    cls = (
+        F.when(F.col("a.fp").isNull(), "new")
+        .when(F.col("b.fp").isNull(), "gone")
+        .when(F.col("a.fp") == F.col("b.fp"), "unchanged")
+        .otherwise("changed")
+    )
+    per = j.select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        cls.alias("cls"),
+    )
+    agg = [
+        F.sum((F.col("cls") == c).cast("bigint")).cast("bigint").alias(f"n_{c}")
+        for c in ("unchanged", "changed", "new", "gone")
+    ]
+    return per.groupBy("source").agg(*agg)
+
+
+_Q119_FP = duck_md5_i64("text", salt="fp")
+_Q119_KEY = "source || '/' || CAST(doc_id AS VARCHAR)"
+
+ORACLE_Q119 = f"""
+WITH a AS (
+  SELECT source, {_Q119_KEY} AS url, {_Q119_FP} AS fp FROM documents
+),
+b AS (
+  SELECT source, {_Q119_KEY} AS url,
+         CASE WHEN doc_id % 5 = 0 THEN {duck_md5_i64("text", salt="fp2")}
+              ELSE {_Q119_FP} END AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT source, {_Q119_KEY} || '?v=2' AS url,
+         {duck_md5_i64("text", salt="fpn")} AS fp
+  FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         CASE WHEN a.fp IS NULL THEN 'new'
+              WHEN b.fp IS NULL THEN 'gone'
+              WHEN a.fp = b.fp THEN 'unchanged'
+              ELSE 'changed' END AS cls
+  FROM a FULL OUTER JOIN b USING (url)
+)
+SELECT source,
+       CAST(sum(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN cls = 'gone' THEN 1 ELSE 0 END) AS BIGINT) AS n_gone
+FROM j GROUP BY source
+"""
+
+
+def q120_token_waterfill(spark, sf_dir):
+    """Integer waterfilling of a global token budget across sources —
+    the allocation step of training-mix construction: given per-source
+    token counts and a budget B (95% of the corpus here), find the
+    maximal threshold t such that sum(min(c_s, t)) <= B; sources with
+    c_s <= t are fully funded, the rest are capped at t.  All integer:
+    the threshold search is the classic sorted-prefix scan — for each
+    prefix k of sources sorted by count ascending, t_k = (B - cum_k)
+    div (n - k) is feasible iff c_k <= t_k; the waterfill level is
+    t_{k*} for the largest feasible k (or no cap at all if the budget
+    covers everything).
+
+    Scale shape: the corpus sees ONE (source, token-count) aggregate
+    with map-side partials; everything after runs on the SOURCES
+    relation (metadata-scale — the global sort window is over ~10^5
+    sources at worst, a single-partition window the same way q112
+    reads quartiles off a histogram).  The threshold selection is one
+    tiny agg broadcast back."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count_expr(F.col("text"))).cast("bigint").alias("c_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("c_tokens").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    ).select("*", F.expr("tot * 19 div 20").alias("budget"))
+    w = Window.orderBy(F.col("c_tokens").asc(), F.col("source").asc())
+    s = (
+        per_src.join(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum",
+            F.sum("c_tokens")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+    )
+    # feasible prefix ranks: rank n (everything funded) iff cum_n <= B;
+    # rank k < n iff c_k <= (B - cum_k) div (n - k)
+    t_k = F.expr("(budget - cum) div (n_src - rn)")
+    feasible = F.when(F.col("rn") == F.col("n_src"), F.col("cum") <= F.col("budget")).otherwise(
+        (F.col("budget") >= F.col("cum")) & (F.col("c_tokens") <= t_k)
+    )
+    k_star = (
+        s.where(feasible)
+        .agg(F.max("rn").alias("k_star"))
+        .select(F.coalesce(F.col("k_star"), F.lit(0)).cast("bigint").alias("k_star"))
+    )
+    level = (
+        s.join(F.broadcast(k_star))
+        .where(F.col("rn") == F.col("k_star"))
+        .select(
+            F.when(F.col("rn") == F.col("n_src"), F.col("c_tokens"))
+            .otherwise(t_k)
+            .alias("wf_threshold")
+        )
+    )
+    # k_star = 0 (no source fully fundable): level = B div n.  The
+    # selected level is folded through max() so the coalesce is
+    # deterministic (level has 0 or 1 rows by construction).
+    lvl = (
+        tot.join(F.broadcast(level.agg(F.max("wf_threshold").alias("t_sel"))))
+        .select(
+            F.coalesce(F.col("t_sel"), F.expr("budget div n_src")).alias(
+                "wf_threshold"
+            )
+        )
+    )
+    out = s.join(F.broadcast(lvl))
+    return out.select(
+        "source",
+        "c_tokens",
+        F.least(F.col("c_tokens"), F.col("wf_threshold"))
+        .cast("bigint")
+        .alias("allocation"),
+        (F.col("c_tokens") > F.col("wf_threshold")).alias("is_capped"),
+        F.col("wf_threshold").cast("bigint").alias("wf_threshold"),
+    )
+
+
+ORACLE_Q120 = """
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+           AS BIGINT) AS c_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(c_tokens) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_src,
+         CAST(sum(c_tokens) * 19 // 20 AS BIGINT) AS budget
+  FROM per_src
+),
+s AS (
+  SELECT source, c_tokens, tot, n_src, budget,
+         CAST(row_number() OVER (ORDER BY c_tokens ASC, source ASC) AS BIGINT) AS rn,
+         CAST(sum(c_tokens) OVER (ORDER BY c_tokens ASC, source ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM per_src, tot
+),
+k AS (
+  SELECT coalesce(max(rn), 0) AS k_star FROM s
+  WHERE CASE WHEN rn = n_src THEN cum <= budget
+             ELSE budget >= cum AND c_tokens <= (budget - cum) // (n_src - rn) END
+),
+lvl AS (
+  SELECT coalesce(
+           (SELECT max(CASE WHEN s.rn = s.n_src THEN s.c_tokens
+                            ELSE (s.budget - s.cum) // (s.n_src - s.rn) END)
+              FROM s, k WHERE s.rn = k.k_star),
+           budget // n_src) AS wf_threshold
+  FROM tot
+)
+SELECT source, c_tokens,
+       CAST(least(c_tokens, wf_threshold) AS BIGINT) AS allocation,
+       c_tokens > wf_threshold AS is_capped,
+       CAST(wf_threshold AS BIGINT) AS wf_threshold
+FROM s, lvl
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -7112,6 +7322,8 @@ FROM r GROUP BY lang, source, is_suppressed
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q119_crawl_diff": q119_crawl_diff,
+    "q120_token_waterfill": q120_token_waterfill,
     "q116_shard_rebalance_audit": q116_shard_rebalance_audit,
     "q117_deletion_cascade": q117_deletion_cascade,
     "q118_kanon_release": q118_kanon_release,
@@ -7238,6 +7450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q119_crawl_diff": ORACLE_Q119,
+    "q120_token_waterfill": ORACLE_Q120,
     "q116_shard_rebalance_audit": ORACLE_Q116,
     "q117_deletion_cascade": ORACLE_Q117,
     "q118_kanon_release": ORACLE_Q118,
