@@ -427,6 +427,30 @@ def test_token_waterfill_optimal_threshold(spark):
     assert any(not r["is_capped"] for r in rows), "no source funded — vacuous"
 
 
+def test_full_outer_attribution_emission_classes(spark):
+    # the full outer join must emit all three classes: matched pairs,
+    # watermark-evicted unmatched views (null purchase — q82's case),
+    # and watermark-evicted unmatched purchases (null view — the case
+    # ONLY a full outer exercises).
+    from watermark_remove_spark.queries import (
+        q121_streaming_full_outer_attribution,
+    )
+
+    rows = q121_streaming_full_outer_attribution(spark, SF).collect()
+    matched = [r for r in rows if r["view_id"] is not None and r["purchase_id"] is not None]
+    view_only = [r for r in rows if r["purchase_id"] is None]
+    purchase_only = [r for r in rows if r["view_id"] is None]
+    assert matched, "no matched pairs — fixture vacuous"
+    assert view_only, "no evicted unmatched views"
+    assert purchase_only, "no evicted unmatched purchases"
+    for r in purchase_only:
+        # right-only rows exist because the key coalesces — it must
+        # never be null, and the sentinel user must be filtered
+        assert r["user_id"] is not None and r["user_id"] != -1
+        assert r["view_epoch"] is None
+    assert len(matched) + len(view_only) + len(purchase_only) == len(rows)
+
+
 def test_bm25_kernel_tf_saturation(spark):
     # the integer kernel must be monotone non-decreasing in tf and
     # saturating: the marginal gain of tf 1->2 exceeds that of 9->10

@@ -7309,6 +7309,75 @@ FROM s, lvl
 """
 
 
+def q121_streaming_full_outer_attribution(spark, sf_dir):
+    """O-15 stream-stream FULL OUTER interval join — completing the
+    join-type matrix after q75 (inner) and q82 (leftOuter): views
+    with no purchase in the following 2 h emit null-extended (the
+    left-eviction case q82 pins) AND purchases with no view in the
+    PRECEDING 2 h also emit null-extended — the right-eviction case
+    only a full outer exercises.  Both emissions are watermark
+    decisions: Spark holds the unmatched row in state until the
+    watermark proves no partner can still arrive, then emits exactly
+    once.  The flattened key must COALESCE the two sides (right-only
+    rows have a null left key) — that coalesce is the fullOuter
+    contract pipeline.streaming_interval_join now enforces.
+
+    Sentinels pass both pre-join filters (q82's rule: filtering them
+    out before withWatermark would freeze the watermark and the
+    unmatched tails would never emit) and are dropped from the
+    output.  Oracle = the batch FULL JOIN of the two filtered event
+    sets with the interval predicate in the ON clause."""
+    from .sources.pages import stream_events_files
+    from .streaming.pipeline import streaming_interval_join
+
+    src = _events_stream_fixture(spark, sf_dir, prefix="wrs-q-fattr-")
+    stream = stream_events_files(spark, src, 1)
+    views = stream.where(F.col("event_type").isin("view", "sentinel")).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = stream.where(
+        F.col("event_type").isin("purchase", "sentinel")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = streaming_interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        horizon="2 hours",
+        how="fullOuter",
+    )
+    out = _drain(
+        joined.select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.unix_timestamp("view_ts").alias("view_epoch"),
+            F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        ),
+        spark,
+    )
+    return out.where(F.col("user_id") != SENTINEL_USER)
+
+
+ORACLE_Q121 = """
+SELECT coalesce(v.user_id, p.user_id) AS user_id,
+       v.event_id AS view_id, p.event_id AS purchase_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -7322,6 +7391,7 @@ FROM s, lvl
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q121_streaming_full_outer_attribution": q121_streaming_full_outer_attribution,
     "q119_crawl_diff": q119_crawl_diff,
     "q120_token_waterfill": q120_token_waterfill,
     "q116_shard_rebalance_audit": q116_shard_rebalance_audit,
@@ -7450,6 +7520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q121_streaming_full_outer_attribution": ORACLE_Q121,
     "q119_crawl_diff": ORACLE_Q119,
     "q120_token_waterfill": ORACLE_Q120,
     "q116_shard_rebalance_audit": ORACLE_Q116,

@@ -221,10 +221,10 @@ def streaming_interval_join(
     watermark past every real row (the sentinel-batch fixture
     convention) or tail rows stay unemitted.
     """
-    allowed = {"inner", "leftOuter", "left_outer"}
+    allowed = {"inner", "leftOuter", "left_outer", "fullOuter", "full_outer"}
     if how not in allowed:
-        # rightOuter/fullOuter would need the mirrored eviction
-        # analysis and are untested here — refuse rather than guess
+        # rightOuter alone would need the mirrored eviction analysis
+        # flipped; use fullOuter (both-side eviction) or swap the sides
         raise ValueError(f"how={how!r} not supported; use one of {sorted(allowed)}")
     # validate BEFORE constructing the join: on a self-join Spark's
     # eager analysis would otherwise fail first with an opaque
@@ -247,7 +247,14 @@ def streaming_interval_join(
     )
     # Flatten to an unambiguous schema: join key once, then each
     # side's remaining columns (disjointly named, validated above).
-    out = [F.col(f"l.{key}").alias(key)]
+    # Full outer emits right-only rows whose LEFT key is null — the
+    # key column must coalesce both sides there; inner/left keep the
+    # plain left key (always present, and cheaper to prune).
+    if how in ("fullOuter", "full_outer"):
+        key_col = F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)
+    else:
+        key_col = F.col(f"l.{key}").alias(key)
+    out = [key_col]
     out += [F.col(f"l.{c}") for c in left.columns if c != key]
     out += [F.col(f"r.{c}") for c in right.columns if c != key]
     return joined.select(*out)
