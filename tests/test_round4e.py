@@ -451,6 +451,95 @@ def test_full_outer_attribution_emission_classes(spark):
     assert len(matched) + len(view_only) + len(purchase_only) == len(rows)
 
 
+def test_kmeans_iteration_matches_python(spark):
+    # re-derive the whole iteration in Python on the quantized
+    # integers (half-up rounding, Spark's round semantics — NOT
+    # Python's banker rounding) and require identical sufficient
+    # statistics.
+    import math
+
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import (
+        _Q122_K,
+        _Q122_SCALE,
+        q122_kmeans_iteration,
+    )
+
+    def quant(x):
+        s = -1 if x < 0 else 1
+        return s * int(math.floor(abs(x) * _Q122_SCALE + 0.5))
+
+    vecs = {
+        r["vec_id"]: [quant(v) for v in r["embedding"]]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    seeds = sorted(vecs, key=lambda i: (md5_i64_py(f"km#{i}"), i))[:_Q122_K]
+    exp = {}
+    for vid, qv in vecs.items():
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(qv, vecs[s])), s)
+            for s in seeds
+        )[1]
+        for dim, qd in enumerate(qv):
+            n, t = exp.get((best, dim), (0, 0))
+            exp[(best, dim)] = (n + 1, t + qd)
+    rows = q122_kmeans_iteration(spark, SF).collect()
+    got = {(r["cluster"], r["dim"]): (r["n_members"], r["sum_q"]) for r in rows}
+    assert got == exp
+    clusters = {c for c, _ in got}
+    assert len(clusters) == _Q122_K, "an empty cluster — seeds degenerate"
+
+
+def test_output_layout_snake_balance(spark):
+    from watermark_remove_spark.queries import q123_output_layout_plan
+
+    rows = q123_output_layout_plan(spark, SF).collect()
+    sizes = sorted(
+        ((r["c_chars"], r["source"]) for r in rows), key=lambda t: (-t[0], t[1])
+    )
+    n_files = 8
+    exp_file = {}
+    for rk0, (_, src) in enumerate(sizes):
+        rnd, pos = divmod(rk0, n_files)
+        exp_file[src] = pos if rnd % 2 == 0 else n_files - 1 - pos
+    totals = {}
+    for r in rows:
+        assert r["file_id"] == exp_file[r["source"]], r["source"]
+        totals[r["file_id"]] = totals.get(r["file_id"], 0) + r["c_chars"]
+    for r in rows:
+        assert r["file_total"] == totals[r["file_id"]]
+    assert len(totals) == n_files, "an output file got nothing"
+    # the snake must not be WORSE balanced than naive round-robin
+    naive = {}
+    for rk0, (c, _) in enumerate(sizes):
+        naive[rk0 % n_files] = naive.get(rk0 % n_files, 0) + c
+    spread = max(totals.values()) - min(totals.values())
+    naive_spread = max(naive.values()) - min(naive.values())
+    assert spread <= naive_spread, (spread, naive_spread)
+
+
+def test_langid_confusion_consistency(spark):
+    from watermark_remove_spark.queries import q124_langid_confusion
+
+    rows = q124_langid_confusion(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    total = 0
+    for lang, rs in by_lang.items():
+        n_lang = sum(r["n"] for r in rs)
+        n_correct = sum(r["n"] for r in rs if r["lang_pred"] == lang)
+        total += n_lang
+        for r in rs:
+            assert r["acc_ppm"] == 1_000_000 * n_correct // n_lang, lang
+            assert 0 <= r["acc_ppm"] <= 1_000_000
+    assert total == docs.count(), "confusion matrix dropped rows"
+    # the heuristic must be better than chance on its own metadata
+    diag = sum(r["n"] for r in rows if r["lang"] == r["lang_pred"])
+    assert diag * 4 > total, "lang-ID no better than chance — audit vacuous"
+
+
 def test_bm25_kernel_tf_saturation(spark):
     # the integer kernel must be monotone non-decreasing in tf and
     # saturating: the marginal gain of tf 1->2 exceeds that of 9->10

@@ -283,6 +283,8 @@ def main() -> None:
         "q120_token_waterfill": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # k-means step: assignment is map-side literal argmin — no join
+        "q122_kmeans_iteration": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -7378,6 +7378,232 @@ FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+_Q122_K = 4
+_Q122_SCALE = 1_000_000
+
+
+def q122_kmeans_iteration(spark, sf_dir):
+    """One EXACT Lloyd (k-means) iteration over the embeddings — the
+    training step behind the q31 IVF index, made oracle-checkable by
+    quantizing every component to a scaled integer up front
+    (round(v * 10^6) as bigint; distances and centroid sums are then
+    pure int64 arithmetic — no float summation-order divergence
+    between engines).  Seeds are the K=4 vectors with the smallest
+    portable hash (deterministic init); assignment is argmin of
+    squared L2 with (dist, cluster) tie-break; output is the
+    per-(cluster, dim) member count and component sum — the exact
+    sufficient statistics the next iteration's centroids divide.
+
+    Scale shape: the K seed vectors are a bounded driver collect (the
+    q31 IVF-centroid pattern — K rows, metadata-scale); assignment is
+    MAP-SIDE (K literal-array distances + a lexicographic struct min,
+    no join, no fan-out); the only corpus shuffle is the
+    (cluster, dim) partial-sum aggregate — fixed-width rows, K×dim
+    groups.  At 10^9 vectors this is one linear pass + one bounded
+    shuffle per iteration, the textbook distributed k-means step."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * _Q122_SCALE).cast("bigint"),
+        ).alias("qv"),
+    )
+    seed_rows = (
+        q.select(
+            "vec_id",
+            "qv",
+            md5_i64_expr(F.col("vec_id").cast("string"), salt="km#").alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_Q122_K)
+        .collect()
+    )
+    dists = []
+    for r in seed_rows:
+        sv = F.array(*[F.lit(int(v)) for v in r["qv"]])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), sv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        # cast to a NAMED struct type: field aliases set via .alias()
+        # are dropped when the struct is built inside array_min's
+        # element-type unification, leaving col1/col2
+        dists.append(
+            F.struct(d, F.lit(int(r["vec_id"]))).cast(
+                "struct<d:bigint,c:bigint>"
+            )
+        )
+    assigned = q.select(
+        F.array_min(F.array(*dists))["c"].alias("cluster"),
+        F.posexplode("qv").alias("dim", "qd"),
+    )
+    return assigned.groupBy("cluster", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("qd").cast("bigint").alias("sum_q"),
+    )
+
+
+ORACLE_Q122 = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_Q122_SCALE}) AS BIGINT)) AS qv,
+         {duck_md5_i64("vec_id::VARCHAR", salt="km#")} AS h
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cluster, qv AS sv FROM q ORDER BY h, vec_id LIMIT {_Q122_K}
+),
+d AS (
+  SELECT q.vec_id, q.qv, s.cluster,
+         list_sum(list_transform(range(1, 65),
+                  i -> (q.qv[i] - s.sv[i]) * (q.qv[i] - s.sv[i]))) AS dist
+  FROM q CROSS JOIN seeds s
+),
+a AS (
+  SELECT vec_id, qv, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rk
+  FROM d
+),
+e AS (
+  SELECT cluster, CAST(r.range - 1 AS INT) AS dim, qv[r.range] AS qd
+  FROM a, range(1, 65) r WHERE rk = 1
+)
+SELECT cluster, dim, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(qd) AS BIGINT) AS sum_q
+FROM e GROUP BY cluster, dim
+"""
+
+
+def q123_output_layout_plan(spark, sf_dir):
+    """Balanced output-file planning (snake-draft bin packing) — when
+    a compaction or export job writes the corpus as N=8 files, which
+    source goes where so file sizes come out even?  Sources ranked by
+    size descending are dealt in a snake (rounds alternate direction:
+    0..7 then 7..0), which pairs each round's large picks with the
+    previous round's small ones — the deterministic, shuffle-free
+    approximation of first-fit-decreasing that a planner can compute
+    BEFORE moving any data.
+
+    Scale shape: one (source, size) corpus agg; the ranking window
+    and assignment arithmetic run on the SOURCES relation
+    (metadata-scale, the q112/q120 pattern); file totals are a window
+    over the same tiny relation.  The plan is a pure function of the
+    size table — any executor, any partitioning, same plan."""
+    n_files = 8
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("c_chars")
+    )
+    w = Window.orderBy(F.col("c_chars").desc(), F.col("source").asc())
+    s = per_src.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    s = s.withColumn(
+        "file_id",
+        F.expr(
+            f"CASE WHEN ((rk - 1) div {n_files}) % 2 = 0 THEN (rk - 1) % {n_files} "
+            f"ELSE {n_files - 1} - ((rk - 1) % {n_files}) END"
+        ).cast("bigint"),
+    )
+    wf = Window.partitionBy("file_id")
+    return s.select(
+        "source",
+        "c_chars",
+        "file_id",
+        F.sum("c_chars").over(wf).cast("bigint").alias("file_total"),
+    )
+
+
+ORACLE_Q123 = """
+WITH per_src AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS c_chars
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, c_chars,
+         CAST(row_number() OVER (ORDER BY c_chars DESC, source ASC) AS BIGINT) AS rk
+  FROM per_src
+),
+f AS (
+  SELECT source, c_chars,
+         CAST(CASE WHEN ((rk - 1) // 8) % 2 = 0 THEN (rk - 1) % 8
+                   ELSE 7 - ((rk - 1) % 8) END AS BIGINT) AS file_id
+  FROM s
+)
+SELECT source, c_chars, file_id,
+       CAST(sum(c_chars) OVER (PARTITION BY file_id) AS BIGINT) AS file_total
+FROM f
+"""
+
+
+def q124_langid_confusion(spark, sf_dir):
+    """Language-ID classifier audit — the confusion matrix of q17's
+    stopword-marker heuristic against the table's lang metadata, with
+    per-language accuracy in exact ppm (10^6 × correct div total —
+    both non-negative so Spark div and DuckDB // agree).  The audit a
+    pipeline runs before trusting a classifier to route 10^12 docs
+    into per-language processing lanes: which languages leak into
+    which, and how much.
+
+    Scale shape: prediction is pure Catalyst (q17's expression);
+    ONE (lang, lang_pred) corpus aggregate with map-side partials;
+    the accuracy windows run on the confusion-matrix relation itself
+    (≤ |langs|² rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    cm = (
+        docs.select("lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    per_lang = Window.partitionBy("lang")
+    cm = cm.withColumn("n_lang", F.sum("n").over(per_lang)).withColumn(
+        "n_correct",
+        F.sum(
+            F.when(F.col("lang") == F.col("lang_pred"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).over(per_lang),
+    )
+    return cm.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.expr("1000000 * n_correct div n_lang").cast("bigint").alias("acc_ppm"),
+    )
+
+
+ORACLE_Q124 = f"""
+WITH p AS (
+  SELECT doc_id, lang, replace(' ' || lower(text) || ' ', chr(10), ' ') AS padded
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {_duck_hits('de')} AS h_de,
+         {_duck_hits('en')} AS h_en,
+         {_duck_hits('es')} AS h_es,
+         {_duck_hits('fr')} AS h_fr
+  FROM p
+), pred AS (
+  SELECT lang,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+              WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+              WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+              WHEN h_es >= h_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM scored
+), cm AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, lang_pred
+)
+SELECT lang, lang_pred, n,
+       CAST(1000000 * sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+              OVER (PARTITION BY lang)
+            // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS acc_ppm
+FROM cm
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -7391,6 +7617,9 @@ FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q122_kmeans_iteration": q122_kmeans_iteration,
+    "q123_output_layout_plan": q123_output_layout_plan,
+    "q124_langid_confusion": q124_langid_confusion,
     "q121_streaming_full_outer_attribution": q121_streaming_full_outer_attribution,
     "q119_crawl_diff": q119_crawl_diff,
     "q120_token_waterfill": q120_token_waterfill,
@@ -7520,6 +7749,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q122_kmeans_iteration": ORACLE_Q122,
+    "q123_output_layout_plan": ORACLE_Q123,
+    "q124_langid_confusion": ORACLE_Q124,
     "q121_streaming_full_outer_attribution": ORACLE_Q121,
     "q119_crawl_diff": ORACLE_Q119,
     "q120_token_waterfill": ORACLE_Q120,
