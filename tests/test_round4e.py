@@ -540,6 +540,53 @@ def test_langid_confusion_consistency(spark):
     assert diag * 4 > total, "lang-ID no better than chance — audit vacuous"
 
 
+def test_gini_concentration_exact(spark):
+    from watermark_remove_spark.queries import q125_source_concentration
+
+    rows = {r["measure"]: r for r in q125_source_concentration(spark, SF).collect()}
+    assert set(rows) == {"docs", "chars"}
+    per_src = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "n_chars"
+    ).collect():
+        n, c = per_src.get(r["source"], (0, 0))
+        per_src[r["source"]] = (n + 1, c + r["n_chars"])
+    for measure, idx in (("docs", 0), ("chars", 1)):
+        xs = sorted(v[idx] for v in per_src.values())
+        n, s = len(xs), sum(xs)
+        six = sum(i * x for i, x in enumerate(xs, start=1))
+        exp = 1_000_000 * (2 * six - (n + 1) * s) // (n * s)
+        r = rows[measure]
+        assert r["n_groups"] == n and r["total"] == s
+        assert r["gini_ppm"] == exp, measure
+        assert 0 <= r["gini_ppm"] < 1_000_000
+
+
+def test_burst_detection_flags_exact(spark):
+    from watermark_remove_spark.queries import q126_window_burst_detection
+
+    rows = q126_window_burst_detection(spark, SF).collect()
+    # re-derive the lag-frame logic per event_type in Python
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_burst = 0
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["window_epoch"])
+        ns = [r["n"] for r in rs]
+        for i, r in enumerate(rs):
+            prev = ns[max(0, i - 3) : i]
+            assert r["n_prev"] == len(prev), (et, i)
+            assert r["prev_sum"] == sum(prev), (et, i)
+            exp_burst = len(prev) == 3 and 3 * r["n"] > 2 * sum(prev)
+            assert r["is_burst"] == exp_burst, (et, i)
+            n_burst += exp_burst
+    assert n_burst > 0, "no burst in fixture — flag vacuous"
+    assert n_burst < len(rows), "everything is a burst — threshold vacuous"
+    # cold starts must never flag
+    assert not any(r["is_burst"] for r in rows if r["n_prev"] < 3)
+
+
 def test_bm25_kernel_tf_saturation(spark):
     # the integer kernel must be monotone non-decreasing in tf and
     # saturating: the marginal gain of tf 1->2 exceeds that of 9->10

@@ -7604,6 +7604,137 @@ FROM cm
 """
 
 
+def q125_source_concentration(spark, sf_dir):
+    """Exact Gini concentration of the corpus across sources — the
+    diversity metric corpus curation tracks (a corpus where three
+    domains own 80% of tokens trains differently than a flat one),
+    computed for two measures (docs, chars) in pure integers via the
+    sorted-rank identity: G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx), output
+    in exact ppm (numerator and denominator non-negative for
+    ascending ranks, so Spark div == DuckDB //).  No float mean/
+    variance anywhere — engines can't diverge.
+
+    Scale shape: ONE (source, count, chars) corpus aggregate with
+    map-side partials; both measures ride one tagged-union explode of
+    that SOURCES-scale relation; the rank window and the Σ i·x fold
+    are metadata-scale (the q112/q120/q123 pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tagged = per_src.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("docs").alias("measure"), F.col("n_docs").alias("x")),
+                F.struct(F.lit("chars").alias("measure"), F.col("n_chars").alias("x")),
+            )
+        ).alias("t")
+    ).select("t.*")
+    w = Window.partitionBy("measure").orderBy(F.col("x").asc())
+    full = Window.partitionBy("measure")
+    ranked = (
+        tagged.withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(full).cast("bigint"))
+        .withColumn("s", F.sum("x").over(full).cast("bigint"))
+        .withColumn("ix", (F.col("i") * F.col("x")).cast("bigint"))
+    )
+    return (
+        ranked.groupBy("measure", "n", "s")
+        .agg(F.sum("ix").cast("bigint").alias("six"))
+        .select(
+            "measure",
+            F.col("n").alias("n_groups"),
+            F.col("s").alias("total"),
+            F.expr("1000000 * (2 * six - (n + 1) * s) div (n * s)")
+            .cast("bigint")
+            .alias("gini_ppm"),
+        )
+    )
+
+
+ORACLE_Q125 = """
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT 'docs' AS measure, n_docs AS x FROM per_src
+  UNION ALL
+  SELECT 'chars' AS measure, n_chars AS x FROM per_src
+),
+r AS (
+  SELECT measure, x,
+         CAST(row_number() OVER (PARTITION BY measure ORDER BY x ASC) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY measure) AS BIGINT) AS n,
+         CAST(sum(x) OVER (PARTITION BY measure) AS BIGINT) AS s
+  FROM t
+)
+SELECT measure, n AS n_groups, s AS total,
+       CAST(1000000 * (2 * sum(i * x) - (n + 1) * s) // (n * s) AS BIGINT) AS gini_ppm
+FROM r GROUP BY measure, n, s
+"""
+
+
+def q126_window_burst_detection(spark, sf_dir):
+    """Windowed burst detection — flag every (event_type, hour) whose
+    event count exceeds 2× the mean of the previous three PRESENT
+    hourly windows, the anomaly trigger a crawl/ingest monitor fires
+    on.  The comparison is cross-multiplied to stay integer-exact
+    (3·n > 2·Σprev — no float mean), and windows with fewer than
+    three predecessors are explicitly not flaggable (is_burst false,
+    n_prev reported), so cold starts can't false-positive.
+
+    Scale shape: one (event_type, hour) corpus aggregate with
+    map-side partials; the lag frame runs per event_type over the
+    WINDOW-COUNT relation (hours × types — metadata-scale), not raw
+    events.  The streaming counterpart is q53/q57's chained stateful
+    agg; this is the batch/backfill form a monitor replays history
+    with."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("window_start")
+    prev = w.rowsBetween(-3, -1)
+    flagged = (
+        hourly.withColumn("prev_sum", F.coalesce(F.sum("n").over(prev), F.lit(0)).cast("bigint"))
+        .withColumn("n_prev", F.count(F.lit(1)).over(prev).cast("bigint"))
+    )
+    return flagged.select(
+        "event_type",
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        "n",
+        "prev_sum",
+        "n_prev",
+        ((F.col("n_prev") == 3) & (3 * F.col("n") > 2 * F.col("prev_sum"))).alias(
+            "is_burst"
+        ),
+    )
+
+
+ORACLE_Q126 = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+f AS (
+  SELECT event_type, window_start, n,
+         CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY window_start
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_sum,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY window_start
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev
+  FROM hourly
+)
+SELECT event_type, CAST(floor(epoch(window_start)) AS BIGINT) AS window_epoch,
+       n, prev_sum, n_prev,
+       n_prev = 3 AND 3 * n > 2 * prev_sum AS is_burst
+FROM f
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -7617,6 +7748,8 @@ FROM cm
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q125_source_concentration": q125_source_concentration,
+    "q126_window_burst_detection": q126_window_burst_detection,
     "q122_kmeans_iteration": q122_kmeans_iteration,
     "q123_output_layout_plan": q123_output_layout_plan,
     "q124_langid_confusion": q124_langid_confusion,
@@ -7749,6 +7882,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q125_source_concentration": ORACLE_Q125,
+    "q126_window_burst_detection": ORACLE_Q126,
     "q122_kmeans_iteration": ORACLE_Q122,
     "q123_output_layout_plan": ORACLE_Q123,
     "q124_langid_confusion": ORACLE_Q124,
