@@ -238,6 +238,9 @@ def test_streaming_outer_attribution_emits_both_sides(spark):
 
 
 def test_streaming_interval_join_rejects_unknown_how(spark):
+    # fullOuter became a supported type in round 4f (q121); rightOuter
+    # alone stays rejected — its one-sided eviction analysis is the
+    # mirrored case callers should express as a side swap instead.
     from watermark_remove_spark.streaming.pipeline import streaming_interval_join
 
     ev = spark.read.parquet(f"{SF}/events.parquet")
@@ -245,7 +248,7 @@ def test_streaming_interval_join_rejects_unknown_how(spark):
     right = ev.select("user_id", F.col("ts").alias("rts"))
     with pytest.raises(ValueError, match="not supported"):
         streaming_interval_join(
-            left, right, left_ts="lts", right_ts="rts", how="fullOuter"
+            left, right, left_ts="lts", right_ts="rts", how="rightOuter"
         )
 
 
