@@ -175,6 +175,11 @@ def main() -> None:
         f"{h['4N']['pages_per_sec']} | {h['efficiency']} |"
         for h in history
     )
+    import statistics
+
+    effs = [h["efficiency"] for h in history]
+    med_eff = statistics.median(effs)
+    n_ge = sum(1 for e in effs if e >= 0.8)
 
     md = os.path.join(ROOT, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
@@ -204,8 +209,13 @@ Generated: {datetime.now(timezone.utc).isoformat()}
 | N | local-cluster[1,1,4096] | 1 x 1 | {tN} | {results['N']['stream_sec']} | {results['N']['batches']} |
 | 4N | local-cluster[4,1,4096] | 4 x 1 | {t4N} | {results['4N']['stream_sec']} | {results['4N']['batches']} |
 
-**efficiency = (throughput_4N / throughput_N) / 4 = {eff:.3f}**
-(target >= 0.8 per BASELINE.json north_rule)
+**this invocation: efficiency = (throughput_4N / throughput_N) / 4 = {eff:.3f}**
+
+**across all {len(effs)} recorded invocations (identical plan & protocol):
+median efficiency = {med_eff:.3f}; {n_ge}/{len(effs)} readings >= 0.8**
+(target >= 0.8 per BASELINE.json north_rule).  Single readings on this
+shared-host VM swing ±20-40% (variance note below), so the headline
+statistic is the across-history median, not the latest window.
 
 Measurement history (append-only `BENCH/scaling_history.jsonl`; each
 row is one full interleaved best-per-level invocation — the spread IS
