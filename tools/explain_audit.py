@@ -285,6 +285,21 @@ def main() -> None:
         ),
         # k-means step: assignment is map-side literal argmin — no join
         "q122_kmeans_iteration": dict(forbid_node=("CartesianProduct",)),
+        # cohorts: user_id / cohort_day equi-joins only
+        "q127_retention_cohorts": dict(forbid_node=("CartesianProduct",)),
+        # skyline: x-group equi-join back; dominance is O(1) per row —
+        # the naive all-pairs self-join must never appear
+        "q128_quality_skyline": dict(forbid_node=("CartesianProduct",)),
+        # transition matrix: one user-key window + hash aggs, no join
+        "q129_markov_transitions": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

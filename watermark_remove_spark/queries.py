@@ -7735,6 +7735,203 @@ FROM f
 """
 
 
+def q127_retention_cohorts(spark, sf_dir):
+    """Retention-cohort matrix — the classic activity-analytics grid a
+    crawl/user-event warehouse answers: users are bucketed into the
+    day they were FIRST seen (their cohort), and each (cohort,
+    day-offset) cell counts how many of that cohort were active that
+    many days later, plus an exact integer-ppm retention rate against
+    the cohort size.  All-integer output (counts + floor-div ppm), so
+    engines cannot diverge.
+
+    Scale shape: one per-user min-ts aggregate (map-side partials),
+    one DISTINCT (user, day) projection, an equi-join on user_id (two
+    USER-scale relations, fixed-width key), a (cohort, offset) hash
+    aggregate, and a COHORT-DAY-scale size join — no window over raw
+    events, no crossJoin, everything shuffles on fixed-width keys."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    cells = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return cells.join(sizes, "cohort_day").select(
+        F.unix_timestamp("cohort_day").cast("bigint").alias("cohort_epoch"),
+        F.col("offset_days").cast("bigint").alias("offset_days"),
+        "n_active",
+        "n_cohort",
+        F.expr("1000000 * n_active div n_cohort").cast("bigint").alias("retention_ppm"),
+    )
+
+
+ORACLE_Q127 = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM firsts GROUP BY cohort_day
+),
+cells AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS offset_days,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.day)
+)
+SELECT CAST(floor(epoch(c.cohort_day)) AS BIGINT) AS cohort_epoch,
+       c.offset_days, c.n_active, s.n_cohort,
+       CAST(1000000 * c.n_active // s.n_cohort AS BIGINT) AS retention_ppm
+FROM cells c JOIN sizes s USING (cohort_day)
+"""
+
+
+def q128_quality_skyline(spark, sf_dir):
+    """2-D Pareto skyline over documents — the multi-criteria data-
+    selection primitive: keep every document NOT dominated by another
+    on (n_chars, token-density ppm), i.e. no other doc is >= on both
+    axes and strictly greater on one.  Curation uses the frontier to
+    pick best-available docs — here: long AND token-dense (dense
+    whitespace tokenization is a crude prose-vs-blob quality proxy) —
+    without collapsing two quality axes into one weighted score.
+    Density is exact integer ppm (1e6·tokens // chars), so engines
+    cannot diverge.
+
+    Scale shape: the naive form is an O(n²) self-join; this form is a
+    groupBy on the x-axis value (n_chars — a BOUNDED domain, so the
+    grouped relation is metadata-scale) followed by one running-max
+    window over that grouped relation and an equi-join back on
+    n_chars.  Dominance test per row is then O(1): a doc survives iff
+    it holds its x-group's max y AND beats the best y among all
+    strictly-larger x groups."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        token_count_expr(F.col("text")).cast("bigint").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr("1000000 * n_tokens div n_chars").cast("bigint").alias("density_ppm"),
+    )
+    gx = base.groupBy("n_chars").agg(F.max("density_ppm").alias("best_density"))
+    w = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gx = gx.withColumn("best_above", F.max("best_density").over(w))
+    return (
+        base.join(gx, "n_chars")
+        .where(
+            (F.col("density_ppm") == F.col("best_density"))
+            & (
+                F.col("best_above").isNull()
+                | (F.col("density_ppm") > F.col("best_above"))
+            )
+        )
+        .select("doc_id", "n_chars", "density_ppm")
+    )
+
+
+ORACLE_Q128 = """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(1000000 * len(list_filter(string_split(text, ' '), t -> t <> ''))
+              // n_chars AS BIGINT) AS density_ppm
+  FROM documents
+),
+gx AS (
+  SELECT n_chars, max(density_ppm) AS best_density FROM base GROUP BY n_chars
+),
+gx2 AS (
+  SELECT n_chars, best_density,
+         max(best_density) OVER (ORDER BY n_chars DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+  FROM gx
+)
+SELECT b.doc_id, b.n_chars, b.density_ppm
+FROM base b JOIN gx2 g USING (n_chars)
+WHERE b.density_ppm = g.best_density
+  AND (g.best_above IS NULL OR b.density_ppm > g.best_above)
+"""
+
+
+def q129_markov_transitions(spark, sf_dir):
+    """Session-bounded Markov transition matrix over user event
+    streams — per-user consecutive event-type bigrams (gap <= 30 min,
+    deterministic (ts, event_id) ordering), aggregated into (from,
+    to) counts with an exact integer-ppm row-normalised transition
+    probability.  The next-action model behind crawl-scheduler and
+    UX-path analyses; q65's funnels match fixed patterns, this emits
+    the full first-order transition statistics.
+
+    Scale shape: ONE per-user window shuffle (lag over user-key
+    partitions — the relation Spark already partitions by the group
+    key), then a TYPE²-scale hash aggregate; the row-total window
+    runs over the TYPE²-scale matrix, not raw events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).where(
+        F.col("from_type").isNotNull()
+        & ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) <= 1800)
+    )
+    trans = seq.groupBy(
+        "from_type", F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = Window.partitionBy("from_type")
+    return trans.withColumn(
+        "row_total", F.sum("n").over(tot).cast("bigint")
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_total",
+        F.expr("1000000 * n div row_total").cast("bigint").alias("p_ppm"),
+    )
+
+
+ORACLE_Q129 = """
+WITH seq AS (
+  SELECT event_type AS to_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq
+  WHERE from_type IS NOT NULL
+    AND floor(epoch(ts)) - floor(epoch(prev_ts)) <= 1800
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+       CAST(1000000 * n // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+FROM trans
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -7748,6 +7945,9 @@ FROM f
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q127_retention_cohorts": q127_retention_cohorts,
+    "q128_quality_skyline": q128_quality_skyline,
+    "q129_markov_transitions": q129_markov_transitions,
     "q125_source_concentration": q125_source_concentration,
     "q126_window_burst_detection": q126_window_burst_detection,
     "q122_kmeans_iteration": q122_kmeans_iteration,
@@ -7882,6 +8082,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q127_retention_cohorts": ORACLE_Q127,
+    "q128_quality_skyline": ORACLE_Q128,
+    "q129_markov_transitions": ORACLE_Q129,
     "q125_source_concentration": ORACLE_Q125,
     "q126_window_burst_detection": ORACLE_Q126,
     "q122_kmeans_iteration": ORACLE_Q122,
