@@ -128,3 +128,52 @@ def test_markov_session_gap_breaks_chain(spark):
         for r in q129_markov_transitions(spark, tmp).collect()
     }
     assert got == {("c", "d"): 1}
+
+
+def test_admission_quota_binds_across_batches(spark, tmp_path):
+    # 4 events of ONE (type, hour) key split 2+2 across micro-batches:
+    # the admitted count must persist in state, so exactly the first 2
+    # are admitted — not 2 per batch.
+    import pandas as pd
+
+    from watermark_remove_spark.queries import _drain
+    from watermark_remove_spark.sources.pages import (
+        stream_events_files,
+        write_batch_files,
+    )
+    from watermark_remove_spark.streaming.admission import admission_quota_stream
+
+    def ev_batch(ids, secs):
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": [pd.Timestamp("2026-03-01") + pd.Timedelta(seconds=s) for s in secs],
+                "user_id": [1] * len(ids),
+                "event_type": ["a"] * len(ids),
+                "value": [0.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        )
+
+    src = str(tmp_path / "src")
+    write_batch_files([ev_batch([1, 2], [0, 10]), ev_batch([3, 4], [20, 30])], src)
+    admitted = admission_quota_stream(stream_events_files(spark, src, 1), quota=2)
+    got = sorted(r["event_id"] for r in _drain(admitted, spark).collect())
+    assert got == [1, 2]
+
+
+def test_admission_quota_cap_respected(spark):
+    from watermark_remove_spark.queries import q130_streaming_admission_quota
+
+    rows = q130_streaming_admission_quota(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "nothing admitted"
+    cells = {}
+    for r in rows:
+        cells[(r["event_type"], r["window_epoch"])] = (
+            cells.get((r["event_type"], r["window_epoch"]), 0) + 1
+        )
+    assert all(n <= 2 for n in cells.values())
+    assert any(n == 2 for n in cells.values()), "quota never reached — cap vacuous"
+    # admitted rows fall inside their window
+    for r in rows:
+        assert r["window_epoch"] <= r["ts_epoch"] < r["window_epoch"] + 3600

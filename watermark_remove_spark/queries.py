@@ -7932,6 +7932,51 @@ FROM trans
 """
 
 
+def q130_streaming_admission_quota(spark, sf_dir):
+    """STREAMING per-key admission quota (stateful rate limiting) —
+    admit at most 2 events per (event_type, hour window) on the live
+    stream, drop the rest; the streaming form of q81's batch
+    per-source cap, and the primitive behind ingest budgeting and
+    per-tenant rate limits.  State per open key is ONE int64 (the
+    admitted count — O(1) bytes, vs buffering rows to rank), evicted
+    by event-time timeout at window end, where eviction is PROVABLY
+    safe: the state-store late-filter only delivers rows with ts >
+    watermark, and every row of an evicted window has ts < window_end
+    <= watermark (streaming/admission.py).
+
+    ORACLE-CHECKED: events arrive time-ordered in 4 micro-batches
+    (sorted (ts, event_id), split sequentially) and the operator
+    processes each batch's group rows in (ts, event_id) order, so
+    first-come admission == the 2 smallest (ts, event_id) rows per
+    key == the batch SQL row_number() <= 2 that ORACLE_Q130 runs
+    (quota 2 rejects 38% of the sf0.01 stream — the cap demonstrably
+    binds)."""
+    from .streaming.admission import admission_quota_stream
+    from .sources.pages import stream_events_files
+
+    src = _events_stream_fixture(spark, sf_dir, prefix="wrs-q-admit-")
+    ev = stream_events_files(spark, src, 1)
+    admitted = admission_quota_stream(ev, quota=2)
+    out = _drain(admitted, spark)
+    return out.where(F.col("event_type") != "sentinel").select(
+        "event_id", "event_type", "window_epoch", "ts_epoch"
+    )
+
+
+ORACLE_Q130 = """
+SELECT event_id, event_type,
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_epoch,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM (
+  SELECT event_id, event_type, ts,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn <= 2
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -7945,6 +7990,7 @@ FROM trans
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q130_streaming_admission_quota": q130_streaming_admission_quota,
     "q127_retention_cohorts": q127_retention_cohorts,
     "q128_quality_skyline": q128_quality_skyline,
     "q129_markov_transitions": q129_markov_transitions,
@@ -8082,6 +8128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q130_streaming_admission_quota": ORACLE_Q130,
     "q127_retention_cohorts": ORACLE_Q127,
     "q128_quality_skyline": ORACLE_Q128,
     "q129_markov_transitions": ORACLE_Q129,
