@@ -300,6 +300,21 @@ def main() -> None:
                 "BroadcastNestedLoopJoin",
             )
         ),
+        # ANALYZE stats: one Generate (melt) + two hash aggs, no join
+        "q131_column_statistics": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
+        # bitmap algebra: overlap join runs on the word-aligned BITMAP
+        # relation (1/62 of raw), card tables broadcast — never all-pairs
+        "q132_bitmap_audience_algebra": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -7977,6 +7977,199 @@ WHERE rn <= 2
 """
 
 
+def q131_column_statistics(spark, sf_dir):
+    """ANALYZE-style exact column statistics — the catalog-stats pass
+    a cost-based optimizer (and any data-quality dashboard) runs over
+    every table: per column, row count, NULL count, exact NDV,
+    min/max, and the most-common value with its frequency.  Nothing
+    else in the catalog emits the per-column stats relation; q49's
+    HLL is the approximate NDV twin of the exact NDV computed here.
+
+    One corpus pass: each row is melted into (col_name, val) pairs
+    via a single explode (Spark's Generate — no per-column rescan of
+    the parquet), then ONE (col, val)-keyed hash aggregate with
+    map-side partials feeds a COLUMN-scale final aggregate.  Values
+    are order-preserving fixed-width strings: non-negative BIGINTs
+    are zero-padded to width 20 (lexicographic == numeric order) and
+    the wide `text` column is reduced to its md5 digest BEFORE the
+    shuffle so the (col, val) exchange moves fixed-width keys, never
+    page bodies (NDV/MCV over digests are exact modulo md5 collision;
+    min/max for the digest column are digest-space bounds, stated in
+    the col name).  MCV tie-break is deterministic: highest count,
+    then smallest value, via one struct-min — no second shuffle.
+    NULL accounting is exercised structurally: lang is nulled on
+    doc_id % 13 == 0 in BOTH engines (the corpus itself is fully
+    populated), the q60 injection discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    lang_injected = F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+        F.col("lang")
+    )
+    melted = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("doc_id").alias("col_name"), pad("doc_id").alias("val")),
+                F.struct(F.lit("lang").alias("col_name"), lang_injected.alias("val")),
+                F.struct(F.lit("source").alias("col_name"), F.col("source").alias("val")),
+                F.struct(F.lit("n_chars").alias("col_name"), pad("n_chars").alias("val")),
+                F.struct(F.lit("text_md5").alias("col_name"), F.md5(F.col("text")).alias("val")),
+            )
+        ).alias("cv")
+    ).select("cv.col_name", "cv.val")
+    per_val = melted.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return per_val.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("n"))), F.lit(0)
+        ).cast("bigint").alias("n_nulls"),
+        F.count("val").cast("bigint").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        # struct-min: smallest (-n, val) = highest count, then smallest value
+        F.min(
+            F.when(
+                F.col("val").isNotNull(),
+                F.struct((-F.col("n")).alias("neg_n"), F.col("val").alias("v")),
+            )
+        )["v"].alias("top_val"),
+        (-F.min(
+            F.when(
+                F.col("val").isNotNull(),
+                F.struct((-F.col("n")).alias("neg_n"), F.col("val").alias("v")),
+            )
+        )["neg_n"]).cast("bigint").alias("top_n"),
+    )
+
+
+ORACLE_Q131 = """
+WITH melted AS (
+  SELECT u.col_name, u.val FROM documents, LATERAL (
+    SELECT * FROM (VALUES
+      ('doc_id',  lpad(CAST(doc_id AS VARCHAR), 20, '0')),
+      ('lang',    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END),
+      ('source',  source),
+      ('n_chars', lpad(CAST(n_chars AS VARCHAR), 20, '0')),
+      ('text_md5', md5(text))
+    ) AS t(col_name, val)
+  ) u
+),
+per_val AS (
+  SELECT col_name, val, CAST(count(*) AS BIGINT) AS n
+  FROM melted GROUP BY col_name, val
+),
+ranked AS (
+  SELECT col_name, val, n,
+         row_number() OVER (PARTITION BY col_name
+                            ORDER BY n DESC, val ASC) AS rk
+  FROM per_val WHERE val IS NOT NULL
+)
+SELECT p.col_name,
+       CAST(sum(p.n) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN p.val IS NULL THEN p.n END), 0) AS BIGINT)
+         AS n_nulls,
+       CAST(count(p.val) AS BIGINT) AS n_distinct,
+       min(p.val) AS min_val,
+       max(p.val) AS max_val,
+       max(CASE WHEN r.rk = 1 THEN r.val END) AS top_val,
+       CAST(max(CASE WHEN r.rk = 1 THEN r.n END) AS BIGINT) AS top_n
+FROM per_val p
+LEFT JOIN ranked r ON r.col_name = p.col_name AND r.val = p.val AND r.rk = 1
+GROUP BY p.col_name
+"""
+
+
+BITMAP_WORD_BITS = 62  # bits 0..61 — 1<<62 fits signed BIGINT in both engines
+
+
+def q132_bitmap_audience_algebra(spark, sf_dir):
+    """Bitmap-index set algebra — per-event-type user bitmaps and
+    JOIN-FREE-per-pair exact intersection/union/Jaccard between
+    audiences, the roaring-bitmap discipline every OLAP engine uses
+    for segment overlap ("users who did A and B") without shuffling
+    user IDs per pair.  Distinct from every sketch in the catalog:
+    HLL (q49) estimates one set's cardinality; bitmaps compute EXACT
+    multi-set algebra.
+
+    Scale shape: users fold into 62-bit words map-side (word =
+    user_id div 62, mask = 1 << (user_id % 62) — 62 not 64: 1<<63
+    overflows a signed BIGINT in the oracle engine, and both engines
+    must agree bit-for-bit), ONE (type, word) bit_or aggregate builds
+    the index (state = |users|/62 words per type), then pairwise
+    overlap is a word-aligned equi-join on the BITMAP relation (1/62
+    the size of the raw user relation) with sum(bit_count(a AND b)).
+    Per-type cardinalities come off the same bitmap, so union =
+    |A| + |B| - |A∩B| with no second pass."""
+    ev = _t(spark, sf_dir, "events")
+    word = F.expr(f"user_id div {BITMAP_WORD_BITS}").cast("bigint").alias("word")
+    mask = F.expr(
+        f"shiftleft(cast(1 as bigint), cast(user_id % {BITMAP_WORD_BITS} as int))"
+    )
+    bm = (
+        ev.select(F.col("event_type"), word, mask.alias("mask"))
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    card = bm.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )
+    inter = (
+        bm.alias("a")
+        .join(bm.alias("b"), on="word")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+            .cast("bigint")
+            .alias("n_common")
+        )
+    )
+    ca = card.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    cb = card.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    out = inter.join(F.broadcast(ca), "type_a").join(F.broadcast(cb), "type_b")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("bigint").alias("n_union"),
+        F.expr("1000000 * n_common div (n_a + n_b - n_common)")
+        .cast("bigint")
+        .alias("jaccard_ppm"),
+    )
+
+
+ORACLE_Q132 = """
+WITH bm AS (
+  SELECT event_type, user_id // 62 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INTEGER)) AS bits
+  FROM events GROUP BY event_type, user_id // 62
+),
+card AS (
+  SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_users
+  FROM bm GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_common
+  FROM bm a JOIN bm b ON a.word = b.word AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b, ca.n_users AS n_a, cb.n_users AS n_b, i.n_common,
+       CAST(ca.n_users + cb.n_users - i.n_common AS BIGINT) AS n_union,
+       CAST(1000000 * i.n_common // (ca.n_users + cb.n_users - i.n_common)
+            AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN card ca ON ca.event_type = i.type_a
+JOIN card cb ON cb.event_type = i.type_b
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -7990,6 +8183,8 @@ WHERE rn <= 2
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q131_column_statistics": q131_column_statistics,
+    "q132_bitmap_audience_algebra": q132_bitmap_audience_algebra,
     "q130_streaming_admission_quota": q130_streaming_admission_quota,
     "q127_retention_cohorts": q127_retention_cohorts,
     "q128_quality_skyline": q128_quality_skyline,
@@ -8128,6 +8323,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q131_column_statistics": ORACLE_Q131,
+    "q132_bitmap_audience_algebra": ORACLE_Q132,
     "q130_streaming_admission_quota": ORACLE_Q130,
     "q127_retention_cohorts": ORACLE_Q127,
     "q128_quality_skyline": ORACLE_Q128,
