@@ -1,12 +1,14 @@
-"""Round-4h operators: ANALYZE-style exact column statistics and
-bitmap-index audience set algebra.
+"""Round-4h operators: ANALYZE-style exact column statistics, bitmap
+audience set algebra, streaming LEFT SEMI interval join, sorted-
+neighborhood blocking, and the loose timeout funnel.
 
 The oracle hash proves Spark == DuckDB on the full expressions; these
 tests prove the shared answers have the operators' defining *shapes*:
 stats accounting identities (n_nulls + non-null mass == n_rows, NDV
 counts injected nulls out, MCV tie-break is deterministic smallest-
-value) and exact bitmap algebra on hand-built sets, including users
-that share a 62-bit word and users in different words.
+value), exact bitmap algebra on hand-built sets including users that
+share a 62-bit word, semi-join no-fanout, SN bounded per-mention
+fan-out, and loose-funnel semantics vs per-step timeouts.
 """
 
 from __future__ import annotations
@@ -119,3 +121,73 @@ def test_bitmap_cardinalities_match_distinct_counts(spark):
         assert r["n_b"] == exact[r["type_b"]]
         assert 0 <= r["n_common"] <= min(r["n_a"], r["n_b"])
         assert r["n_union"] == r["n_a"] + r["n_b"] - r["n_common"]
+
+
+def test_streaming_semi_join_no_fanout(spark):
+    # A view with MANY matching purchases must emit exactly once —
+    # the defining property a semi join adds over q75's inner form.
+    from watermark_remove_spark.queries import q133_streaming_semi_attribution
+
+    rows = q133_streaming_semi_attribution(spark, SF).collect()
+    assert rows, "no converted views"
+    ids = [r["view_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "semi join fanned out a view"
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_views = ev.where(F.col("event_type") == "view").count()
+    assert len(ids) < n_views, "every view converted — predicate vacuous"
+
+
+def test_sorted_neighborhood_shape(spark):
+    from watermark_remove_spark.queries import q134_sorted_neighborhood_pairs
+
+    rows = q134_sorted_neighborhood_pairs(spark, SF).collect()
+    assert rows, "no candidate pairs"
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["dist"] <= 2
+        key = (r["id_a"], r["id_b"], r["name_a"], r["name_b"])
+        assert key not in seen, "duplicate pair across passes survived distinct"
+        seen.add(key)
+    # skew-proof fan-out: each mention generates <= 2 neighbors per
+    # pass x 2 passes = at most 4 pairs where it is the LEFT element
+    from collections import Counter
+
+    left_counts = Counter()
+    for r in rows:
+        left_counts[r["id_a"]] += 1
+        left_counts[r["id_b"]] += 1
+    assert max(left_counts.values()) <= 8
+
+
+def test_funnel_loose_vs_timeout(spark, tmp_path):
+    # user 1: view -> unrelated event -> click (30 min) -> purchase
+    # (30 min later): converts under the LOOSE semantics (q65's strict
+    # CEP would reject the intervening event).  user 2: click arrives
+    # 2 h after the view — times out at the click step.
+    from datetime import datetime, timedelta
+
+    from watermark_remove_spark.queries import q135_funnel_with_timeouts
+
+    t0 = datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + timedelta(minutes=5), 1, "pageping", 0.0, "{}"),
+        (3, t0 + timedelta(minutes=30), 1, "click", 0.0, "{}"),
+        (4, t0 + timedelta(minutes=60), 1, "purchase", 0.0, "{}"),
+        (5, t0, 2, "view", 0.0, "{}"),
+        (6, t0 + timedelta(hours=2), 2, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    tmp = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    out = q135_funnel_with_timeouts(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_entered"] == 2
+    assert r["n_clicked"] == 1      # user 2 timed out
+    assert r["n_purchased"] == 1    # user 1 converted despite pageping
+    assert r["conv_ppm"] == 500000

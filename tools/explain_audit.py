@@ -315,6 +315,19 @@ def main() -> None:
         "q132_bitmap_audience_algebra": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # sorted-neighborhood: block-key windows + unions, ZERO joins —
+        # the candidate generator must never be a join of any kind
+        "q134_sorted_neighborhood_pairs": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
+        # funnel: user-key equi-joins and aggs only
+        "q135_funnel_with_timeouts": dict(forbid_node=("CartesianProduct",)),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

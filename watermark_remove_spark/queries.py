@@ -7977,6 +7977,258 @@ WHERE rn <= 2
 """
 
 
+def q133_streaming_semi_attribution(spark, sf_dir):
+    """O-15 stream-stream LEFT SEMI interval join — the last cell of
+    the streaming join-type matrix after q75 (inner), q82
+    (leftOuter) and q121 (fullOuter): views that DID convert within
+    the following 2 h, emitted exactly once each no matter how many
+    purchases matched.  The "qualified leads" / "converted
+    impressions" shape: downstream wants the left entity, not the
+    match fan-out — a semi join keeps output cardinality ≤ |views|
+    where the inner join multiplies by matches.
+
+    Scale semantics: identical state bound to q75 (each side buffers
+    only rows younger than watermark + horizon, the interval bound
+    INSIDE the join condition), but the semi form also bounds OUTPUT:
+    a hot user with many purchases emits each view once.  Sentinels
+    ride both sides to pin the final watermark (the q82 rule) and are
+    dropped from the output.  Oracle = batch EXISTS over the same
+    interval predicate."""
+    from .sources.pages import stream_events_files
+    from .streaming.pipeline import streaming_interval_join
+
+    src = _events_stream_fixture(spark, sf_dir, prefix="wrs-q-semi-")
+    stream = stream_events_files(spark, src, 1)
+    views = stream.where(F.col("event_type").isin("view", "sentinel")).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = stream.where(
+        F.col("event_type").isin("purchase", "sentinel")
+    ).select("user_id", F.col("ts").alias("purchase_ts"))
+    joined = streaming_interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        horizon="2 hours",
+        how="leftSemi",
+    )
+    out = _drain(
+        joined.select(
+            "user_id",
+            "view_id",
+            F.unix_timestamp("view_ts").alias("view_epoch"),
+        ),
+        spark,
+    )
+    return out.where(F.col("user_id") != SENTINEL_USER)
+
+
+ORACLE_Q133 = """
+SELECT v.user_id, v.event_id AS view_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch
+FROM events v
+WHERE v.event_type = 'view'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = v.user_id
+      AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+  )
+"""
+
+
+def q134_sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking for record linkage — the OTHER
+    classical blocker next to q89's prefix blocks: sort mentions by a
+    key, compare only rows within a ±2-position window, run the exact
+    levenshtein predicate inside the neighborhood.  Multi-pass with a
+    second sort key (the reversed name) per the published method, so
+    pairs split by a pass-1 block boundary get a second chance; the
+    operator's contract is the deterministic SN candidate set itself
+    (SN is by definition a heuristic blocker — determinism, not
+    recall, is what the oracle pins).
+
+    Scale shape: each pass is ONE block-key shuffle (block = first 2
+    chars of the pass key) with an in-block sort — never a global
+    single-partition window — and the neighborhood is generated by
+    two lead() offsets, so candidate fan-out is a hard 2 rows per
+    mention per pass (vs prefix-blocking's whole-block quadratic
+    worst case: SN is the skew-proof blocker)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    c = F.concat(F.col("source"), F.lit("-item-"), (F.col("doc_id") % 40).cast("string"))
+    dirty = (
+        F.when(m == 1, F.expr("substring(c, 1, length(c) - 1)"))
+        .when(m == 2, F.replace(F.col("c"), F.lit("item"), F.lit("itme")))
+        .when(m == 3, F.concat(F.col("c"), F.lit("x")))
+        .otherwise(F.col("c"))
+    )
+    mentions = docs.select("doc_id", c.alias("c")).select(
+        "doc_id", dirty.alias("name")
+    )
+
+    def sn_pass(keyed: DataFrame) -> DataFrame:
+        w = Window.partitionBy("blk").orderBy("k", "doc_id")
+        nb = keyed.select(
+            "doc_id",
+            "name",
+            F.lead("doc_id", 1).over(w).alias("id1"),
+            F.lead("name", 1).over(w).alias("nm1"),
+            F.lead("doc_id", 2).over(w).alias("id2"),
+            F.lead("name", 2).over(w).alias("nm2"),
+        )
+        p1 = nb.select("doc_id", "name", F.col("id1").alias("oid"), F.col("nm1").alias("onm"))
+        p2 = nb.select("doc_id", "name", F.col("id2").alias("oid"), F.col("nm2").alias("onm"))
+        return p1.unionByName(p2).where(F.col("oid").isNotNull())
+
+    pass1 = mentions.select(
+        "doc_id", "name", F.col("name").alias("k"), F.substring("name", 1, 2).alias("blk")
+    )
+    pass2 = mentions.select(
+        "doc_id", "name", F.reverse(F.col("name")).alias("k"),
+        F.substring(F.reverse(F.col("name")), 1, 2).alias("blk"),
+    )
+    cand = sn_pass(pass1).unionByName(sn_pass(pass2))
+    pairs = cand.select(
+        F.least("doc_id", "oid").alias("id_a"),
+        F.greatest("doc_id", "oid").alias("id_b"),
+        F.when(F.col("doc_id") < F.col("oid"), F.col("name")).otherwise(F.col("onm")).alias("name_a"),
+        F.when(F.col("doc_id") < F.col("oid"), F.col("onm")).otherwise(F.col("name")).alias("name_b"),
+    ).where(F.col("id_a") != F.col("id_b"))
+    return (
+        pairs.withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .where(F.col("dist") <= 2)
+        .distinct()
+    )
+
+
+ORACLE_Q134 = """
+WITH mentions AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 1 THEN substring(c, 1, length(c) - 1)
+           WHEN 2 THEN replace(c, 'item', 'itme')
+           WHEN 3 THEN c || 'x'
+           ELSE c
+         END AS name
+  FROM (SELECT doc_id, source || '-item-' || (doc_id % 40) AS c FROM documents)
+),
+p1k AS (SELECT doc_id, name, name AS k, substring(name, 1, 2) AS blk FROM mentions),
+p2k AS (SELECT doc_id, name, reverse(name) AS k,
+               substring(reverse(name), 1, 2) AS blk FROM mentions),
+nb AS (
+  SELECT doc_id, name,
+         lead(doc_id, 1) OVER w AS id1, lead(name, 1) OVER w AS nm1,
+         lead(doc_id, 2) OVER w AS id2, lead(name, 2) OVER w AS nm2
+  FROM p1k WINDOW w AS (PARTITION BY blk ORDER BY k, doc_id)
+  UNION ALL
+  SELECT doc_id, name,
+         lead(doc_id, 1) OVER w2 AS id1, lead(name, 1) OVER w2 AS nm1,
+         lead(doc_id, 2) OVER w2 AS id2, lead(name, 2) OVER w2 AS nm2
+  FROM p2k WINDOW w2 AS (PARTITION BY blk ORDER BY k, doc_id)
+),
+cand AS (
+  SELECT doc_id, name, id1 AS oid, nm1 AS onm FROM nb WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, name, id2 AS oid, nm2 AS onm FROM nb WHERE id2 IS NOT NULL
+),
+pairs AS (
+  SELECT least(doc_id, oid) AS id_a, greatest(doc_id, oid) AS id_b,
+         CASE WHEN doc_id < oid THEN name ELSE onm END AS name_a,
+         CASE WHEN doc_id < oid THEN onm ELSE name END AS name_b
+  FROM cand WHERE doc_id <> oid
+)
+SELECT DISTINCT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM pairs
+WHERE levenshtein(name_a, name_b) <= 2
+"""
+
+
+def q135_funnel_with_timeouts(spark, sf_dir):
+    """Loose conversion funnel with per-step timeouts — first view →
+    first click within 1 h of it → first purchase within 1 h of THAT,
+    intervening events allowed (q65's CEP demands strict adjacency;
+    real funnel analytics use this loose form), reported per
+    first-view hour cohort with an exact integer-ppm conversion rate.
+
+    Scale shape: every stage is keyed on user_id — three per-user
+    aggregates and two equi-joins, all hash-partitioned on the SAME
+    key (AQE coalesces the co-partitioned exchanges); the cohort
+    aggregate runs over the USER-scale funnel relation, never raw
+    events.  No window over the event stream, no fan-out."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("interval 1 hour"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("interval 1 hour"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "v_ts")).alias("cohort_epoch")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entered"),
+        F.count("c_ts").cast("bigint").alias("n_clicked"),
+        F.count("p_ts").cast("bigint").alias("n_purchased"),
+        F.expr("1000000 * count(p_ts) div count(1)").cast("bigint").alias("conv_ppm"),
+    )
+
+
+ORACLE_Q135 = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+)
+SELECT CAST(floor(epoch(date_trunc('hour', v.v_ts))) AS BIGINT) AS cohort_epoch,
+       CAST(count(*) AS BIGINT) AS n_entered,
+       CAST(count(c.c_ts) AS BIGINT) AS n_clicked,
+       CAST(count(p.p_ts) AS BIGINT) AS n_purchased,
+       CAST(1000000 * count(p.p_ts) // count(*) AS BIGINT) AS conv_ppm
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+GROUP BY date_trunc('hour', v.v_ts)
+"""
+
+
 def q131_column_statistics(spark, sf_dir):
     """ANALYZE-style exact column statistics — the catalog-stats pass
     a cost-based optimizer (and any data-quality dashboard) runs over
@@ -8185,6 +8437,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
     "q131_column_statistics": q131_column_statistics,
     "q132_bitmap_audience_algebra": q132_bitmap_audience_algebra,
+    "q133_streaming_semi_attribution": q133_streaming_semi_attribution,
+    "q134_sorted_neighborhood_pairs": q134_sorted_neighborhood_pairs,
+    "q135_funnel_with_timeouts": q135_funnel_with_timeouts,
     "q130_streaming_admission_quota": q130_streaming_admission_quota,
     "q127_retention_cohorts": q127_retention_cohorts,
     "q128_quality_skyline": q128_quality_skyline,
@@ -8325,6 +8580,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "q131_column_statistics": ORACLE_Q131,
     "q132_bitmap_audience_algebra": ORACLE_Q132,
+    "q133_streaming_semi_attribution": ORACLE_Q133,
+    "q134_sorted_neighborhood_pairs": ORACLE_Q134,
+    "q135_funnel_with_timeouts": ORACLE_Q135,
     "q130_streaming_admission_quota": ORACLE_Q130,
     "q127_retention_cohorts": ORACLE_Q127,
     "q128_quality_skyline": ORACLE_Q128,

@@ -221,7 +221,15 @@ def streaming_interval_join(
     watermark past every real row (the sentinel-batch fixture
     convention) or tail rows stay unemitted.
     """
-    allowed = {"inner", "leftOuter", "left_outer", "fullOuter", "full_outer"}
+    allowed = {
+        "inner",
+        "leftOuter",
+        "left_outer",
+        "fullOuter",
+        "full_outer",
+        "leftSemi",
+        "left_semi",
+    }
     if how not in allowed:
         # rightOuter alone would need the mirrored eviction analysis
         # flipped; use fullOuter (both-side eviction) or swap the sides
@@ -256,5 +264,9 @@ def streaming_interval_join(
         key_col = F.col(f"l.{key}").alias(key)
     out = [key_col]
     out += [F.col(f"l.{c}") for c in left.columns if c != key]
-    out += [F.col(f"r.{c}") for c in right.columns if c != key]
+    if how not in ("leftSemi", "left_semi"):
+        # semi output carries ONLY the left side: each matched left row
+        # emits exactly once (on its first arriving match), never
+        # multiplied by match count — right columns don't exist
+        out += [F.col(f"r.{c}") for c in right.columns if c != key]
     return joined.select(*out)
