@@ -191,3 +191,85 @@ def test_funnel_loose_vs_timeout(spark, tmp_path):
     assert r["n_clicked"] == 1      # user 2 timed out
     assert r["n_purchased"] == 1    # user 1 converted despite pageping
     assert r["conv_ppm"] == 500000
+
+
+def test_cdc_incremental_apply_keeps_tombstones(spark):
+    # One key: v1 @ Jan 1, DELETE @ Jan 5 (batch 1), re-opening v2
+    # @ Jan 9 (batch 2).  The incremental loop must keep v1 closed at
+    # the DELETE (Jan 5) — a loop that drops tombstones between
+    # batches recomputes v1.valid_to = Jan 9 and resurrects 4 days.
+    from datetime import datetime
+
+    from watermark_remove_spark.operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        [("k1", "v1", datetime(2026, 1, 1), None, "upsert")],
+        "source string, fp string, valid_from timestamp, valid_to timestamp, cdc_op string",
+    )
+    b1 = spark.createDataFrame(
+        [("k1", None, datetime(2026, 1, 5), "delete")],
+        "source string, fp string, valid_from timestamp, op string",
+    )
+    b2 = spark.createDataFrame(
+        [("k1", "v2", datetime(2026, 1, 9), "upsert")],
+        "source string, fp string, valid_from timestamp, op string",
+    )
+    s1 = scd2_apply(dim, b1, ["source"], ts_col="valid_from", op_col="op",
+                    dim_op_col="cdc_op", keep_tombstones=True)
+    s2 = scd2_apply(s1, b2, ["source"], ts_col="valid_from", op_col="op",
+                    dim_op_col="cdc_op", keep_tombstones=True)
+    rows = {
+        r["fp"]: r for r in s2.where(F.col("cdc_op") != "delete").collect()
+    }
+    assert rows["v1"]["valid_to"] == datetime(2026, 1, 5), "tombstone lost: v1 resurrected"
+    assert rows["v2"]["valid_to"] is None
+
+
+def test_streaming_cdc_apply_matches_oneshot(spark):
+    from watermark_remove_spark.queries import (
+        q41_scd2_cdc_deletes,
+        q136_streaming_cdc_apply,
+    )
+
+    one = sorted(map(tuple, q41_scd2_cdc_deletes(spark, SF).collect()))
+    inc = sorted(map(tuple, q136_streaming_cdc_apply(spark, SF).collect()))
+    assert inc == one
+
+
+def test_prefix_filter_complete_vs_bruteforce(spark):
+    # The prefix filter is a PROVEN-complete pruning: its output must
+    # equal the brute-force all-pairs Jaccard >= 3/4 join exactly.
+    from watermark_remove_spark.functions.shingles import doc_shingles_expr
+    from watermark_remove_spark.queries import q137_prefix_filter_simjoin
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", doc_shingles_expr(F.col("text")).alias("sh")
+        ).collect()
+    }
+    ids = sorted(sets)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 4 * inter >= 3 * union:
+                brute.add((a, b, inter))
+    got = {
+        (r["id_a"], r["id_b"], r["n_inter"])
+        for r in q137_prefix_filter_simjoin(spark, SF).collect()
+    }
+    assert got == brute, "prefix filter dropped or invented a pair"
+
+
+def test_star_join_shape(spark):
+    from watermark_remove_spark.queries import q138_regional_supplier_volume
+
+    rows = q138_regional_supplier_volume(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no regional volume"
+    for r in rows:
+        assert r["r_name"] in ("ASIA", "EUROPE")
+        assert r["revenue"] > 0
+        assert r["n_items"] >= 1

@@ -328,6 +328,14 @@ def main() -> None:
         ),
         # funnel: user-key equi-joins and aggs only
         "q135_funnel_with_timeouts": dict(forbid_node=("CartesianProduct",)),
+        # prefix-filter simjoin: candidates from a PREFIX-token
+        # equi-join, verification only on candidate pairs — the naive
+        # form is an all-pairs product and must never appear
+        "q137_prefix_filter_simjoin": dict(forbid_node=("CartesianProduct",)),
+        # star join: dims broadcast, fact touched once
+        "q138_regional_supplier_volume": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

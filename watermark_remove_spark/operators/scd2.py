@@ -33,6 +33,8 @@ def scd2_apply(
     ts_col: str = "valid_from",
     end_col: str = "valid_to",
     op_col: str | None = None,
+    dim_op_col: str | None = None,
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Return the new SCD2 table: ``dim`` (history, ``end_col`` may be
     stale) + ``updates`` (new versions, no ``end_col``), with
@@ -55,10 +57,35 @@ def scd2_apply(
 
     Still one union + two dimension-keyed windows — deletes ride the
     same ``lead`` that closes superseded versions, so the plan shape
-    (and the 100-TB posture) is unchanged."""
-    d = dim.drop(end_col).withColumn("__pri", F.lit(0)).withColumn(
-        "__op", F.lit("upsert")
-    )
+    (and the 100-TB posture) is unchanged.
+
+    INCREMENTAL (CDC-loop) use: a one-shot apply may drop tombstones
+    from the output, but a foreachBatch loop that re-applies batch
+    after batch MUST carry them forward — without the tombstone row, a
+    later batch's re-opening upsert would recompute the closed
+    version's ``end_col`` past the delete (lead() no longer sees the
+    tombstone) and silently resurrect it.  Pass
+    ``keep_tombstones=True`` to retain delete rows (marked in a
+    ``cdc_op`` output column) as loop state, and ``dim_op_col`` naming
+    that column when feeding the state back in as ``dim``.  The final
+    read filters ``cdc_op != 'delete'``.  Note same-instant conflicts
+    across batches resolve by recency (``updates`` beat ``dim``);
+    chronological micro-batches make same-instant conflicts
+    intra-batch by construction, where delete-beats-upsert applies."""
+    if dim_op_col is None:
+        d = dim.drop(end_col).withColumn("__pri", F.lit(0)).withColumn(
+            "__op", F.lit("upsert")
+        )
+    else:
+        dnorm = F.when(F.col(dim_op_col) == "delete", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        )
+        d = (
+            dim.drop(end_col)
+            .withColumn("__op", dnorm)
+            .drop(dim_op_col)
+            .withColumn("__pri", F.lit(0))
+        )
     if op_col is None:
         u = updates.withColumn("__pri", F.lit(1)).withColumn("__op", F.lit("upsert"))
     else:
@@ -88,4 +115,6 @@ def scd2_apply(
     )
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
     closed = dedup.withColumn(end_col, F.lead(ts_col).over(w))
+    if keep_tombstones:
+        return closed.withColumnRenamed("__op", "cdc_op")
     return closed.where(F.col("__op") != "delete").drop("__op")

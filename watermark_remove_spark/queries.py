@@ -8041,6 +8041,298 @@ WHERE v.event_type = 'view'
 """
 
 
+def q137_prefix_filter_simjoin(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family) — the deterministic complement of MinHash (q22,
+    probabilistic) and shared-shingle candidates (q16, no pruning):
+    docs are similar iff 3-gram-shingle-set Jaccard ≥ 3/4, and the prefix
+    filter PROVES two sets can only reach the threshold if they share
+    a token among each one's first p = n − ceil(3n/4) + 1 tokens in
+    the global rare-first order — so the candidate join runs on
+    PREFIX tokens only, and rare-first ordering makes those prefixes
+    collide rarely (the frequent-token hot keys land at the END of
+    every prefix, never in the join).
+
+    Scale shape: token df is one corpus agg; per-doc ordering is a
+    doc-key window; the candidate generator is a PREFIX-token
+    equi-join (a fraction of the postings, rare keys by
+    construction); exact verification (one |A∩B| counting join) runs
+    ONLY on candidate pairs.  The threshold test is cross-multiplied
+    integer arithmetic — 4·inter ≥ 3·(n_a + n_b − inter) — no floats
+    anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(doc_shingles_expr(F.col("text"))).alias("tok")
+        )
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = toks.join(dfreq, "tok").select(
+        "doc_id",
+        "tok",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "tok"))
+        .alias("pos"),
+    )
+    sizes = ordered.groupBy("doc_id").agg(F.max("pos").cast("bigint").alias("n"))
+    prefix = ordered.join(sizes, "doc_id").where(
+        F.col("pos") <= F.col("n") - F.expr("(3 * n + 3) div 4") + 1
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.alias("ta"), F.col("id_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("id_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return inter.where(
+        4 * F.col("n_inter") >= 3 * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    ).select(
+        "id_a",
+        "id_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.expr("1000000 * n_inter div (n_a + n_b - n_inter)")
+        .cast("bigint")
+        .alias("jaccard_ppm"),
+    )
+
+
+ORACLE_Q137 = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES.format(col='text')}) AS tok FROM documents
+),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+ordered AS (
+  SELECT t.doc_id, t.tok,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS pos
+  FROM toks t JOIN dfreq d ON d.tok = t.tok
+),
+sizes AS (SELECT doc_id, CAST(max(pos) AS BIGINT) AS n FROM ordered GROUP BY doc_id),
+prefix AS (
+  SELECT o.doc_id, o.tok, s.n
+  FROM ordered o JOIN sizes s ON s.doc_id = o.doc_id
+  WHERE o.pos <= s.n - (3 * s.n + 3) // 4 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, c.n_a, c.n_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b, c.n_a, c.n_b
+)
+SELECT id_a, id_b, n_a, n_b, n_inter,
+       CAST(1000000 * n_inter // (n_a + n_b - n_inter) AS BIGINT) AS jaccard_ppm
+FROM inter
+WHERE 4 * n_inter >= 3 * (n_a + n_b - n_inter)
+"""
+
+
+def q138_regional_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped six-table star join — the relational breadth
+    probe: revenue per nation where the CUSTOMER and the SUPPLIER sit
+    in the same nation, region-filtered, date-bounded.  Joins chain
+    lineitem → orders → customer → nation → region and lineitem →
+    supplier with the c_nationkey = s_nationkey colocation predicate
+    — the classic join-order/broadcast-chain workout.
+
+    Scale shape: region/nation/supplier/customer are dimension-scale
+    and broadcast (plan-audited); the fact table (lineitem) is
+    touched once, filtered by the pushed-down orderdate bound via the
+    orders join; revenue sums in DECIMAL — shuffle-order-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(F.col("r_name"), F.col("n_name")).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+ORACLE_Q138 = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(
+         CAST(l_extendedprice AS DECIMAL(18,2)) *
+         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+"""
+
+
+def q136_streaming_cdc_apply(spark, sf_dir):
+    """STREAMING incremental SCD2/CDC apply — the foreachBatch MERGE
+    loop every CDC consumer runs: the q41 changelog (upserts, deletes,
+    re-opens, same-instant conflicts) drained in THREE chronological
+    micro-batches, each batch incrementally applied onto the stored
+    dimension via scd2_apply(keep_tombstones=True), final read
+    filtering tombstones.  One-shot q41 proves the algebra; this
+    proves the INCREMENTAL loop converges to the same table — the
+    property a year-long changelog consumer actually relies on.
+
+    The loop MUST carry tombstones forward as state: without the
+    delete row, a later batch's re-opening upsert would recompute the
+    closed version's valid_to past the delete and resurrect it
+    (operators/scd2.py docstring).  n % 4 == 0 sources hit exactly
+    that path — v3 (day d1+7, batch 3) re-opens after the delete (day
+    d1+3, batch 1/2) — so a tombstone-dropping loop turns this row
+    red.  Chronological batching makes same-instant conflicts
+    intra-batch by construction (equal timestamps cannot split), where
+    the delete-beats-upsert rule applies.
+
+    Scale shape: each micro-batch apply is q41's plan — one union +
+    two DIMENSION-keyed windows; state is the dimension (domains, not
+    pages).  Oracle = ORACLE_Q41 verbatim: the streaming loop must
+    reproduce the one-shot table bit-for-bit."""
+    import tempfile
+
+    from .operators.scd2 import scd2_apply
+    from .sources.pages import write_batch_files
+
+    src = _t(spark, sf_dir, "documents").select("source").distinct()
+    t0 = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    nexpr = "CAST(substring(source, 4, 10) AS INT)"
+
+    def at_days(days_sql: str):
+        return F.expr(
+            "timestamp '2026-01-01 00:00:00'"
+            f" + make_interval(0, 0, 0, {days_sql}, 0, 0, 0)"
+        )
+
+    d1 = f"({nexpr} % 7 + 1)"
+    nofp = F.lit(None).cast("string").alias("template_fp")
+    dim = src.select(
+        "source",
+        F.md5(F.concat("source", F.lit("#v1"))).alias("template_fp"),
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit("upsert").alias("cdc_op"),
+    )
+    v2 = src.select(
+        "source",
+        F.md5(F.concat("source", F.lit("#v2"))).alias("template_fp"),
+        at_days(d1).alias("valid_from"),
+        F.lit("upsert").alias("op"),
+    )
+    del_after = src.where(F.expr(f"{nexpr} % 2 = 0")).select(
+        "source", nofp, at_days(f"{d1} + 3").alias("valid_from"),
+        F.lit("delete").alias("op"),
+    )
+    v3 = src.where(F.expr(f"{nexpr} % 4 = 0")).select(
+        "source",
+        F.md5(F.concat("source", F.lit("#v3"))).alias("template_fp"),
+        at_days(f"{d1} + 7").alias("valid_from"),
+        F.lit("upsert").alias("op"),
+    )
+    del_same = src.where(F.expr(f"{nexpr} % 5 = 0")).select(
+        "source", nofp, at_days(d1).alias("valid_from"),
+        F.lit("delete").alias("op"),
+    )
+    changelog = (
+        v2.unionByName(del_after).unionByName(v3).unionByName(del_same)
+    )
+    pdf = changelog.toPandas().sort_values(
+        ["valid_from", "source"], kind="mergesort"
+    )
+    cut1 = pdf["valid_from"].quantile(0.34, interpolation="lower")
+    cut2 = pdf["valid_from"].quantile(0.67, interpolation="lower")
+    batches = [
+        pdf[pdf["valid_from"] <= cut1],
+        pdf[(pdf["valid_from"] > cut1) & (pdf["valid_from"] <= cut2)],
+        pdf[pdf["valid_from"] > cut2],
+    ]
+    root = tempfile.mkdtemp(prefix="wrs-q136-")
+    srcdir, ckpt = f"{root}/src", f"{root}/ckpt"
+    write_batch_files(batches, srcdir)
+    dim.write.mode("overwrite").parquet(f"{root}/state_init")
+    state = {"last": f"{root}/state_init"}
+    ddl = "source string, template_fp string, valid_from timestamp, op string"
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+
+    def apply_batch(batch_df, batch_id):
+        prev = spark.read.parquet(state["last"])
+        new = scd2_apply(
+            prev,
+            batch_df,
+            ["source"],
+            op_col="op",
+            dim_op_col="cdc_op",
+            keep_tombstones=True,
+        )
+        out = f"{root}/state_{int(batch_id):05d}"
+        new.write.mode("overwrite").parquet(out)
+        state["last"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    final = spark.read.parquet(state["last"])
+    return final.where(F.col("cdc_op") != "delete").select(
+        "source",
+        "template_fp",
+        F.floor(F.unix_timestamp("valid_from")).cast("bigint").alias("valid_from_epoch"),
+        F.floor(F.unix_timestamp("valid_to")).cast("bigint").alias("valid_to_epoch"),
+    )
+
+
 def q134_sorted_neighborhood_pairs(spark, sf_dir):
     """Sorted-neighborhood blocking for record linkage — the OTHER
     classical blocker next to q89's prefix blocks: sort mentions by a
@@ -8422,6 +8714,11 @@ JOIN card cb ON cb.event_type = i.type_b
 """
 
 
+# The streaming CDC loop must converge to the one-shot q41 table —
+# the oracle is shared by design.
+ORACLE_Q136 = ORACLE_Q41
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -8440,6 +8737,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_streaming_semi_attribution": q133_streaming_semi_attribution,
     "q134_sorted_neighborhood_pairs": q134_sorted_neighborhood_pairs,
     "q135_funnel_with_timeouts": q135_funnel_with_timeouts,
+    "q136_streaming_cdc_apply": q136_streaming_cdc_apply,
+    "q137_prefix_filter_simjoin": q137_prefix_filter_simjoin,
+    "q138_regional_supplier_volume": q138_regional_supplier_volume,
     "q130_streaming_admission_quota": q130_streaming_admission_quota,
     "q127_retention_cohorts": q127_retention_cohorts,
     "q128_quality_skyline": q128_quality_skyline,
@@ -8583,6 +8883,9 @@ ORACLES: dict[str, str] = {
     "q133_streaming_semi_attribution": ORACLE_Q133,
     "q134_sorted_neighborhood_pairs": ORACLE_Q134,
     "q135_funnel_with_timeouts": ORACLE_Q135,
+    "q136_streaming_cdc_apply": ORACLE_Q136,
+    "q137_prefix_filter_simjoin": ORACLE_Q137,
+    "q138_regional_supplier_volume": ORACLE_Q138,
     "q130_streaming_admission_quota": ORACLE_Q130,
     "q127_retention_cohorts": ORACLE_Q127,
     "q128_quality_skyline": ORACLE_Q128,
