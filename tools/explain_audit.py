@@ -336,6 +336,20 @@ def main() -> None:
         "q138_regional_supplier_volume": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # prefix-lattice rollup: one explode + one hash agg, NO join
+        "q140_url_hierarchy_rollup": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
+        # k-hop BFS: frontier equi-joins only, never a product
+        "q141_khop_reachability": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

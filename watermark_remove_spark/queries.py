@@ -8041,6 +8041,224 @@ WHERE v.event_type = 'view'
 """
 
 
+def q139_multi_source_stream_union(spark, sf_dir):
+    """Multi-source STREAMING ingestion — two independent feeds
+    (e.g. two crawler fleets, two Kafka clusters) unioned into one
+    logical stream with CROSS-FEED dedup before the windowed
+    aggregate: feed A carries even event_ids, feed B odd, and every
+    event_id % 10 == 5 row is delivered by BOTH feeds (the overlap a
+    redundant-delivery architecture guarantees).  Nothing else in the
+    catalog unions two readStream sources.
+
+    Watermark semantics under union: Spark advances the GLOBAL
+    watermark to the MIN across sources, so the sentinel pair rides
+    in BOTH feeds — a single-feed sentinel would leave the other
+    source's watermark at its last real event and the final windows
+    unemitted.  Dedup uses dropDuplicatesWithinWatermark (bounded
+    state — the q95 TTL discipline); cross-feed duplicates carry the
+    SAME event time, so they always land inside the TTL and the
+    guarantee is exact.  Oracle = hourly counts over the distinct
+    event set."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .sources.pages import stream_events_files, write_batch_files
+
+    ev = (
+        pq.read_table(f"{sf_dir}/events.parquet")
+        .to_pandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    sent = pd.DataFrame(
+        {
+            "event_id": [10**15, 10**15 + 1],
+            "ts": [pd.Timestamp("2027-01-01"), pd.Timestamp("2027-01-01T01:00:00")],
+            "user_id": [SENTINEL_USER, SENTINEL_USER],
+            "event_type": ["sentinel", "sentinel"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+    )
+
+    def feed(frame: pd.DataFrame, prefix: str) -> str:
+        per = (len(frame) + 2) // 3
+        batches = [frame.iloc[i * per : (i + 1) * per] for i in range(3)]
+        batches = [b for b in batches if len(b)] + [sent.iloc[:1], sent.iloc[1:]]
+        src = _q_tmpdir(prefix)
+        write_batch_files(batches, src)
+        return src
+
+    feed_a = ev[(ev.event_id % 2 == 0) | (ev.event_id % 10 == 5)]
+    feed_b = ev[ev.event_id % 2 == 1]
+    src_a = feed(feed_a, "wrs-q-feeda-")
+    src_b = feed(feed_b, "wrs-q-feedb-")
+    sa = stream_events_files(spark, src_a, 1)
+    sb = stream_events_files(spark, src_b, 1)
+    merged = (
+        sa.unionByName(sb)
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = merged.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    out = _drain(
+        agg.select(
+            F.unix_timestamp(F.col("w.start")).alias("window_epoch"),
+            "event_type",
+            "n",
+        ),
+        spark,
+    )
+    return out.where(F.col("event_type") != "sentinel")
+
+
+ORACLE_Q139 = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_epoch,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT event_id, ts, event_type FROM events)
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q140_url_hierarchy_rollup(spark, sf_dir):
+    """URL path-hierarchy rollup — per-directory aggregates at every
+    ancestor level (host, host/a, host/a/b), the crawl-ops view
+    behind "which section of the site is heavy": each page
+    contributes to ALL its ancestor prefixes.  q101 routes one URL to
+    one longest-match rule; this is the dual — hierarchical
+    CONTAINMENT aggregation over the prefix lattice.
+
+    Scale shape: the bounded prefix chain (depth 3) is a single
+    3-way explode (no join against a paths dimension), then ONE
+    (level, prefix) hash aggregate with map-side partials; distinct
+    languages per directory via the same agg.  Fan-out is exactly
+    depth×corpus — linear, never quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    seg1 = F.concat(host, F.lit("/a"), (F.col("doc_id") % 5).cast("string"))
+    seg2 = F.concat(seg1, F.lit("/b"), (F.col("doc_id") % 7).cast("string"))
+    pref = F.array(
+        F.struct(F.lit(1).alias("level"), host.alias("prefix")),
+        F.struct(F.lit(2).alias("level"), seg1.alias("prefix")),
+        F.struct(F.lit(3).alias("level"), seg2.alias("prefix")),
+    )
+    exploded = docs.select(
+        "lang", "n_chars", F.explode(pref).alias("p")
+    ).select(F.col("p.level").cast("bigint").alias("level"), "p.prefix", "lang", "n_chars")
+    return exploded.groupBy("level", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+ORACLE_Q140 = """
+WITH pages AS (
+  SELECT lang, n_chars,
+         source || '.example.com' AS host,
+         source || '.example.com' || '/a' || (doc_id % 5) AS p1,
+         source || '.example.com' || '/a' || (doc_id % 5)
+           || '/b' || (doc_id % 7) AS p2
+  FROM documents
+),
+exploded AS (
+  SELECT CAST(1 AS BIGINT) AS level, host AS prefix, lang, n_chars FROM pages
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), p1, lang, n_chars FROM pages
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), p2, lang, n_chars FROM pages
+)
+SELECT level, prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM exploded
+GROUP BY level, prefix
+"""
+
+
+def q141_khop_reachability(spark, sf_dir):
+    """Exact k-hop reachability (k=3) over the near-dup candidate
+    graph — BFS unrolled into TWO frontier equi-joins, emitting each
+    node's EXACT hop distance (min level) to every node within 3
+    hops and the cumulative reach counts.  The neighborhood-size
+    statistic behind "how big is this duplicate cluster about to
+    get"; q62 labels components (unbounded hops, fixpoint), this
+    bounds the horizon and keeps per-hop distances — a different
+    answer a fixpoint cannot give.
+
+    Scale shape: undirected adjacency = the oriented edge list
+    mirrored once; each BFS level is ONE node-key equi-join off the
+    previous frontier (fan-out bounded by the df-pruned degree, the
+    q68 argument); hop distance = min(level) per (src, dst) pair —
+    one hash agg; final counts are conditional aggregates over the
+    PAIR relation, never the corpus."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    edges = _q62_edges(docs, min_shared=2).localCheckpoint(eager=True)
+    adj = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    )
+    r1 = adj.select("a", "b", F.lit(1).alias("lvl"))
+    r2 = (
+        r1.select("a", F.col("b").alias("mid"))
+        .join(adj.select(F.col("a").alias("mid"), F.col("b")), "mid")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", F.lit(2).alias("lvl"))
+    )
+    r3 = (
+        r2.select("a", F.col("b").alias("mid"))
+        .join(adj.select(F.col("a").alias("mid"), F.col("b")), "mid")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", F.lit(3).alias("lvl"))
+    )
+    hops = (
+        r1.unionByName(r2)
+        .unionByName(r3)
+        .groupBy("a", "b")
+        .agg(F.min("lvl").cast("bigint").alias("hop"))
+    )
+    return hops.groupBy(F.col("a").alias("doc_id")).agg(
+        F.sum(F.when(F.col("hop") <= 1, 1).otherwise(0)).cast("bigint").alias("reach_1"),
+        F.sum(F.when(F.col("hop") <= 2, 1).otherwise(0)).cast("bigint").alias("reach_2"),
+        F.count(F.lit(1)).cast("bigint").alias("reach_3"),
+    )
+
+
+ORACLE_Q141 = f"""
+WITH {_q62_edges_sql(min_shared=2)},
+adj AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL
+  SELECT dst AS a, src AS b FROM edges
+),
+r1 AS (SELECT a, b, 1 AS lvl FROM adj),
+r2 AS (
+  SELECT r1.a, adj.b, 2 AS lvl
+  FROM r1 JOIN adj ON adj.a = r1.b
+  WHERE r1.a <> adj.b
+),
+r3 AS (
+  SELECT r2.a, adj.b, 3 AS lvl
+  FROM r2 JOIN adj ON adj.a = r2.b
+  WHERE r2.a <> adj.b
+),
+hops AS (
+  SELECT a, b, CAST(min(lvl) AS BIGINT) AS hop
+  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+  GROUP BY a, b
+)
+SELECT a AS doc_id,
+       CAST(sum(CASE WHEN hop <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS reach_1,
+       CAST(sum(CASE WHEN hop <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS reach_2,
+       CAST(count(*) AS BIGINT) AS reach_3
+FROM hops
+GROUP BY a
+"""
+
+
 def q137_prefix_filter_simjoin(spark, sf_dir):
     """EXACT set-similarity self-join via prefix filtering (the
     PPJoin family) — the deterministic complement of MinHash (q22,
@@ -8740,6 +8958,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_streaming_cdc_apply": q136_streaming_cdc_apply,
     "q137_prefix_filter_simjoin": q137_prefix_filter_simjoin,
     "q138_regional_supplier_volume": q138_regional_supplier_volume,
+    "q139_multi_source_stream_union": q139_multi_source_stream_union,
+    "q140_url_hierarchy_rollup": q140_url_hierarchy_rollup,
+    "q141_khop_reachability": q141_khop_reachability,
     "q130_streaming_admission_quota": q130_streaming_admission_quota,
     "q127_retention_cohorts": q127_retention_cohorts,
     "q128_quality_skyline": q128_quality_skyline,
@@ -8886,6 +9107,9 @@ ORACLES: dict[str, str] = {
     "q136_streaming_cdc_apply": ORACLE_Q136,
     "q137_prefix_filter_simjoin": ORACLE_Q137,
     "q138_regional_supplier_volume": ORACLE_Q138,
+    "q139_multi_source_stream_union": ORACLE_Q139,
+    "q140_url_hierarchy_rollup": ORACLE_Q140,
+    "q141_khop_reachability": ORACLE_Q141,
     "q130_streaming_admission_quota": ORACLE_Q130,
     "q127_retention_cohorts": ORACLE_Q127,
     "q128_quality_skyline": ORACLE_Q128,
