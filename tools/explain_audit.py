@@ -350,6 +350,25 @@ def main() -> None:
         "q141_khop_reachability": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # KMV sketch: the corpus pass is one bucket-min agg + a
+        # broadcast-threshold filter; rank windows and set algebra run
+        # on K-row sketches (the only cross join is the per-TYPE pair
+        # lattice — metadata scale by construction); never a sort of
+        # the raw hash relation
+        "q142_kmv_distinct_algebra": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
+        # weighted percentiles: one hash agg + windows over the grouped
+        # (lang × length) relation — NO join of any kind
+        "q143_token_weighted_percentiles": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

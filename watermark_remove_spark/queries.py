@@ -8937,6 +8937,269 @@ JOIN card cb ON cb.event_type = i.type_b
 ORACLE_Q136 = ORACLE_Q41
 
 
+# ---------------------------------------------------------------------------
+# q142: KMV (bottom-k / theta) distinct sketch with set algebra
+# ---------------------------------------------------------------------------
+
+_Q142_K = 64  # sketch size (bottom-k values kept)
+_Q142_B = 256  # threshold buckets for the candidate pre-filter
+# 52-bit hash (13 hex chars of md5): (K-1) * 2^52 stays far inside
+# int64, so every estimator below is pure bigint arithmetic in BOTH
+# engines (60-bit hashes would overflow (K-1)*MAXH).
+_Q142_MAXH = 1 << 52
+
+
+def _q142_h52(col, salt: str):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 13), 16, 10
+    ).cast("bigint")
+
+
+def _duck_h52(expr: str, salt: str) -> str:
+    return f"(('0x' || substr(md5('{salt}' || {expr}), 1, 13))::BIGINT)"
+
+
+def q142_kmv_distinct_algebra(spark, sf_dir):
+    """KMV (bottom-k / theta-style) distinct sketch per event_type
+    with SET ALGEBRA across sketches — union and intersection
+    cardinality estimates between every audience pair, the question
+    ("how many users do signup and purchase share?") that q49's HLL
+    cannot answer (HLL unions, but never intersects without
+    inclusion-exclusion blow-up) and q132's exact bitmaps answer only
+    while user ids stay dense.  Deterministic md5-derived hashes make
+    the sketch bit-identical in Spark and DuckDB — checkable, unlike
+    approx_count_distinct.
+
+    Scale shape: the corpus pass is ONE linear (type, h%B) min
+    aggregate (map-side partials); the k-th smallest bucket-min is a
+    provable upper bound on the k-th smallest hash (bucket mins ARE k
+    distinct members), so the rank window that extracts the bottom-k
+    runs on the tiny ≤h_threshold candidate slice, never on the raw
+    relation — exact bottom-k without sorting the corpus.  All set
+    algebra then runs on K-row sketches (metadata scale).  Estimators
+    are integer-exact: est = (K-1)*2^52 div h_K; intersection via the
+    matched fraction of the UNION sketch's bottom-k."""
+    K, B, MAXH = _Q142_K, _Q142_B, _Q142_MAXH
+    ev = _t(spark, sf_dir, "events")
+    hs = ev.select(
+        "event_type", _q142_h52(F.col("user_id").cast("string"), "kmv#").alias("h")
+    )
+    bmin = hs.groupBy("event_type", (F.col("h") % B).alias("bkt")).agg(
+        F.min("h").alias("m")
+    )
+    wb = Window.partitionBy("event_type").orderBy("m")
+    thr = (
+        bmin.withColumn("rk", F.row_number().over(wb))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rk") == K, F.col("m"))).alias("t_k"),
+            F.count(F.lit(1)).alias("n_bkt"),
+        )
+        .select(
+            "event_type",
+            F.when(F.col("n_bkt") >= K, F.col("t_k"))
+            .otherwise(F.lit(MAXH))
+            .alias("thr"),
+        )
+    )
+    cand = (
+        hs.join(F.broadcast(thr), "event_type")
+        .where(F.col("h") <= F.col("thr"))
+        .select("event_type", "h")
+        .distinct()
+    )
+    wr = Window.partitionBy("event_type").orderBy("h")
+    bot = cand.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") <= K)
+    per = bot.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.max(F.when(F.col("rk") == K, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(F.col("n_k") < K, F.col("n_k")).otherwise(
+        F.expr(f"{(K - 1) * MAXH} div h_k")
+    )
+    per = per.select("event_type", est.cast("bigint").alias("est"))
+    ta = per.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_a"))
+    tb = per.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_b"))
+    pairs = ta.crossJoin(tb).where(F.col("type_a") < F.col("type_b"))
+    ua = bot.select(
+        F.col("event_type").alias("type_a"), "h", F.lit(1).alias("tag")
+    ).join(F.broadcast(pairs.select("type_a", "type_b")), "type_a")
+    ub = bot.select(
+        F.col("event_type").alias("type_b"), "h", F.lit(2).alias("tag")
+    ).join(F.broadcast(pairs.select("type_a", "type_b")), "type_b")
+    uni = (
+        ua.select("type_a", "type_b", "h", "tag")
+        .unionByName(ub.select("type_a", "type_b", "h", "tag"))
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.sum("tag").alias("tags"))
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ubot = uni.withColumn("rk", F.row_number().over(wu)).where(F.col("rk") <= K)
+    usum = ubot.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u"),
+        F.max(F.when(F.col("rk") == K, F.col("h"))).alias("h_ku"),
+        F.sum(F.when(F.col("tags") == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_common"),
+    )
+    est_u = F.when(F.col("n_u") < K, F.col("n_u")).otherwise(
+        F.expr(f"{(K - 1) * MAXH} div h_ku")
+    )
+    out = usum.withColumn("est_union", est_u.cast("bigint")).join(
+        F.broadcast(pairs), ["type_a", "type_b"]
+    )
+    # below capacity the union sketch IS the union — the matched count
+    # is exact; at capacity, scale the matched fraction of bottom-k
+    est_i = F.when(F.col("n_u") < K, F.col("n_common")).otherwise(
+        F.expr(f"n_common * est_union div {K}")
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        "n_common",
+        est_i.cast("bigint").alias("est_inter"),
+    )
+
+
+ORACLE_Q142 = f"""
+WITH hs AS (
+  SELECT event_type, {_duck_h52("user_id::VARCHAR", "kmv#")} AS h FROM events
+),
+bmin AS (
+  SELECT event_type, h % {_Q142_B} AS bkt, min(h) AS m
+  FROM hs GROUP BY event_type, h % {_Q142_B}
+),
+thr AS (
+  SELECT event_type,
+         CASE WHEN count(*) >= {_Q142_K}
+              THEN max(CASE WHEN rk = {_Q142_K} THEN m END)
+              ELSE {_Q142_MAXH} END AS thr
+  FROM (SELECT event_type, m,
+               row_number() OVER (PARTITION BY event_type ORDER BY m) AS rk
+        FROM bmin)
+  GROUP BY event_type
+),
+cand AS (
+  SELECT DISTINCT hs.event_type, hs.h
+  FROM hs JOIN thr ON thr.event_type = hs.event_type
+  WHERE hs.h <= thr.thr
+),
+bot AS (
+  SELECT * FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM cand)
+  WHERE rk <= {_Q142_K}
+),
+per AS (
+  SELECT event_type,
+         CAST(CASE WHEN count(*) < {_Q142_K} THEN count(*)
+              ELSE {(_Q142_K - 1) * _Q142_MAXH}
+                   // max(CASE WHEN rk = {_Q142_K} THEN h END) END
+              AS BIGINT) AS est
+  FROM bot GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, a.est AS est_a,
+         b.event_type AS type_b, b.est AS est_b
+  FROM per a, per b WHERE a.event_type < b.event_type
+),
+uni AS (
+  SELECT type_a, type_b, h, sum(tag) AS tags FROM (
+    SELECT p.type_a, p.type_b, bot.h, 1 AS tag
+    FROM bot JOIN pairs p ON bot.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, bot.h, 2 AS tag
+    FROM bot JOIN pairs p ON bot.event_type = p.type_b)
+  GROUP BY type_a, type_b, h
+),
+ubot AS (
+  SELECT * FROM (
+    SELECT type_a, type_b, h, tags,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk
+    FROM uni)
+  WHERE rk <= {_Q142_K}
+),
+usum AS (
+  SELECT type_a, type_b,
+         CAST(CASE WHEN count(*) < {_Q142_K} THEN count(*)
+              ELSE {(_Q142_K - 1) * _Q142_MAXH}
+                   // max(CASE WHEN rk = {_Q142_K} THEN h END) END
+              AS BIGINT) AS est_union,
+         CAST(sum(CASE WHEN tags = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         CAST(count(*) AS BIGINT) AS n_u
+  FROM ubot GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, p.est_a, p.est_b, u.est_union, u.n_common,
+       CAST(CASE WHEN u.n_u < {_Q142_K} THEN u.n_common
+            ELSE u.n_common * u.est_union // {_Q142_K} END AS BIGINT) AS est_inter
+FROM usum u JOIN pairs p ON p.type_a = u.type_a AND p.type_b = u.type_b
+"""
+
+
+def q143_token_weighted_percentiles(spark, sf_dir):
+    """Token-WEIGHTED exact length percentiles per lang — the doc
+    length below which 50% / 90% of the corpus TOKENS live.  Training
+    budgets are spent in tokens, not documents, so the doc-count
+    median (q36/q71) answers the wrong question whenever length skews:
+    one 100k-token doc outweighs a thousand tweets.  Weighted
+    nearest-rank: smallest value v with cum_weight(v)*q >= total*p,
+    in cross-multiplied integer arithmetic — no floats, no
+    interpolation.
+
+    Scale shape: the corpus pass is ONE (lang, n_chars) hash
+    aggregate pre-summing token mass (map-side partials); the
+    cumulative window and the percentile picks run on the grouped
+    (lang × distinct-length) relation — bounded domain, metadata
+    scale, the q128 argument.  Never a window over raw documents."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select("lang", "n_chars", token_count_expr(F.col("text")).alias("tok"))
+        .groupBy("lang", "n_chars")
+        .agg(F.sum("tok").cast("bigint").alias("w"))
+    )
+    wl = Window.partitionBy("lang").orderBy("n_chars")
+    c = g.withColumn("cum", F.sum("w").over(wl)).withColumn(
+        "total", F.sum("w").over(Window.partitionBy("lang"))
+    )
+    return c.groupBy("lang").agg(
+        F.max("total").cast("bigint").alias("total_tokens"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("n_chars")))
+        .cast("bigint")
+        .alias("wp50_chars"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("n_chars")))
+        .cast("bigint")
+        .alias("wp90_chars"),
+    )
+
+
+ORACLE_Q143 = """
+WITH g AS (
+  SELECT lang, n_chars,
+         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS BIGINT) AS w
+  FROM documents GROUP BY lang, n_chars
+),
+c AS (
+  SELECT lang, n_chars, w,
+         sum(w) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY lang) AS total
+  FROM g
+)
+SELECT lang,
+       CAST(max(total) AS BIGINT) AS total_tokens,
+       CAST(min(CASE WHEN cum * 2 >= total THEN n_chars END) AS BIGINT)
+         AS wp50_chars,
+       CAST(min(CASE WHEN cum * 10 >= total * 9 THEN n_chars END) AS BIGINT)
+         AS wp90_chars
+FROM c GROUP BY lang
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -8950,6 +9213,8 @@ ORACLE_Q136 = ORACLE_Q41
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q142_kmv_distinct_algebra": q142_kmv_distinct_algebra,
+    "q143_token_weighted_percentiles": q143_token_weighted_percentiles,
     "q131_column_statistics": q131_column_statistics,
     "q132_bitmap_audience_algebra": q132_bitmap_audience_algebra,
     "q133_streaming_semi_attribution": q133_streaming_semi_attribution,
@@ -9099,6 +9364,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q142_kmv_distinct_algebra": ORACLE_Q142,
+    "q143_token_weighted_percentiles": ORACLE_Q143,
     "q131_column_statistics": ORACLE_Q131,
     "q132_bitmap_audience_algebra": ORACLE_Q132,
     "q133_streaming_semi_attribution": ORACLE_Q133,
