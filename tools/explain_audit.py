@@ -369,6 +369,23 @@ def main() -> None:
                 "BroadcastNestedLoopJoin",
             )
         ),
+        # CUSUM: one corpus agg; k broadcast back; windows over the
+        # hourly relation — broadcast join only
+        "q144_cusum_changepoint": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
+        # BPE merge step: corpus-scale work is ONE word-count agg;
+        # the 1-row best-merge broadcast crossJoin plans as a
+        # broadcast NLJ over the vocab-scale relation (metadata by
+        # construction) — never a CartesianProduct or SMJ
+        "q145_bpe_merge_step": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
+        # join-size forecast: equi-joins between AGGREGATED key-count
+        # relations only — the forecasted joins themselves never run
+        "q146_join_size_forecast": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
     }
     for name, kw in audits.items():
         plan = plan_of(QUERIES[name](spark, sf_dir))

@@ -9200,6 +9200,286 @@ FROM c GROUP BY lang
 """
 
 
+def q144_cusum_changepoint(spark, sf_dir):
+    """Integer-exact CUSUM change-point detection over hourly event
+    rates — the sustained-level-shift monitor that complements q126's
+    single-spike ratio test: a crawler that silently doubles its rate
+    never trips a 2x-spike rule because every window resembles its
+    neighbours, but the one-sided CUSUM accumulates the drift and
+    alarms.  The recurrence S_i = max(0, S_{i-1} + (n_i - k)) is not
+    window-expressible directly, but the classic prefix identity is:
+    S_i = P_i - min(0, min_{j<=i} P_j) with P the running sum of
+    (n_i - k) — two plain cumulative windows, no recursion, no UDF.
+    Reference slack k = floor(mean) + 1 per event_type (integer, so a
+    flat series drifts down instead of accumulating on ties); alarm
+    threshold h = 4k.  All-integer output: engines cannot diverge.
+
+    Scale shape: one (event_type, hour) corpus aggregate with map-side
+    partials; the per-type k is a 5-row broadcast; both cumulative
+    windows run per event_type over the WINDOW-COUNT relation
+    (hours x types — metadata-scale), never over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ref = hourly.groupBy("event_type").agg(
+        (F.expr("sum(n) div count(*)") + 1).cast("bigint").alias("k")
+    )
+    j = hourly.join(F.broadcast(ref), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = F.sum(F.col("n") - F.col("k")).over(w)
+    d = j.withColumn("p", p).withColumn(
+        "cusum", F.col("p") - F.least(F.lit(0), F.min("p").over(w))
+    )
+    return d.select(
+        "event_type",
+        F.unix_timestamp("h").cast("bigint").alias("window_epoch"),
+        "n",
+        "k",
+        F.col("cusum").cast("bigint").alias("cusum"),
+        (F.col("cusum") >= 4 * F.col("k")).alias("is_alarm"),
+    )
+
+
+ORACLE_Q144 = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+ref AS (
+  SELECT event_type, CAST(sum(n) // count(*) + 1 AS BIGINT) AS k
+  FROM hourly GROUP BY event_type
+),
+c AS (
+  SELECT hourly.event_type, h, n, k,
+         sum(n - k) OVER (PARTITION BY hourly.event_type ORDER BY h
+                          ROWS UNBOUNDED PRECEDING) AS p
+  FROM hourly JOIN ref ON ref.event_type = hourly.event_type
+),
+s AS (
+  SELECT event_type, h, n, k,
+         p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY h
+                                   ROWS UNBOUNDED PRECEDING)) AS cusum
+  FROM c
+)
+SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS window_epoch, n, k,
+       CAST(cusum AS BIGINT) AS cusum, cusum >= 4 * k AS is_alarm
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q145: BPE merge-induction step (tokenizer training inner loop)
+# ---------------------------------------------------------------------------
+
+_Q145_TOPK = 20  # post-merge pair table size returned
+
+
+def q145_bpe_merge_step(spark, sf_dir):
+    """One BPE merge-induction step — the inner loop of tokenizer
+    TRAINING (count adjacent symbol pairs, pick the most frequent,
+    merge it everywhere), which q33's fixed-regex tokenizer consumes
+    but nothing in the catalog produces.  Returns the post-merge top
+    pair table (the next iteration's input) with the applied merge
+    pinned on every row; driver-side iteration extends it to a full
+    vocab, the q122 k-means pattern.
+
+    The classic BPE-training reduction makes this tractable: pair
+    counting runs over the DISTINCT-WORD frequency table (vocab-scale)
+    weighted by word counts — the corpus-scale work is exactly ONE
+    word-count aggregate, after which every stage touches thousands of
+    rows, not billions.  Merge application is two non-overlapping
+    leftmost replaces over the space-joined symbol string (sentinel
+    spaces keep multi-char symbols from false-matching across
+    boundaries); one pass can strand an occurrence whose shared
+    delimiter the previous match consumed, two passes reach the
+    simultaneous-merge fixpoint (property-tested: a third pass changes
+    nothing).  Both engines' replace() scans leftmost non-overlapping,
+    so the result is bit-identical.  Ranks totally ordered by
+    (count desc, pair asc) — no tie ambiguity."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    sp = wf.select(
+        "cnt", F.rtrim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("sp")
+    )
+
+    def pair_counts(d):
+        syms = F.split("sp", " ")
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(sp, ' '))-1),"
+                " i -> concat(split(sp, ' ')[i-1], ' ', split(sp, ' ')[i]))"
+            ),
+        ).otherwise(F.expr("array()"))
+        return (
+            d.select("cnt", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+
+    p1 = pair_counts(sp)
+    wb = Window.orderBy(F.col("pc").desc(), F.col("pair").asc())
+    # top-1 by (pc desc, pair asc) as a plain struct-min fold — no
+    # global window, no single-partition shuffle for the argmax
+    best = p1.agg(
+        F.min(F.struct((-F.col("pc")).alias("npc"), F.col("pair").alias("pair")))
+        .getField("pair")
+        .alias("bp")
+    ).select("bp", F.replace(F.col("bp"), F.lit(" "), F.lit("")).alias("mg"))
+    merged = sp.crossJoin(F.broadcast(best))
+    pat = F.concat(F.lit(" "), F.col("bp"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("mg"), F.lit(" "))
+    s0 = F.concat(F.lit(" "), F.col("sp"), F.lit(" "))
+    merged = merged.select(
+        "cnt",
+        "bp",
+        F.trim(F.replace(F.replace(s0, pat, rep), pat, rep)).alias("sp"),
+    )
+    p2 = pair_counts(merged)
+    out = (
+        p2.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") <= _Q145_TOPK)
+        .crossJoin(F.broadcast(best.select("bp")))
+    )
+    return out.select(
+        F.col("rk").cast("bigint").alias("rk"),
+        F.split("pair", " ")[0].alias("left_sym"),
+        F.split("pair", " ")[1].alias("right_sym"),
+        F.col("pc").alias("pair_count"),
+        F.split("bp", " ")[0].alias("merge_left"),
+        F.split("bp", " ")[1].alias("merge_right"),
+    )
+
+
+ORACLE_Q145 = f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w
+),
+sp AS (
+  SELECT cnt, rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sp FROM wf
+),
+p1 AS (
+  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+    SELECT cnt, unnest(list_transform(
+             generate_series(1, len(string_split(sp, ' ')) - 1),
+             i -> string_split(sp, ' ')[i] || ' ' || string_split(sp, ' ')[i+1]
+           )) AS pair
+    FROM sp)
+  GROUP BY pair
+),
+best AS (
+  SELECT pair AS bp, replace(pair, ' ', '') AS mg
+  FROM p1 ORDER BY pc DESC, pair LIMIT 1
+),
+merged AS (
+  SELECT cnt, bp,
+         trim(replace(replace(' ' || sp || ' ', ' ' || bp || ' ', ' ' || mg || ' '),
+                      ' ' || bp || ' ', ' ' || mg || ' ')) AS sp
+  FROM sp CROSS JOIN best
+),
+p2 AS (
+  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+    SELECT cnt, unnest(list_transform(
+             generate_series(1, len(string_split(sp, ' ')) - 1),
+             i -> string_split(sp, ' ')[i] || ' ' || string_split(sp, ' ')[i+1]
+           )) AS pair
+    FROM merged)
+  GROUP BY pair
+),
+rk AS (
+  SELECT pair, pc, row_number() OVER (ORDER BY pc DESC, pair) AS rk FROM p2
+)
+SELECT CAST(rk AS BIGINT) AS rk,
+       string_split(pair, ' ')[1] AS left_sym,
+       string_split(pair, ' ')[2] AS right_sym,
+       pc AS pair_count,
+       string_split(bp, ' ')[1] AS merge_left,
+       string_split(bp, ' ')[2] AS merge_right
+FROM rk CROSS JOIN best
+WHERE rk <= {_Q145_TOPK}
+"""
+
+
+def q146_join_size_forecast(spark, sf_dir):
+    """Optimizer-grade JOIN-SIZE AND SKEW FORECAST — predict a shuffle
+    join's output cardinality and its worst hot key from per-key count
+    histograms WITHOUT running the join: |A join B| = sum over matched
+    keys of c_A(k)*c_B(k), exactly.  At 100 TB this cheap forecast (two
+    linear aggregates + an equi-join of KEY-scale relations) is what
+    decides broadcast vs shuffle vs salting (q90) before committing to
+    a multi-hour shuffle; the skew ratio (hot key's share in ppm) is
+    the salting trigger.  All-integer output.
+
+    Scale shape: per join, two single-shuffle key-count aggregates
+    (map-side partials), one fixed-width-key equi-join between the
+    AGGREGATED relations (orders-of-magnitude smaller than the data),
+    one global fold.  Nothing touches the forecasted join itself."""
+    joins = [
+        ("customer_orders", _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")),
+         _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))),
+        ("orders_lineitem", _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")),
+         _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))),
+    ]
+    outs = []
+    for name, left, right in joins:
+        la = left.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("cl"))
+        ra = right.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+        m = la.join(ra, "k")
+        outs.append(
+            m.agg(
+                F.lit(name).alias("join_name"),
+                F.sum("cl").cast("bigint").alias("left_rows_matched"),
+                F.sum("cr").cast("bigint").alias("right_rows_matched"),
+                F.count(F.lit(1)).cast("bigint").alias("match_keys"),
+                F.sum(F.col("cl") * F.col("cr")).cast("bigint").alias("predicted_rows"),
+                F.max(F.col("cl") * F.col("cr")).cast("bigint").alias("max_key_rows"),
+                F.expr("CAST(max(cl * cr) * 1000000 div sum(cl * cr) AS BIGINT)")
+                .alias("skew_ppm"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+ORACLE_Q146 = """
+WITH co AS (
+  SELECT 'customer_orders' AS join_name, la.cl, ra.cr
+  FROM (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS cl
+        FROM customer GROUP BY c_custkey) la
+  JOIN (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cr
+        FROM orders GROUP BY o_custkey) ra ON la.k = ra.k
+),
+ol AS (
+  SELECT 'orders_lineitem' AS join_name, la.cl, ra.cr
+  FROM (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cl
+        FROM orders GROUP BY o_orderkey) la
+  JOIN (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cr
+        FROM lineitem GROUP BY l_orderkey) ra ON la.k = ra.k
+),
+u AS (SELECT * FROM co UNION ALL SELECT * FROM ol)
+SELECT join_name,
+       CAST(sum(cl) AS BIGINT) AS left_rows_matched,
+       CAST(sum(cr) AS BIGINT) AS right_rows_matched,
+       CAST(count(*) AS BIGINT) AS match_keys,
+       CAST(sum(cl * cr) AS BIGINT) AS predicted_rows,
+       CAST(max(cl * cr) AS BIGINT) AS max_key_rows,
+       CAST(max(cl * cr) * 1000000 // sum(cl * cr) AS BIGINT) AS skew_ppm
+FROM u GROUP BY join_name
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -9213,6 +9493,9 @@ FROM c GROUP BY lang
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q144_cusum_changepoint": q144_cusum_changepoint,
+    "q145_bpe_merge_step": q145_bpe_merge_step,
+    "q146_join_size_forecast": q146_join_size_forecast,
     "q142_kmv_distinct_algebra": q142_kmv_distinct_algebra,
     "q143_token_weighted_percentiles": q143_token_weighted_percentiles,
     "q131_column_statistics": q131_column_statistics,
@@ -9364,6 +9647,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q144_cusum_changepoint": ORACLE_Q144,
+    "q145_bpe_merge_step": ORACLE_Q145,
+    "q146_join_size_forecast": ORACLE_Q146,
     "q142_kmv_distinct_algebra": ORACLE_Q142,
     "q143_token_weighted_percentiles": ORACLE_Q143,
     "q131_column_statistics": ORACLE_Q131,
