@@ -42,10 +42,14 @@ def main() -> None:
 
     def check(name: str, plan: str, *, broadcast=False, pushed=False,
               codegen=True, forbid_read: tuple[str, ...] = (),
-              forbid_node: tuple[str, ...] = ()):
+              forbid_node: tuple[str, ...] = (),
+              require_node: tuple[str, ...] = ()):
         for node in forbid_node:
             if node in plan:
                 failures.append(f"{name}: forbidden plan node {node}")
+        for node in require_node:
+            if node not in plan:
+                failures.append(f"{name}: required plan node {node} missing")
         if broadcast and "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan:
             failures.append(f"{name}: expected broadcast join")
         if pushed and not re.search(r"PushedFilters: \[[^\]]+\]", plan):
@@ -385,6 +389,19 @@ def main() -> None:
         # relations only — the forecasted joins themselves never run
         "q146_join_size_forecast": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # priority sample: global top-K MUST plan as TakeOrdered
+        # (per-partition heap + driver merge of K-row slices), never a
+        # full Sort+Exchange of the corpus; no join of any kind
+        "q148_priority_sample": dict(
+            require_node=("TakeOrderedAndProject",),
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            ),
         ),
     }
     for name, kw in audits.items():

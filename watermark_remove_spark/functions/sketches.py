@@ -313,3 +313,86 @@ def cms_windowed_stream(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .select(F.col("w.start").alias("window_start"), "depth", "bucket", "c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-min / occupancy distinct sketch — the min-based complement of
+# the rho-based HLL above, and the streaming counterpart of the KMV
+# bottom-k sketch (queries.py q142).  The 52-bit hash space is split
+# into B buckets by h % B; each bucket keeps its MINIMUM hash.  min is
+# idempotent and merge-associative, so the streaming form is two
+# chained stateful aggregations with state bounded at B rows per
+# (window, group).  The oracle-checked surface is pure-integer:
+# n_present (bucket occupancy — the linear-counting statistic, Whang
+# et al.) and min_sum (the raw sketch mass; sum <= 256 * 2^52 = 2^60,
+# exact BIGINT).  The estimate itself needs ln(), whose last-ulp
+# behavior is libm-specific, so — exactly like hll_corrected_estimate
+# — :func:`mincount_lc_estimate` applies linear counting for users and
+# pytest brackets its accuracy; the hash-compared columns stay
+# integer.  (A naive per-bucket sum of M div (min+1) is NOT exposed:
+# its expectation is harmonic — ~ln M per single-item bucket — so it
+# over-estimates sparse windows by ~36x; occupancy carries the sparse
+# regime instead.)
+# ---------------------------------------------------------------------------
+
+MC_BUCKETS = 256
+MC_HEX = 13                   # 13 hex chars -> 52-bit hash
+MC_MAX = 1 << (4 * MC_HEX)
+
+
+def mc_hash_expr(value: Column, salt: str = "mc#") -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), value)), 1, MC_HEX), 16, 10
+    ).cast("bigint")
+
+
+def mincount_windowed_stream(
+    stream: DataFrame,
+    value_col: str,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("lang",),
+    ts_col: str = "warc_ts",
+    salt: str = "mc#",
+) -> DataFrame:
+    """STREAMING windowed bucket-min distinct sketch: stage 1 mins the
+    52-bit hash per (window, group, h % B) — idempotent, so replayed
+    rows cannot move it; stage 2 folds the <= B bucket rows into
+    (n_present, min_sum) per (window, group).  State is bounded at
+    B = 256 rows per group on an unbounded stream, and every output
+    bit is integer arithmetic both engines reproduce exactly."""
+    v = F.col(value_col).cast("string")
+    h = mc_hash_expr(v, salt)
+    regs = (
+        stream.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            *group_cols,
+            (h % MC_BUCKETS).alias("__b"),
+        )
+        .agg(F.min(h).alias("__m"))
+    )
+    agg = regs.groupBy(F.window(F.col("w"), window).alias("w2"), *group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum("__m").cast("long").alias("min_sum"),
+    )
+    return agg.select(
+        F.col("w2.start").alias("window_start"), *group_cols, "n_present", "min_sum"
+    )
+
+
+def mincount_lc_estimate(df: DataFrame) -> DataFrame:
+    """Linear-counting estimate over the sketch's occupancy column:
+    n_hat = B * ln(B / (B - n_present)) — accurate while occupancy is
+    below ~all-full (n <~ B ln B ~ 1400 at B=256; size B up for bigger
+    windows).  Uses ln() -> NOT oracle-hash-safe; for human consumption
+    and the pytest accuracy bound, the hll_corrected_estimate split."""
+    b = float(MC_BUCKETS)
+    full = F.col("n_present") >= F.lit(MC_BUCKETS)
+    lc = F.lit(b) * F.log(
+        F.lit(b) / (F.lit(b) - F.col("n_present").cast("double"))
+    )
+    return df.withColumn(
+        "estimate", F.when(full, F.lit(None).cast("double")).otherwise(lc)
+    )

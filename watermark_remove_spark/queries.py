@@ -9480,6 +9480,252 @@ FROM u GROUP BY join_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q147: STREAMING Bloom-pruned stream-static enrichment
+# ---------------------------------------------------------------------------
+
+_Q147_N = 300  # fixture users/events per base batch
+
+
+def q147_streaming_bloom_pruned_enrich(spark, sf_dir):
+    """STREAMING runtime-filter pruning — q54's Bloom pattern applied
+    INSIDE an unbounded stream: the static 'suspended users' dimension
+    folds into a few-hundred-byte bitmap whose membership predicate is
+    inlined as literals into the stream's map-side filter, so at
+    100 TB/day the stream drops non-candidates BEFORE any join or
+    state; survivors are exact-verified by a STATELESS stream-static
+    broadcast left join (Spark re-plans the static side each trigger),
+    then counted per event-time window under a watermark.
+
+    BF_BITS=256 is deliberately undersized so false positives occur at
+    fixture scale and the oracle must reproduce the bitmap bit-for-bit
+    (n_candidates > n_exact_hits in at least one window —
+    pytest-asserted); candidates that fail the exact join are counted
+    but not enriched, so FPs cost wasted candidates, never wrong
+    answers.  Fixture timeline is pure arithmetic the oracle rebuilds
+    from range(); watermark pushers flush every real window."""
+    import pandas as pd
+
+    from .functions.bloom import (
+        BF_K,
+        bloom_build_words,
+        bloom_member_expr,
+        bloom_position_exprs,
+    )
+    from .sources.pages import stream_events_files, write_batch_files
+
+    t0 = pd.Timestamp(STATIC_T0_EPOCH, unit="s")
+    n = _Q147_N
+
+    def ev_batch(rows, id0):
+        return pd.DataFrame(
+            {
+                "event_id": [id0 + j for j in range(len(rows))],
+                "ts": [t0 + pd.Timedelta(seconds=s) for _, s in rows],
+                "user_id": [u for u, _ in rows],
+                "event_type": ["crawl"] * len(rows),
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    # Watermark pushers MUST be bloom MEMBERS (multiples of 7):
+    # Catalyst pushes the deterministic bloom predicate BELOW the
+    # EventTimeWatermark operator, so only rows that survive the
+    # pruning filter advance the watermark — a pusher the filter drops
+    # would leave the last real windows open forever.  (Production
+    # rule this encodes: heartbeat rows must pass every map-side
+    # pruning predicate, or the watermark stalls.)  Their own +7200
+    # window never closes and is excluded by the epoch cut below.
+    batches = [
+        ev_batch([(i, i * 7) for i in range(n)], 0),
+        ev_batch([(i, 2400 + i) for i in range(n) if i % 3 == 0], 10000),
+        ev_batch([(0, 7200), (7, 7207)], 20000),
+        ev_batch([(14, 7214), (21, 7221)], 25000),
+    ]
+    src = _q_tmpdir("wrs-q-bloomstream-")
+    write_batch_files(batches, src)
+
+    susp = spark.createDataFrame(
+        pd.DataFrame({"user_id": [u for u in range(n) if u % 7 == 0]})
+    )
+    dim_path = _q_tmpdir("wrs-q-susp-")
+    susp.write.mode("overwrite").parquet(dim_path)
+    static_susp = spark.read.parquet(dim_path)
+    words = bloom_build_words(static_susp, "user_id")
+
+    stream = stream_events_files(spark, src, 1).withWatermark("ts", "10 minutes")
+    probe = stream.select(
+        "ts", "user_id", *bloom_position_exprs(F.col("user_id").cast("string"))
+    )
+    cand = probe.where(
+        bloom_member_expr(words, [f"p{i}" for i in range(BF_K)])
+    )
+    enriched = cand.join(
+        F.broadcast(static_susp.withColumn("is_susp", F.lit(True))),
+        "user_id",
+        "left",
+    )
+    agg = enriched.groupBy(F.window("ts", "10 minutes")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("is_susp"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_hits"),
+    )
+    out = _drain(
+        agg.select(
+            F.unix_timestamp("window.start").cast("bigint").alias("window_start_epoch"),
+            "n_candidates",
+            "n_exact_hits",
+        ),
+        spark,
+    )
+    return out.where(F.col("window_start_epoch") < STATIC_T0_EPOCH + 3600)
+
+
+def _oracle_q147() -> str:
+    from .functions.bloom import BF_BITS, duck_bloom_ctes
+
+    h = lambda i: (  # noqa: E731
+        f"(('0x' || substr(md5('bf{i}#' || user_id::VARCHAR), 1, 15))::BIGINT)"
+        f" % {BF_BITS}"
+    )
+    n = _Q147_N
+    words = duck_bloom_ctes(
+        f"SELECT CAST(u.i AS BIGINT)::VARCHAR AS k"
+        f" FROM UNNEST(range(0, {n}, 7)) AS u(i)",
+        "k",
+    )
+    return f"""
+WITH words AS (
+{words}
+), ks AS (SELECT CAST(u.i AS BIGINT) AS i FROM UNNEST(range({n})) AS u(i)),
+ev AS (
+  SELECT i AS user_id, {STATIC_T0_EPOCH} + i * 7 AS epoch FROM ks
+  UNION ALL
+  SELECT i AS user_id, {STATIC_T0_EPOCH} + 2400 + i AS epoch FROM ks WHERE i % 3 = 0
+),
+probe AS (
+  SELECT epoch, user_id, {h(0)} AS p0, {h(1)} AS p1 FROM ev
+),
+m AS (
+  SELECT pr.epoch, pr.user_id,
+         coalesce(w0.bits, 0::UBIGINT) AS b0, coalesce(w1.bits, 0::UBIGINT) AS b1,
+         pr.p0, pr.p1
+  FROM probe pr
+  LEFT JOIN words w0 ON w0.w = pr.p0 // 64
+  LEFT JOIN words w1 ON w1.w = pr.p1 // 64
+),
+cand AS (
+  SELECT epoch, user_id FROM m
+  WHERE ((b0 >> CAST(p0 % 64 AS INT)) & 1::UBIGINT) = 1::UBIGINT
+    AND ((b1 >> CAST(p1 % 64 AS INT)) & 1::UBIGINT) = 1::UBIGINT
+)
+SELECT (epoch // 600) * 600 AS window_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_hits
+FROM cand GROUP BY 1
+"""
+
+
+_Q148_K = 100
+_Q148_M = 1 << 52
+
+
+def q148_priority_sample(spark, sf_dir):
+    """EXACT-K weighted sampling without replacement via priority
+    sampling: each doc gets integer priority (w * 2^52) div (h + 1)
+    with w = n_chars and h the deterministic 52-bit portable hash (the
+    integer form of the classic w/u priority, u uniform), and the
+    sample is the global top-K by (priority desc, doc_id) — so
+    inclusion probability is proportional to weight but the output
+    size is EXACTLY K, the fixed-budget guarantee q76's per-row
+    Bernoulli (expected size only) cannot give.  Pure integer
+    arithmetic; membership is a function of (doc_id, n_chars) alone —
+    reproducible across clusters, partitionings and reruns.
+
+    Scale shape: priority is a map-side expression; the global top-K
+    plans as TakeOrderedAndProject (per-partition heap top-K + driver
+    merge of K-row slices — plan-audited) — NEVER a full sort of the
+    corpus.  w*2^52 <= 577*2^52 < 2^63: no overflow at fixture scale;
+    production re-scales the modulus to its weight ceiling."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(f"CAST(n_chars AS BIGINT) * CAST({_Q148_M} AS BIGINT)").alias("__wm"),
+        _q142_h52(F.col("doc_id").cast("string"), "prio#").alias("__h"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr("__wm div (__h + 1)").alias("priority"),
+    )
+    return d.orderBy(F.col("priority").desc(), F.col("doc_id").asc()).limit(_Q148_K)
+
+
+ORACLE_Q148 = f"""
+SELECT doc_id, lang, n_chars,
+       CAST(n_chars AS BIGINT) * {_Q148_M}
+         // ({_duck_h52("doc_id::VARCHAR", "prio#")} + 1) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id
+LIMIT {_Q148_K}
+"""
+
+
+def q149_streaming_mincount_distinct(spark, sf_dir):
+    """STREAMING windowed bucket-min/occupancy distinct sketch — the
+    min-based complement of q53's rho-based HLL and the streaming
+    counterpart of q142's KMV bottom-k: bucket mins are idempotent and
+    merge-associative, so chained stateful aggregations keep state
+    bounded at B=256 rows per (window, lang) on an unbounded stream.
+    The hash-compared surface is PURE INTEGER — occupancy n_present
+    (the linear-counting statistic) and min_sum (raw sketch mass,
+    <= 2^60) — while the ln()-based linear-counting estimate lives in
+    ``mincount_lc_estimate`` and is pytest-bracketed vs exact
+    distinct, the exact split HLL uses for its small-range correction.
+    Same sentinel-pinned derived stream as q53."""
+    from .functions.sketches import mincount_windowed_stream
+    from .sources.pages import stream_pages_files
+
+    src, _ = _derived_stream_fixture(spark, sf_dir)
+    stream = stream_pages_files(spark, src, 1)
+    out = _drain(mincount_windowed_stream(stream, "url"), spark)
+    return out.where(
+        F.col("window_start") < F.lit("2027-01-01").cast("timestamp")
+    ).select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start_epoch"),
+        "lang",
+        "n_present",
+        "min_sum",
+    )
+
+
+def _oracle_q149() -> str:
+    from .functions.sketches import MC_BUCKETS, MC_HEX
+
+    hv = f"(('0x' || substr(md5('mc#' || url), 1, {MC_HEX}))::BIGINT)"
+    return f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), br AS (
+  SELECT CAST(floor(epoch(warc_ts) / 600) AS BIGINT) * 600 AS ws, lang,
+         {hv} % {MC_BUCKETS} AS b, {hv} AS h
+  FROM pages
+  WHERE url IS NOT NULL
+), regs AS (
+  SELECT ws, lang, b, min(h) AS m FROM br GROUP BY 1, 2, 3
+)
+SELECT ws AS window_start_epoch, lang,
+       CAST(count(*) AS BIGINT) AS n_present,
+       CAST(sum(m) AS BIGINT) AS min_sum
+FROM regs GROUP BY 1, 2
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -9493,6 +9739,9 @@ FROM u GROUP BY join_name
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q147_streaming_bloom_pruned_enrich": q147_streaming_bloom_pruned_enrich,
+    "q148_priority_sample": q148_priority_sample,
+    "q149_streaming_mincount_distinct": q149_streaming_mincount_distinct,
     "q144_cusum_changepoint": q144_cusum_changepoint,
     "q145_bpe_merge_step": q145_bpe_merge_step,
     "q146_join_size_forecast": q146_join_size_forecast,
@@ -9647,6 +9896,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q147_streaming_bloom_pruned_enrich": _oracle_q147(),
+    "q148_priority_sample": ORACLE_Q148,
+    "q149_streaming_mincount_distinct": _oracle_q149(),
     "q144_cusum_changepoint": ORACLE_Q144,
     "q145_bpe_merge_step": ORACLE_Q145,
     "q146_join_size_forecast": ORACLE_Q146,
