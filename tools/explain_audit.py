@@ -390,6 +390,16 @@ def main() -> None:
         "q146_join_size_forecast": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # LM hit scoring: one bigram explode; membership is an
+        # equi-join (semi) on the token pair — never all-pairs
+        "q151_lm_hit_scoring": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # FK audit: joins run between AGGREGATED key relations only;
+        # the 1-row parent-count crossJoin broadcasts (metadata scale)
+        "q152_referential_integrity_audit": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
         # priority sample: global top-K MUST plan as TakeOrdered
         # (per-partition heap + driver merge of K-row slices), never a
         # full Sort+Exchange of the corpus; no join of any kind

@@ -9726,6 +9726,285 @@ FROM regs GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q150: STREAMING exact distinct via bitmap words (dense id spaces)
+# ---------------------------------------------------------------------------
+
+_Q150_N = 400
+
+
+def q150_streaming_bitmap_distinct(spark, sf_dir):
+    """STREAMING windowed EXACT distinct-user counting via bitmap
+    words — the exact complement of q53/q149's sketches for DENSE,
+    BOUNDED id spaces (user ids, shard ids): bit_or folds each
+    64-id block into one long word (idempotent — replayed rows cannot
+    flip a set bit twice; merge-associative — partial words combine in
+    any order), so chained stateful aggregations hold |id_space|/64
+    words per window instead of one state row per distinct user, and
+    the popcount sum is EXACT, not an estimate.  q132 is the batch
+    bitmap algebra; this is its streaming form.  State math: 10^9
+    dense users = 16M words/window (~128 MB) — exact distinct where
+    HLL would be the only option otherwise; sketches (q53/q149) remain
+    the answer for unbounded/sparse domains like URLs.
+
+    Fixture timeline is pure arithmetic (q100 pattern) with
+    deliberate within-window duplicates (user_id = i % 100 against
+    120-event windows), so exactness vs count(DISTINCT) is non-vacuous;
+    watermark pushers flush every real window."""
+    import pandas as pd
+
+    from .sources.pages import stream_events_files, write_batch_files
+
+    t0 = pd.Timestamp(STATIC_T0_EPOCH, unit="s")
+    n = _Q150_N
+
+    def ev_batch(rows, id0):
+        return pd.DataFrame(
+            {
+                "event_id": [id0 + j for j in range(len(rows))],
+                "ts": [t0 + pd.Timedelta(seconds=s) for _, s in rows],
+                "user_id": [u for u, _ in rows],
+                "event_type": ["crawl"] * len(rows),
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    batches = [
+        ev_batch([(i % 100, i * 5) for i in range(n)], 0),
+        ev_batch([(3 * i, 2400 + i) for i in range(100)], 10000),
+        ev_batch([(0, 7200), (1, 7207)], 20000),
+        ev_batch([(2, 7214), (3, 7221)], 25000),
+    ]
+    src = _q_tmpdir("wrs-q-bitmapstream-")
+    write_batch_files(batches, src)
+
+    stream = stream_events_files(spark, src, 1).withWatermark("ts", "10 minutes")
+    words = stream.groupBy(
+        F.window("ts", "10 minutes").alias("w"),
+        F.expr("user_id div 64").alias("word_idx"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))"
+        ).alias("word")
+    )
+    agg = words.groupBy(F.window(F.col("w"), "10 minutes").alias("w2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_distinct"),
+    )
+    out = _drain(
+        agg.select(
+            F.unix_timestamp("w2.start").cast("bigint").alias("window_start_epoch"),
+            "n_words",
+            "n_distinct",
+        ),
+        spark,
+    )
+    return out.where(F.col("window_start_epoch") < STATIC_T0_EPOCH + 3600)
+
+
+ORACLE_Q150 = f"""
+WITH ev AS (
+  SELECT CAST(u.i % 100 AS BIGINT) AS user_id,
+         {STATIC_T0_EPOCH} + u.i * 5 AS epoch
+  FROM UNNEST(range({_Q150_N})) AS u(i)
+  UNION ALL
+  SELECT CAST(3 * u.i AS BIGINT), {STATIC_T0_EPOCH} + 2400 + u.i
+  FROM UNNEST(range(100)) AS u(i)
+),
+words AS (
+  SELECT (epoch // 600) * 600 AS ws, user_id // 64 AS word_idx,
+         bit_or(1::UBIGINT << CAST(user_id % 64 AS INT)) AS word
+  FROM ev GROUP BY 1, 2
+)
+SELECT ws AS window_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(bit_count(word)) AS BIGINT) AS n_distinct
+FROM words GROUP BY ws
+"""
+
+
+def q151_lm_hit_scoring(spark, sf_dir):
+    """LM-table document scoring — APPLYING q109's count tables as a
+    quality filter: each document's bigrams are checked against the
+    corpus bigram table (kept where count >= 3), and the per-doc hit
+    rate in exact integer ppm is the perplexity-proxy signal modern
+    pipelines threshold on (a doc whose word transitions rarely occur
+    elsewhere is boilerplate, gibberish, or another language).
+    Self-referential by design, like q109: the corpus scores itself.
+
+    Scale shape: ONE bigram explode feeding both the table build (hash
+    agg with map-side partials) and the per-doc totals; membership is
+    one fixed-width equi-join (left semi) between the exploded bigrams
+    and the VOCAB²-bounded known table; per-doc folds are linear.
+    Integer-exact ppm — no floats."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    n = F.size(tk)
+    pairs = docs.where(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, n - 1).alias("t1"), F.slice(tk, 2, n - 1).alias("t2")
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    known = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+        .select("t1", "t2")
+    )
+    tot = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams")
+    )
+    hits = (
+        semi_join(
+            pairs,
+            known.select(F.col("t1").alias("__k1"), F.col("t2").alias("__k2")),
+            (pairs.t1 == F.col("__k1")) & (pairs.t2 == F.col("__k2")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn(
+            "hit_ppm", F.expr("n_hits * 1000000 div n_bigrams").cast("bigint")
+        )
+    )
+
+
+ORACLE_Q151 = """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT doc_id, toks[CAST(u.i + 1 AS INT)] AS t1, toks[CAST(u.i + 2 AS INT)] AS t2
+  FROM tk, UNNEST(range(len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), known AS (
+  SELECT t1, t2 FROM pairs GROUP BY t1, t2 HAVING count(*) >= 3
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams FROM pairs GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM pairs p
+  WHERE EXISTS (SELECT 1 FROM known k WHERE k.t1 = p.t1 AND k.t2 = p.t2)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_bigrams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // t.n_bigrams AS BIGINT) AS hit_ppm
+FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+"""
+
+
+def q152_referential_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit over every FK edge of the schema —
+    the dbt-test family run as ONE query: per edge, child volume,
+    distinct child keys, ORPHAN child rows (keys with no parent — the
+    broken-pipeline signal), parents, parents actually referenced, and
+    unused parents (dimension bloat).  At 100 TB these audits gate
+    every load; a full anti-join per edge would re-shuffle the fact
+    tables, so everything here runs on KEY-COUNT relations.
+
+    Scale shape: per edge, one linear child key-count agg + one
+    distinct-parent-key projection, then LEFT joins between those
+    AGGREGATED relations (orphan rows = child counts whose key found
+    no parent) — the fact table is touched exactly once, by the
+    aggregate."""
+    edges = [
+        ("orders->customer", _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")),
+         _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))),
+        ("lineitem->orders", _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k")),
+         _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))),
+        ("customer->nation", _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")),
+         _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))),
+        ("supplier->nation", _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")),
+         _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))),
+        ("nation->region", _t(spark, sf_dir, "nation").select(F.col("n_regionkey").alias("k")),
+         _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k"))),
+    ]
+    outs = []
+    for name, child, parent in edges:
+        ck = child.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        pk = parent.select("k").distinct().withColumn("__p", F.lit(1))
+        m = ck.join(pk, "k", "left")
+        outs.append(
+            m.agg(
+                F.lit(name).alias("fk_edge"),
+                F.sum("c").cast("bigint").alias("child_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("child_keys"),
+                F.sum(F.when(F.col("__p").isNull(), F.col("c")).otherwise(0))
+                .cast("bigint")
+                .alias("orphan_rows"),
+                F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("orphan_keys"),
+                F.sum(F.when(F.col("__p").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("parents_referenced"),
+            ).crossJoin(
+                F.broadcast(
+                    pk.agg(F.count(F.lit(1)).cast("bigint").alias("parent_keys"))
+                )
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "fk_edge",
+        "child_rows",
+        "child_keys",
+        "orphan_rows",
+        "orphan_keys",
+        "parent_keys",
+        "parents_referenced",
+        (F.col("parent_keys") - F.col("parents_referenced"))
+        .cast("bigint")
+        .alias("unused_parents"),
+    )
+
+
+def _oracle_q152_edge(name: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+  SELECT '{name}' AS fk_edge,
+         CAST(sum(c) AS BIGINT) AS child_rows,
+         CAST(count(*) AS BIGINT) AS child_keys,
+         CAST(sum(CASE WHEN p IS NULL THEN c ELSE 0 END) AS BIGINT) AS orphan_rows,
+         CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys,
+         (SELECT CAST(count(DISTINCT {pkey}) AS BIGINT) FROM {parent}) AS parent_keys,
+         CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS parents_referenced,
+         (SELECT CAST(count(DISTINCT {pkey}) AS BIGINT) FROM {parent})
+           - CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS unused_parents
+  FROM (SELECT ck.k, ck.c, pk.p
+        FROM (SELECT {ckey} AS k, CAST(count(*) AS BIGINT) AS c
+              FROM {child} GROUP BY {ckey}) ck
+        LEFT JOIN (SELECT DISTINCT {pkey} AS k, 1 AS p FROM {parent}) pk
+          ON pk.k = ck.k)
+"""
+
+
+ORACLE_Q152 = " UNION ALL ".join(
+    [
+        _oracle_q152_edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        _oracle_q152_edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        _oracle_q152_edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        _oracle_q152_edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        _oracle_q152_edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+)
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -9739,6 +10018,9 @@ FROM regs GROUP BY 1, 2
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q150_streaming_bitmap_distinct": q150_streaming_bitmap_distinct,
+    "q151_lm_hit_scoring": q151_lm_hit_scoring,
+    "q152_referential_integrity_audit": q152_referential_integrity_audit,
     "q147_streaming_bloom_pruned_enrich": q147_streaming_bloom_pruned_enrich,
     "q148_priority_sample": q148_priority_sample,
     "q149_streaming_mincount_distinct": q149_streaming_mincount_distinct,
@@ -9896,6 +10178,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q150_streaming_bitmap_distinct": ORACLE_Q150,
+    "q151_lm_hit_scoring": ORACLE_Q151,
+    "q152_referential_integrity_audit": ORACLE_Q152,
     "q147_streaming_bloom_pruned_enrich": _oracle_q147(),
     "q148_priority_sample": ORACLE_Q148,
     "q149_streaming_mincount_distinct": _oracle_q149(),
