@@ -400,6 +400,26 @@ def main() -> None:
         "q152_referential_integrity_audit": dict(
             broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
         ),
+        # zone-map audit: group-relation windows + equi-join back;
+        # the only broadcast is metadata-scale
+        "q153_zone_map_skipping_audit": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # stratified top-k: partitioned window, no join at all
+        "q154_stratified_topk_sample": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
+        # sliding bitmap rollup: hourly state relation + bounded x3
+        # explode; active-hour semi join broadcasts
+        "q155_sliding_bitmap_distinct_rollup": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
         # priority sample: global top-K MUST plan as TakeOrdered
         # (per-partition heap + driver merge of K-row slices), never a
         # full Sort+Exchange of the corpus; no join of any kind
