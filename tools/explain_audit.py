@@ -420,6 +420,28 @@ def main() -> None:
         "q155_sliding_bitmap_distinct_rollup": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # record linkage: capped-block self-join + broadcast freq
+        # lookups; never an NLJ
+        "q156_record_linkage_scores": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        ),
+        # chi-square guardrail: two linear aggs, zero joins
+        "q157_experiment_guardrail": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
+        # Luhn extracts: broadcast 15-row significant set; doc argmax
+        # is a partitioned window
+        "q158_extractive_summary": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        ),
         # priority sample: global top-K MUST plan as TakeOrdered
         # (per-partition heap + driver merge of K-row slices), never a
         # full Sort+Exchange of the corpus; no join of any kind

@@ -10280,6 +10280,374 @@ FROM one_h o JOIN three_h t ON t.t = o.h
 """
 
 
+# ---------------------------------------------------------------------------
+# q156: frequency-weighted record linkage (Fellegi-Sunter-style)
+# ---------------------------------------------------------------------------
+
+_Q156_BUCKET = 10  # n_chars bucket width for the blocking key
+_Q156_BLOCK_CAP = 50  # purge blocks larger than this (bounded quadratics)
+_Q156_W = 1_000_000_000  # integer inverse-frequency weight numerator
+_Q156_T = 100_000_000  # match-classification threshold on the score
+
+
+def q156_record_linkage_scores(spark, sf_dir):
+    """Frequency-weighted record linkage (the Fellegi-Sunter shape
+    with deterministic integer weights): candidate pairs come from a
+    BLOCKING key (lang, n_chars div 10) with a purge cap — blocks
+    larger than 50 rows are dropped whole, the classical guard that
+    keeps per-block quadratics bounded no matter how skewed the
+    corpus — and each pair is scored field by field, where agreeing
+    on a RARE value counts more than agreeing on a common one:
+    weight(field=v) = 1e9 div corpus_freq(v).  Pairs scoring over the
+    threshold are classified matches.  q89 (fuzzy blocked join) finds
+    string-edit neighbours; this scores STRUCTURED field agreement
+    with frequency evidence, the record-linkage primitive behind
+    entity resolution at crawl scale.
+
+    Scale shape: three linear value-frequency aggs (each over a
+    bounded domain — broadcastable); block occupancy computed by one
+    linear agg and the cap applied BEFORE the self-join, so the pair
+    generator is a bounded-occupancy equi-join on the block key; the
+    weight lookups are broadcast hash joins against the tiny
+    frequency relations.  No NLJ, no corpus-squared term anywhere."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"n_chars div {_Q156_BUCKET}").alias("blk"),
+        F.size(tokens_expr(F.col("text"))).cast("bigint").alias("tok_cnt"),
+        F.element_at(tokens_expr(F.col("text")), 1).alias("head_tok"),
+    )
+    # field-value frequency relations (bounded domains)
+    f_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("fs"))
+    f_tok = docs.groupBy("tok_cnt").agg(F.count(F.lit(1)).alias("ft"))
+    f_head = docs.groupBy("head_tok").agg(F.count(F.lit(1)).alias("fh"))
+    # block occupancy + purge cap, applied before pair generation
+    blk_sz = docs.groupBy("lang", "blk").agg(F.count(F.lit(1)).alias("bn"))
+    kept = docs.join(
+        F.broadcast(blk_sz.where(F.col("bn") <= _Q156_BLOCK_CAP)),
+        ["lang", "blk"],
+    ).select("doc_id", "lang", "blk", "source", "tok_cnt", "head_tok")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("la"),
+        F.col("blk").alias("ba"),
+        F.col("source").alias("src_a"),
+        F.col("tok_cnt").alias("tc_a"),
+        F.col("head_tok").alias("ht_a"),
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lb"),
+        F.col("blk").alias("bb"),
+        F.col("source").alias("src_b"),
+        F.col("tok_cnt").alias("tc_b"),
+        F.col("head_tok").alias("ht_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("la") == F.col("lb"))
+        & (F.col("ba") == F.col("bb"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    W = _Q156_W
+    scored = (
+        pairs.join(
+            F.broadcast(f_src.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .join(F.broadcast(f_tok.withColumnRenamed("tok_cnt", "tc_a")), "tc_a")
+        .join(F.broadcast(f_head.withColumnRenamed("head_tok", "ht_a")), "ht_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.when(F.col("src_a") == F.col("src_b"), F.expr(f"{W} div fs"))
+                .otherwise(F.lit(0))
+                + F.when(F.col("tc_a") == F.col("tc_b"), F.expr(f"{W} div ft"))
+                .otherwise(F.lit(0))
+                + F.when(F.col("ht_a") == F.col("ht_b"), F.expr(f"{W} div fh"))
+                .otherwise(F.lit(0))
+            ).alias("score"),
+            (
+                F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0)
+                + F.when(F.col("tc_a") == F.col("tc_b"), 1).otherwise(0)
+                + F.when(F.col("ht_a") == F.col("ht_b"), 1).otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+        )
+    )
+    return scored.where(F.col("score") >= _Q156_T).select(
+        "doc_a", "doc_b", F.col("score").cast("bigint").alias("score"), "n_agree"
+    )
+
+
+ORACLE_Q156 = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars // {_Q156_BUCKET} AS blk,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+           AS tok_cnt,
+         list_filter(string_split(text, ' '), t -> t <> '')[1] AS head_tok
+  FROM documents
+),
+f_src AS (SELECT source, count(*) AS fs FROM d GROUP BY source),
+f_tok AS (SELECT tok_cnt, count(*) AS ft FROM d GROUP BY tok_cnt),
+f_head AS (SELECT head_tok, count(*) AS fh FROM d GROUP BY head_tok),
+kept AS (
+  SELECT d.* FROM d
+  JOIN (SELECT lang, blk FROM d GROUP BY lang, blk
+        HAVING count(*) <= {_Q156_BLOCK_CAP}) ok
+    USING (lang, blk)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.source AS src_a, b.source AS src_b,
+         a.tok_cnt AS tc_a, b.tok_cnt AS tc_b,
+         a.head_tok AS ht_a, b.head_tok AS ht_b
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         (CASE WHEN src_a = src_b THEN {_Q156_W} // fs ELSE 0 END
+          + CASE WHEN tc_a = tc_b THEN {_Q156_W} // ft ELSE 0 END
+          + CASE WHEN ht_a = ht_b THEN {_Q156_W} // fh ELSE 0 END) AS score,
+         (CASE WHEN src_a = src_b THEN 1 ELSE 0 END
+          + CASE WHEN tc_a = tc_b THEN 1 ELSE 0 END
+          + CASE WHEN ht_a = ht_b THEN 1 ELSE 0 END) AS n_agree
+  FROM pairs
+  JOIN f_src ON f_src.source = src_a
+  JOIN f_tok ON f_tok.tok_cnt = tc_a
+  JOIN f_head ON f_head.head_tok = ht_a
+)
+SELECT doc_a, doc_b, CAST(score AS BIGINT) AS score,
+       CAST(n_agree AS BIGINT) AS n_agree
+FROM scored WHERE score >= {_Q156_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q157: A/B experiment guardrail — integer-exact chi-square decision
+# ---------------------------------------------------------------------------
+
+_Q157_COHORTS = 5
+_Q157_CRIT_MILLI = 3841  # chi-square critical value at alpha=0.05, x1000
+
+
+def q157_experiment_guardrail(spark, sf_dir):
+    """A/B experiment guardrail: per analysis cohort, a two-proportion
+    chi-square test computed EXACTLY in integers — no sqrt, no floats,
+    no platform-dependent rounding in the significance decision.  The
+    unit is a (user, day) exposure; arm = user_id parity (the hash
+    split an experiment framework would assign); conversion = the
+    user purchased that day.  Per cohort (user_id mod 5) the 2x2
+    contingency (a,b,c,d) feeds the chi-square statistic
+    N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)); the decision multiplies
+    through the denominator — 1000*N*(ad-bc)^2 >= 3841*denom — so the
+    flag is exact, and the reported stat is the floor-divided
+    millis value.  The denominator-product intermediates run in
+    DECIMAL(38,0): at 1e12 exposures the cross terms overflow int64,
+    and this shape survives that (documented precision budget:
+    N*(ad-bc)^2*1000 < 1e38 holds through N ~ 1e11 per cohort;
+    beyond that, split cohorts).
+
+    Scale shape: ONE linear pass builds user-day exposures (map-side
+    partial agg on (user, day)), one linear agg builds the per-cohort
+    2x2 — the statistic and the decision are computed on a
+    COHORT-count relation (metadata scale).  No joins at all."""
+    ev = _t(spark, sf_dir, "events")
+    exposures = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_conv"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.max("is_conv").alias("conv"))
+    )
+    cells = exposures.select(
+        F.expr(f"user_id % {_Q157_COHORTS}").alias("cohort"),
+        F.expr("user_id % 2").alias("arm"),
+        "conv",
+    ).groupBy("cohort").agg(
+        F.sum(F.expr("CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END")).alias("a"),
+        F.sum(F.expr("CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END")).alias("b"),
+        F.sum(F.expr("CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END")).alias("c"),
+        F.sum(F.expr("CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END")).alias("d"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num = (
+        f"({dec.format('a + b + c + d')} * 1000"
+        f" * {dec.format('a*d - b*c')} * {dec.format('a*d - b*c')})"
+    )
+    den = (
+        f"({dec.format('a + b')} * {dec.format('c + d')}"
+        f" * {dec.format('a + c')} * {dec.format('b + d')})"
+    )
+    return cells.select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        F.col("a").cast("bigint").alias("conv_t"),
+        F.col("b").cast("bigint").alias("nonconv_t"),
+        F.col("c").cast("bigint").alias("conv_c"),
+        F.col("d").cast("bigint").alias("nonconv_c"),
+        F.expr(f"CAST(FLOOR({num} / {den}) AS BIGINT)").alias("chi2_milli"),
+        F.expr(f"CAST(({num} >= {_Q157_CRIT_MILLI} * {den}) AS BOOLEAN)").alias(
+            "significant"
+        ),
+    ).orderBy("cohort")
+
+
+ORACLE_Q157 = f"""
+WITH exposures AS (
+  SELECT user_id, ts::DATE AS d,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id, ts::DATE
+),
+cells AS (
+  SELECT user_id % {_Q157_COHORTS} AS cohort,
+         sum(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN user_id % 2 = 1 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END) AS d
+  FROM exposures GROUP BY user_id % {_Q157_COHORTS}
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(a AS BIGINT) AS conv_t, CAST(b AS BIGINT) AS nonconv_t,
+       CAST(c AS BIGINT) AS conv_c, CAST(d AS BIGINT) AS nonconv_c,
+       CAST(((a+b+c+d)::HUGEINT * 1000 * (a*d - b*c)::HUGEINT
+             * (a*d - b*c)::HUGEINT)
+            // ((a+b)::HUGEINT * (c+d)::HUGEINT * (a+c)::HUGEINT
+                * (b+d)::HUGEINT) AS BIGINT) AS chi2_milli,
+       ((a+b+c+d)::HUGEINT * 1000 * (a*d - b*c)::HUGEINT
+        * (a*d - b*c)::HUGEINT)
+        >= {_Q157_CRIT_MILLI} * ((a+b)::HUGEINT * (c+d)::HUGEINT
+                                 * (a+c)::HUGEINT * (b+d)::HUGEINT)
+         AS significant
+FROM cells ORDER BY cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# q158: Luhn-style extractive summarization (significant-token chunks)
+# ---------------------------------------------------------------------------
+
+_Q158_CHUNK = 10  # tokens per scoring window ("sentence" proxy)
+_Q158_TOP_TYPES = 15  # corpus-frequency band: top-N types are significant
+_Q158_SCALE = 1_000_000
+
+
+def q158_extractive_summary(spark, sf_dir):
+    """Luhn-style extractive summarization (Luhn 1958): the corpus's
+    significant-token set is its top-15 types by frequency (rank on
+    the TYPE relation — bounded domain, deterministic count-desc/
+    token-asc tie-break); each document is scored in fixed 10-token
+    windows ("sentences"), window score = n_significant^2 * 1e6 div
+    window_len (Luhn's density-squared measure, integer-exact); the
+    best window per doc — score desc, earliest wins ties — is the
+    extract.  q99 packs chunks for training; this RANKS them for
+    representativeness, the summarization/snippet primitive.
+
+    Scale shape: one linear token explode feeds both the type-
+    frequency relation (bounded domain) and the per-(doc, window)
+    significant counts; membership is a broadcast semi-style join
+    against the 15-row significant set; the per-doc argmax is a
+    partitioned window over the WINDOW relation (corpus/10 rows);
+    the extract's text is sliced from the original token array by
+    position — never re-scanned."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    )
+    pos = docs.select("doc_id", F.posexplode("toks").alias("pos", "token"))
+    types = pos.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # top-15 via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heap + driver merge of 15-row slices), NOT a global row_number
+    # window, which would sort the whole type relation on one partition
+    sig = (
+        types.orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(_Q158_TOP_TYPES)
+        .select("token")
+    )
+    chunks = pos.withColumn("chunk_idx", F.expr(f"pos div {_Q158_CHUNK}"))
+    stats = (
+        chunks.join(
+            F.broadcast(sig.withColumn("is_sig", F.lit(1))), "token", "left"
+        )
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("chunk_len"),
+            F.sum(F.coalesce(F.col("is_sig"), F.lit(0))).alias("n_sig"),
+        )
+        .withColumn(
+            "score", F.expr(f"n_sig * n_sig * {_Q158_SCALE} div chunk_len")
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("chunk_idx").asc()
+    )
+    best = stats.withColumn("rk", F.row_number().over(wd)).where(F.col("rk") == 1)
+    return best.join(docs, "doc_id").select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("n_sig").cast("bigint").alias("n_sig"),
+        F.col("chunk_len").cast("bigint").alias("chunk_len"),
+        F.col("score").cast("bigint").alias("score"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("chunk_idx") * _Q158_CHUNK + 1).cast("int"),
+                _Q158_CHUNK,
+            ),
+            " ",
+        ).alias("summary"),
+    )
+
+
+ORACLE_Q158 = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, u.i AS pos, toks[CAST(u.i + 1 AS INT)] AS token
+  FROM tk, UNNEST(range(len(toks))) AS u(i)
+),
+types AS (
+  SELECT token, count(*) AS tf,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+  FROM pos GROUP BY token
+),
+sig AS (SELECT token FROM types WHERE rk <= {_Q158_TOP_TYPES}),
+stats AS (
+  SELECT p.doc_id, p.pos // {_Q158_CHUNK} AS chunk_idx,
+         count(*) AS chunk_len,
+         sum(CASE WHEN s.token IS NOT NULL THEN 1 ELSE 0 END) AS n_sig
+  FROM pos p LEFT JOIN sig s ON p.token = s.token
+  GROUP BY p.doc_id, p.pos // {_Q158_CHUNK}
+),
+scored AS (
+  SELECT doc_id, chunk_idx, chunk_len, n_sig,
+         n_sig * n_sig * {_Q158_SCALE} // chunk_len AS score
+  FROM stats
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, chunk_idx) AS rk
+  FROM scored
+)
+SELECT b.doc_id, CAST(b.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(b.n_sig AS BIGINT) AS n_sig,
+       CAST(b.chunk_len AS BIGINT) AS chunk_len,
+       CAST(b.score AS BIGINT) AS score,
+       array_to_string(
+         list_slice(t.toks,
+                    CAST(b.chunk_idx * {_Q158_CHUNK} + 1 AS INT),
+                    CAST(b.chunk_idx * {_Q158_CHUNK} + {_Q158_CHUNK} AS INT)),
+         ' ') AS summary
+FROM best b JOIN tk t USING (doc_id)
+WHERE b.rk = 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -10293,6 +10661,9 @@ FROM one_h o JOIN three_h t ON t.t = o.h
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q156_record_linkage_scores": q156_record_linkage_scores,
+    "q157_experiment_guardrail": q157_experiment_guardrail,
+    "q158_extractive_summary": q158_extractive_summary,
     "q153_zone_map_skipping_audit": q153_zone_map_skipping_audit,
     "q154_stratified_topk_sample": q154_stratified_topk_sample,
     "q155_sliding_bitmap_distinct_rollup": q155_sliding_bitmap_distinct_rollup,
@@ -10456,6 +10827,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q156_record_linkage_scores": ORACLE_Q156,
+    "q157_experiment_guardrail": ORACLE_Q157,
+    "q158_extractive_summary": ORACLE_Q158,
     "q153_zone_map_skipping_audit": ORACLE_Q153,
     "q154_stratified_topk_sample": ORACLE_Q154,
     "q155_sliding_bitmap_distinct_rollup": ORACLE_Q155,
