@@ -422,6 +422,17 @@ def main() -> None:
         ),
         # record linkage: capped-block self-join + broadcast freq
         # lookups; never an NLJ
+        # pagerank: edge/rank equi-joins + hash aggs per unrolled
+        # iteration; the edge derivation's 1-row count broadcast is
+        # behind a localCheckpoint (audited as q62_edge_derivation)
+        "q159_pagerank": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # containment: q62's candidate shape — shared-shingle
+        # equi-join, size lookups on aggregated relations
+        "q160_shingle_containment": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
         "q156_record_linkage_scores": dict(
             broadcast=True,
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),

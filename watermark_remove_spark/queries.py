@@ -10648,6 +10648,358 @@ WHERE b.rk = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q159: integer-exact PageRank over the near-dup graph (unrolled iterations)
+# ---------------------------------------------------------------------------
+
+_Q159_ITERS = 3
+_Q159_UNIT = 1_000_000  # initial rank mass per node (ppm units)
+_Q159_BASE = 150_000  # (1 - d) * UNIT at damping d = 0.85
+
+
+def q159_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (damping 0.85, 3 unrolled iterations)
+    over the undirected near-dup candidate graph — the canonical
+    web-graph importance measure (Page et al. 1999), here ranking
+    documents by how central they sit in the duplication graph (a
+    high-rank doc is template/boilerplate-adjacent; a rank-150000
+    isolate is unique content).  All arithmetic is integer ppm: each
+    node starts with 1e6 units, each iteration sends
+    (85·r) div (100·deg) along every edge and re-seeds 150000 base
+    units, so both engines (and the brute-force pytest) reproduce the
+    same numbers bit for bit — floor-lost remainder mass is the
+    documented price of exactness.  Dangling nodes keep their base
+    (classic lost-mass variant).
+
+    Scale shape: each iteration is ONE edge⋈rank equi-join + ONE
+    hash agg + ONE left join back to the node relation — linear in
+    edges, the textbook distributed-PageRank step; the edge list is
+    localCheckpointed once and reused by all iterations; no
+    iteration-count blowup (K is fixed and unrolled into the plan).
+    q141 gives bounded hop distances; this gives stationary-mass
+    importance the BFS cannot."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    edges = _q62_edges(docs, min_shared=2).localCheckpoint(eager=True)
+    adj = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    links = adj.join(deg, "a").localCheckpoint(eager=True)
+    nodes = docs.select("doc_id")
+    rank = nodes.select(
+        "doc_id", F.lit(_Q159_UNIT).cast("bigint").alias("r")
+    )
+    for _ in range(_Q159_ITERS):
+        contribs = (
+            links.join(rank, links["a"] == rank["doc_id"])
+            .select(
+                F.col("b").alias("doc_id"),
+                F.expr("(85 * r) div (100 * deg)").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = nodes.join(contribs, "doc_id", "left").select(
+            "doc_id",
+            (F.lit(_Q159_BASE) + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
+        )
+    degn = deg.select(F.col("a").alias("doc_id"), F.col("deg"))
+    return rank.join(degn, "doc_id", "left").select(
+        "doc_id",
+        F.col("r").alias("pr_ppm"),
+        F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("deg"),
+    )
+
+
+def _oracle_q159() -> str:
+    parts = [
+        f"WITH {_q62_edges_sql(min_shared=2)},",
+        "adj AS (SELECT src AS a, dst AS b FROM edges"
+        " UNION ALL SELECT dst AS a, src AS b FROM edges),",
+        "deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY a),",
+        "links AS (SELECT adj.a, adj.b, deg.deg FROM adj JOIN deg USING (a)),",
+        "nodes AS (SELECT doc_id FROM documents),",
+        f"r0 AS (SELECT doc_id, CAST({_Q159_UNIT} AS BIGINT) AS r FROM nodes),",
+    ]
+    for i in range(1, _Q159_ITERS + 1):
+        parts.append(
+            f"c{i} AS (SELECT l.b AS doc_id,"
+            f" sum((85 * r.r) // (100 * l.deg)) AS s"
+            f" FROM links l JOIN r{i - 1} r ON r.doc_id = l.a GROUP BY l.b),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.doc_id,"
+            f" CAST({_Q159_BASE} + coalesce(c{i}.s, 0) AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{i} USING (doc_id)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    last = f"r{_Q159_ITERS}"
+    parts.append(
+        f"SELECT n.doc_id, {last}.r AS pr_ppm,"
+        " CAST(coalesce(d.deg, 0) AS BIGINT) AS deg"
+        f" FROM nodes n JOIN {last} ON {last}.doc_id = n.doc_id"
+        " LEFT JOIN deg d ON d.a = n.doc_id"
+    )
+    return "\n".join(parts)
+
+
+ORACLE_Q159 = _oracle_q159()
+
+
+# ---------------------------------------------------------------------------
+# q160: asymmetric shingle containment (quote / inclusion detection)
+# ---------------------------------------------------------------------------
+
+_Q160_MIN_SET = 3  # ignore docs with fewer evidence shingles
+_Q160_T_PPM = 200_000  # report pairs where either direction >= 20%
+
+
+def q160_shingle_containment(spark, sf_dir):
+    """Asymmetric shingle-set CONTAINMENT (Broder's other resemblance
+    measure): C(A in B) = |S(A) ∩ S(B)| div |S(A)| in exact integer
+    ppm.  Jaccard (q16) is symmetric and misses wholesale INCLUSION —
+    a short doc quoted inside a long one scores near-zero Jaccard but
+    ~1e6 ppm containment — so this is the quote/inclusion detector a
+    dedup pipeline runs beside the near-dup joins.  Evidence sets are
+    the df-pruned distinct shingles (same integer boilerplate rule as
+    q16/q62: 10·df < n — ubiquitous stop-shingles carry no inclusion
+    evidence); both directions are reported for every pair whose
+    larger direction clears the threshold.
+
+    Scale shape: identical candidate generator to q62 (explode once,
+    df-prune, shared-shingle self-equi-join — never all-pairs); set
+    sizes come from ONE hash agg over the pruned postings and join
+    back on the pair's doc keys (aggregated relations, fixed-width
+    keys).  Integer ppm throughout — no float ratios."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    shings = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(doc_shingles_expr(F.col("text")))).alias(
+            "shingle"
+        ),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    dfq = shings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        shings.join(dfq, "shingle")
+        .crossJoin(F.broadcast(n_docs))
+        .where(10 * F.col("df") < F.col("n"))
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=True)
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = kept.select("shingle", F.col("doc_id").alias("doc_a"))
+    b = kept.select("shingle", F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            (F.col("n_a") >= _Q160_MIN_SET) & (F.col("n_b") >= _Q160_MIN_SET)
+        )
+        .withColumn("cont_a_in_b_ppm", F.expr("inter * 1000000 div n_a"))
+        .withColumn("cont_b_in_a_ppm", F.expr("inter * 1000000 div n_b"))
+        .where(
+            F.greatest("cont_a_in_b_ppm", "cont_b_in_a_ppm") >= _Q160_T_PPM
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("cont_a_in_b_ppm").cast("bigint").alias("cont_a_in_b_ppm"),
+            F.col("cont_b_in_a_ppm").cast("bigint").alias("cont_b_in_a_ppm"),
+        )
+    )
+
+
+ORACLE_Q160 = f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+shings AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS shingle
+  FROM documents
+), dfq AS (SELECT shingle, count(*) AS df FROM shings GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.shingle FROM shings s JOIN dfq USING (shingle), nd
+  WHERE 10 * dfq.df < nd.n
+),
+sizes AS (SELECT doc_id, count(*) AS ns FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+       CAST(sa.ns AS BIGINT) AS n_a, CAST(sb.ns AS BIGINT) AS n_b,
+       CAST(i * 1000000 // sa.ns AS BIGINT) AS cont_a_in_b_ppm,
+       CAST(i * 1000000 // sb.ns AS BIGINT) AS cont_b_in_a_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE sa.ns >= {_Q160_MIN_SET} AND sb.ns >= {_Q160_MIN_SET}
+  AND greatest(i * 1000000 // sa.ns, i * 1000000 // sb.ns) >= {_Q160_T_PPM}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q161: STREAMING windowed quantiles via bounded histogram states
+# ---------------------------------------------------------------------------
+
+_Q161_BINW = 16  # measure units per histogram bin
+_Q161_BINS = 30  # bounded state: at most 30 bin rows per window
+_Q161_N = 600
+_Q161_MOD = 500  # measure domain: (i*i) % 500
+
+
+def q161_streaming_hist_quantiles(spark, sf_dir):
+    """STREAMING windowed quantiles (p50/p90/p99) via bounded
+    equi-width histogram states — the quantile member of the
+    bounded-state family (q53 HLL, q149 min-sketch, q150 exact
+    bitmap): per-bin counts are mergeable (sum-associative,
+    replay-safe under the sink's exactly-once ledger), so the state
+    store holds AT MOST 30 bin rows per window on an unbounded
+    stream, where an exact streaming quantile would need every value.
+    The drained histogram is post-processed batch-side: nearest-rank
+    pick = smallest bin with 100·cum ≥ p·total (cross-multiplied
+    integers, no float ranks), reported as the bin's exclusive upper
+    bound — the bin-resolution quantile a latency/length SLO monitor
+    actually pages on.  The top bin clamps (overflow bin, least()), so
+    the domain may be unbounded while state stays fixed.
+
+    Fixture timeline is pure arithmetic (q100/q150 pattern): measure
+    m(i) = (i·i) mod 500 at t0 + 5i seconds — skewed enough that
+    p50 < p90 < p99 in every window and the clamp is exercised
+    (m ≥ 464 rows exist); watermark pushers flush every real
+    window."""
+    import pandas as pd
+
+    from .sources.pages import stream_events_files, write_batch_files
+
+    t0 = pd.Timestamp(STATIC_T0_EPOCH, unit="s")
+
+    def ev_batch(rows, id0):
+        return pd.DataFrame(
+            {
+                "event_id": [id0 + j for j in range(len(rows))],
+                "ts": [t0 + pd.Timedelta(seconds=s) for _, s in rows],
+                "user_id": [m for m, _ in rows],
+                "event_type": ["crawl"] * len(rows),
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    half = _Q161_N // 2
+    batches = [
+        ev_batch(
+            [((i * i) % _Q161_MOD, i * 5) for i in range(half)], 0
+        ),
+        ev_batch(
+            [((i * i) % _Q161_MOD, i * 5) for i in range(half, _Q161_N)],
+            10000,
+        ),
+        ev_batch([(0, 7200), (1, 7207)], 20000),
+        ev_batch([(2, 7214), (3, 7221)], 25000),
+    ]
+    src = _q_tmpdir("wrs-q-histstream-")
+    write_batch_files(batches, src)
+
+    stream = stream_events_files(spark, src, 1).withWatermark("ts", "10 minutes")
+    hist = stream.groupBy(
+        F.window("ts", "10 minutes").alias("w"),
+        F.expr(
+            f"least(user_id div {_Q161_BINW}, {_Q161_BINS - 1})"
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = _drain(
+        hist.select(
+            F.unix_timestamp("w.start").cast("bigint").alias("ws"),
+            "bin",
+            "cnt",
+        ),
+        spark,
+    )
+    wcum = Window.partitionBy("ws").orderBy("bin")
+    wall = Window.partitionBy("ws")
+    cum = out.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "tot", F.sum("cnt").over(wall)
+    )
+    return (
+        cum.where(F.col("ws") < STATIC_T0_EPOCH + 3600)
+        .groupBy("ws")
+        .agg(
+            F.max("tot").cast("bigint").alias("total_n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            *[
+                (
+                    (
+                        F.min(
+                            F.when(
+                                F.expr(f"100 * cum >= {p} * tot"),
+                                F.col("bin"),
+                            )
+                        )
+                        + 1
+                    )
+                    * _Q161_BINW
+                )
+                .cast("bigint")
+                .alias(f"p{p}_ub")
+                for p in (50, 90, 99)
+            ],
+        )
+        .select(
+            F.col("ws").alias("window_start_epoch"),
+            "total_n",
+            "n_bins",
+            "p50_ub",
+            "p90_ub",
+            "p99_ub",
+        )
+    )
+
+
+ORACLE_Q161 = f"""
+WITH ev AS (
+  SELECT (u.i * u.i) % {_Q161_MOD} AS m,
+         {STATIC_T0_EPOCH} + u.i * 5 AS epoch
+  FROM UNNEST(range({_Q161_N})) AS u(i)
+),
+hist AS (
+  SELECT (epoch // 600) * 600 AS ws,
+         least(m // {_Q161_BINW}, {_Q161_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT ws, bin, cnt,
+         sum(cnt) OVER (PARTITION BY ws ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY ws) AS tot
+  FROM hist
+)
+SELECT ws AS window_start_epoch,
+       CAST(max(tot) AS BIGINT) AS total_n,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST((min(CASE WHEN 100 * cum >= 50 * tot THEN bin END) + 1)
+            * {_Q161_BINW} AS BIGINT) AS p50_ub,
+       CAST((min(CASE WHEN 100 * cum >= 90 * tot THEN bin END) + 1)
+            * {_Q161_BINW} AS BIGINT) AS p90_ub,
+       CAST((min(CASE WHEN 100 * cum >= 99 * tot THEN bin END) + 1)
+            * {_Q161_BINW} AS BIGINT) AS p99_ub
+FROM cum GROUP BY ws
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -10661,6 +11013,9 @@ WHERE b.rk = 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q159_pagerank": q159_pagerank,
+    "q160_shingle_containment": q160_shingle_containment,
+    "q161_streaming_hist_quantiles": q161_streaming_hist_quantiles,
     "q156_record_linkage_scores": q156_record_linkage_scores,
     "q157_experiment_guardrail": q157_experiment_guardrail,
     "q158_extractive_summary": q158_extractive_summary,
@@ -10827,6 +11182,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q159_pagerank": ORACLE_Q159,
+    "q160_shingle_containment": ORACLE_Q160,
+    "q161_streaming_hist_quantiles": ORACLE_Q161,
     "q156_record_linkage_scores": ORACLE_Q156,
     "q157_experiment_guardrail": ORACLE_Q157,
     "q158_extractive_summary": ORACLE_Q158,
