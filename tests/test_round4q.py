@@ -1,0 +1,172 @@
+"""Round-4q operators: streaming count-min sketch, streaming SCD2
+as-of enrichment, integer-exact OLS trend slopes.
+
+Properties proven: the CMS estimate is ONE-SIDED (never below the true
+per-url windowed count, strictly above for some url — real collisions);
+the as-of join routes every real page to exactly one dimension version
+and both tiers actually occur; the OLS slope matches the hand formula on
+planted increasing/decreasing series including the negative-slope
+truncate-toward-zero case where floor and truncate diverge.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_countmin_estimate_is_one_sided(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import (
+        _Q162_D,
+        _Q162_W,
+        STATIC_T0_EPOCH,
+        q162_streaming_countmin,
+    )
+
+    counters = {
+        (r["window_start_epoch"], r["d"], r["w"]): r["cnt"]
+        for r in q162_streaming_countmin(spark, SF).collect()
+    }
+    # true per-(window, url) counts from the derived-pages arithmetic
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    true: dict[tuple[int, str], int] = {}
+    for doc_id, source in docs:
+        url = f"https://{source}.example.com/p/{doc_id}"
+        ws = STATIC_T0_EPOCH + (doc_id * 47 // 600) * 600
+        true[(ws, url)] = true.get((ws, url), 0) + 1
+
+    over = 0
+    for (ws, url), t in true.items():
+        est = min(
+            counters.get((ws, d, md5_i64_py(f"cms{d}#{url}") % _Q162_W), 0)
+            for d in range(_Q162_D)
+        )
+        assert est >= t, (ws, url, est, t)  # never under-estimates
+        over += est > t
+    assert over > 0  # collisions are real at |urls| >> W
+    # counter mass conservation: every row's counters sum to the row count
+    per_wd: dict[tuple[int, int], int] = {}
+    for (ws, d, _), c in counters.items():
+        per_wd[(ws, d)] = per_wd.get((ws, d), 0) + c
+    n_by_ws: dict[int, int] = {}
+    for (ws, _), t in true.items():
+        n_by_ws[ws] = n_by_ws.get(ws, 0) + t
+    for (ws, d), m in per_wd.items():
+        assert m == n_by_ws[ws]
+
+
+def test_scd2_enrich_matches_bruteforce(spark):
+    from watermark_remove_spark.queries import (
+        STATIC_T0_EPOCH,
+        q163_streaming_scd2_enrich,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    expect: dict[tuple[int, int], int] = {}
+    for doc_id, source in docs:
+        ep = STATIC_T0_EPOCH + doc_id * 47
+        boundary = STATIC_T0_EPOCH + (int(source[3:]) % 4 + 1) * 600
+        tier = 1 if ep < boundary else 2
+        ws = STATIC_T0_EPOCH + ((doc_id * 47) // 600) * 600
+        expect[(ws, tier)] = expect.get((ws, tier), 0) + 1
+
+    got = {
+        (r["window_start_epoch"], r["tier"]): r["n_pages"]
+        for r in q163_streaming_scd2_enrich(spark, SF).collect()
+    }
+    assert got == expect
+    # as-of semantics are non-vacuous: both versions get traffic, and
+    # every page matched exactly one version (totals conserve)
+    assert {t for _, t in got} == {1, 2}
+    assert sum(got.values()) == len(docs)
+
+
+def test_trend_slope_planted_series(spark, tmp_path):
+    """Planted daily series: 'up' grows by exactly 3/day, 'down'
+    shrinks by 2/day (negative num exercises the truncate-toward-zero
+    contract where Spark div and DuckDB // would diverge), 'flat' is
+    constant (slope 0)."""
+    from watermark_remove_spark.queries import q164_daily_trend_slope
+
+    rows, eid = [], 0
+    series = {"up": lambda x: 5 + 3 * x, "down": lambda x: 25 - 2 * x, "flat": lambda x: 7}
+    for et, f in series.items():
+        for x in range(10):
+            for _ in range(f(x)):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": pd.Timestamp(2024, 3, 1 + x, 9),
+                        "user_id": eid % 17,
+                        "event_type": et,
+                    }
+                )
+                eid += 1
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+
+    got = {r["event_type"]: r for r in q164_daily_trend_slope(spark, str(tmp_path)).collect()}
+    assert set(got) == set(series)
+
+    def hand(ys):
+        n = len(ys)
+        xs = range(n)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        sign = (num > 0) - (num < 0)
+        return num, den, sign * ((1000 * abs(num)) // den)
+
+    for et, f in series.items():
+        num, den, sm = hand([f(x) for x in range(10)])
+        r = got[et]
+        assert (r["num"], r["den"], r["slope_milli"]) == (num, den, sm)
+        assert r["n_days"] == 10
+    assert got["up"]["slope_milli"] == 3000
+    assert got["down"]["slope_milli"] == -2000
+    assert got["flat"]["slope_milli"] == 0
+
+
+def test_trend_slope_matches_bruteforce(spark):
+    from watermark_remove_spark.queries import q164_daily_trend_slope
+
+    daily = duckdb.sql(
+        f"""SELECT event_type, ts::DATE AS d, count(*) AS y
+            FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    d0 = min(d for _, d, _ in daily)
+    by_et: dict[str, list[tuple[int, int]]] = {}
+    for et, d, y in daily:
+        by_et.setdefault(et, []).append(((d - d0).days, y))
+    expect = {}
+    for et, pts in by_et.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        sign = (num > 0) - (num < 0)
+        expect[et] = (n, sy, num, den, sign * ((1000 * abs(num)) // den))
+
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["total_events"],
+            r["num"],
+            r["den"],
+            r["slope_milli"],
+        )
+        for r in q164_daily_trend_slope(spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) == 5

@@ -422,6 +422,11 @@ def main() -> None:
         ),
         # record linkage: capped-block self-join + broadcast freq
         # lookups; never an NLJ
+        # OLS trend: one linear (type, day) agg; the only "join" is
+        # the deliberate 1-row x-origin broadcast (BNLJ by design)
+        "q164_daily_trend_slope": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
         # pagerank: edge/rank equi-joins + hash aggs per unrolled
         # iteration; the edge derivation's 1-row count broadcast is
         # behind a localCheckpoint (audited as q62_edge_derivation)

@@ -11000,6 +11000,298 @@ FROM cum GROUP BY ws
 """
 
 
+# ---------------------------------------------------------------------------
+# q162: STREAMING count-min sketch (windowed frequency estimation)
+# ---------------------------------------------------------------------------
+
+_Q162_D = 3  # hash rows
+_Q162_W = 64  # counters per row
+
+
+def q162_streaming_countmin(spark, sf_dir):
+    """STREAMING windowed count-min sketch (Cormode & Muthukrishnan
+    2005) — the FREQUENCY-estimation member of the bounded-state
+    family (q53/q149 estimate distinct counts, q150 exact distinct,
+    q161 quantiles): each page's url increments D=3 counters (one per
+    hash row, bucket = portable-hash_d(url) mod 64), so the state
+    store holds AT MOST D·W = 192 counter rows per window on an
+    unbounded stream, and any key's frequency is over-estimated by
+    min over rows — never under-estimated (one-sided error, the
+    property the pytest proves against exact per-url counts, with
+    real collisions at 500 urls into 64 buckets).  Counter sums are
+    mergeable + replay-safe under the exactly-once ledger.  The
+    hash-compared surface is the full counter matrix — bit-exact,
+    like q149's raw sketch mass.
+
+    Scale shape: ONE bounded explode (D rows per page) feeding ONE
+    windowed stateful agg; the portable md5 hash keeps Spark, DuckDB
+    and the pytest's Python bit-identical."""
+    from .sources.pages import stream_pages_files
+
+    src, _ = _derived_stream_fixture(spark, sf_dir)
+    stream = stream_pages_files(spark, src, 1)
+    dw = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (md5_i64_expr(F.col("url"), f"cms{d}#") % _Q162_W).alias("w"),
+            )
+            for d in range(_Q162_D)
+        ]
+    )
+    rows = stream.withWatermark("warc_ts", "10 minutes").select(
+        "warc_ts", F.explode(dw).alias("dw")
+    )
+    cms = rows.groupBy(
+        F.window("warc_ts", "10 minutes").alias("win"),
+        F.col("dw.d").alias("d"),
+        F.col("dw.w").alias("w"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = _drain(
+        cms.select(
+            F.unix_timestamp("win.start").cast("bigint").alias("window_start_epoch"),
+            F.col("d").cast("bigint").alias("d"),
+            F.col("w").cast("bigint").alias("w"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        ),
+        spark,
+    )
+    return out.where(
+        F.col("window_start_epoch")
+        < F.unix_timestamp(F.lit("2027-01-01").cast("timestamp"))
+    )
+
+
+def _oracle_q162() -> str:
+    hs = [duck_md5_i64("url", f"cms{d}#") for d in range(_Q162_D)]
+    case = (
+        f"CASE dd.d WHEN 0 THEN {hs[0]} WHEN 1 THEN {hs[1]} "
+        f"ELSE {hs[2]} END % {_Q162_W}"
+    )
+    return f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), br AS (
+  SELECT (CAST(epoch(warc_ts) AS BIGINT) // 600) * 600 AS ws, dd.d AS d,
+         {case} AS w
+  FROM pages, (VALUES (0), (1), (2)) dd(d)
+)
+SELECT ws AS window_start_epoch, CAST(d AS BIGINT) AS d,
+       CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS cnt
+FROM br GROUP BY 1, 2, 3
+"""
+
+
+ORACLE_Q162 = _oracle_q162()
+
+
+# ---------------------------------------------------------------------------
+# q163: STREAMING as-of enrichment against an SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_Q163_FAR = 4_000_000_000  # open-ended validity sentinel (epoch, ~2096)
+
+
+def q163_streaming_scd2_enrich(spark, sf_dir):
+    """STREAMING temporal (as-of) enrichment against a VERSIONED
+    dimension: each page joins to the SCD2 domain-dimension version
+    VALID AT ITS EVENT TIME (vf <= ts < vt), then counts per
+    (window, tier) — the production shape for "which quality tier was
+    this domain in when we crawled it".  O-15/q29 is stream-STREAM
+    as-of; q100 is stream-static EQUI enrich; this adds the validity-
+    interval predicate INSIDE a stream-static join — stateless (the
+    dimension is a static relation re-planned per micro-batch), so no
+    state-store cost at all, and a LEFT join keeps the watermark
+    sentinels flowing (the q147 production watermark rule: rows that
+    drive the watermark must never be dropped pre-watermark by a
+    pushed predicate — an inner join's pruning could).
+
+    The dimension derives deterministically from the documents table
+    (two versions per domain, boundary t0 + (src_num mod 4 + 1)·600 s),
+    so the oracle reconstructs it exactly; version intervals partition
+    the timeline, so every real page matches exactly one version.
+
+    Scale shape: dimension is dims×2 rows (broadcastable); the join is
+    a per-batch broadcast hash join on the domain key with the range
+    predicate evaluated in-join; ONE windowed stateful agg after."""
+    from .sources.pages import stream_pages_files
+
+    src, _ = _derived_stream_fixture(spark, sf_dir)
+    dimbase = (
+        _t(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            (
+                F.lit(STATIC_T0_EPOCH)
+                + (F.expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1) * 600
+            ).alias("b"),
+        )
+    )
+    dim = dimbase.select(
+        "domain",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("vf"),
+                    F.col("b").alias("vt"),
+                    F.lit(1).alias("tier"),
+                ),
+                F.struct(
+                    F.col("b").alias("vf"),
+                    F.lit(_Q163_FAR).cast("bigint").alias("vt"),
+                    F.lit(2).alias("tier"),
+                ),
+            )
+        ).alias("v"),
+    ).select("domain", "v.vf", "v.vt", "v.tier")
+    stream = (
+        stream_pages_files(spark, src, 1)
+        .withWatermark("warc_ts", "10 minutes")
+        .select(
+            "warc_ts",
+            F.expr("split(url, '/')[2]").alias("pdom"),
+            F.unix_timestamp("warc_ts").alias("ep"),
+        )
+    )
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("pdom") == F.col("domain"))
+        & (F.col("ep") >= F.col("vf"))
+        & (F.col("ep") < F.col("vt")),
+        "left",
+    )
+    agg = joined.groupBy(
+        F.window("warc_ts", "10 minutes").alias("win"), F.col("tier")
+    ).agg(F.count(F.lit(1)).alias("n_pages"))
+    out = _drain(
+        agg.select(
+            F.unix_timestamp("win.start").cast("bigint").alias("window_start_epoch"),
+            F.col("tier").cast("bigint").alias("tier"),
+            F.col("n_pages").cast("bigint").alias("n_pages"),
+        ),
+        spark,
+    )
+    return out.where(
+        (
+            F.col("window_start_epoch")
+            < F.unix_timestamp(F.lit("2027-01-01").cast("timestamp"))
+        )
+        & F.col("tier").isNotNull()
+    )
+
+
+ORACLE_Q163 = f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), dimbase AS (
+  SELECT DISTINCT source, CAST(substr(source, 4) AS BIGINT) AS num
+  FROM documents
+), dim AS (
+  SELECT source || '.example.com' AS domain, CAST(0 AS BIGINT) AS vf,
+         {STATIC_T0_EPOCH} + (num % 4 + 1) * 600 AS vt, 1 AS tier
+  FROM dimbase
+  UNION ALL
+  SELECT source || '.example.com',
+         {STATIC_T0_EPOCH} + (num % 4 + 1) * 600, {_Q163_FAR}, 2
+  FROM dimbase
+), j AS (
+  SELECT (CAST(epoch(p.warc_ts) AS BIGINT) // 600) * 600 AS ws, d.tier
+  FROM pages p JOIN dim d
+    ON d.domain = string_split(p.url, '/')[3]
+   AND CAST(epoch(p.warc_ts) AS BIGINT) >= d.vf
+   AND CAST(epoch(p.warc_ts) AS BIGINT) < d.vt
+)
+SELECT ws AS window_start_epoch, CAST(tier AS BIGINT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM j GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q164: per-group OLS trend (integer-exact rational slope)
+# ---------------------------------------------------------------------------
+
+
+def q164_daily_trend_slope(spark, sf_dir):
+    """Per-event-type activity TREND via ordinary least squares over
+    the daily-count series, integer-exact: slope = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²) is reported as the exact integer rational
+    (num, den) plus a milli-slope with explicit truncate-toward-zero
+    semantics — sign(num) · (1000·|num|) div den — because Spark's
+    `div` truncates while DuckDB's `//` floors, and they differ on
+    negatives (a real slope CAN be negative here).  q144's CUSUM
+    catches sustained level SHIFTS; this fits the LEVEL's slope — the
+    capacity-planning number ("events/day is growing by how much per
+    day?").
+
+    Scale shape: the corpus is touched by ONE linear (type, day) hash
+    agg with map-side partials; the global x-origin is a 1-row
+    broadcast (the q62 n-docs pattern); every OLS moment is a second
+    agg over the DAYS relation (metadata scale).  No floats anywhere
+    until a reader divides num/den themselves."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff("d", "d0").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    agg = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    return (
+        agg.where(F.col("n") >= 2)
+        .withColumn("num", F.expr("n * sxy - sx * sy"))
+        .withColumn("den", F.expr("n * sxx - sx * sx"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("sy").cast("bigint").alias("total_events"),
+            F.col("num").cast("bigint").alias("num"),
+            F.col("den").cast("bigint").alias("den"),
+            F.expr(
+                "CAST((CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END)"
+                " * ((1000 * abs(num)) div den) AS BIGINT)"
+            ).alias("slope_milli"),
+        )
+    )
+
+
+ORACLE_Q164 = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT min(ts::DATE) AS d0 FROM events),
+pts AS (
+  SELECT event_type, CAST(d - d0.d0 AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM daily, d0
+),
+agg AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(sy AS BIGINT) AS total_events,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+       CAST((CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END)
+            * ((1000 * abs(n * sxy - sx * sy)) // (n * sxx - sx * sx))
+            AS BIGINT) AS slope_milli
+FROM agg WHERE n >= 2
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -11013,6 +11305,9 @@ FROM cum GROUP BY ws
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q162_streaming_countmin": q162_streaming_countmin,
+    "q163_streaming_scd2_enrich": q163_streaming_scd2_enrich,
+    "q164_daily_trend_slope": q164_daily_trend_slope,
     "q159_pagerank": q159_pagerank,
     "q160_shingle_containment": q160_shingle_containment,
     "q161_streaming_hist_quantiles": q161_streaming_hist_quantiles,
@@ -11182,6 +11477,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q162_streaming_countmin": ORACLE_Q162,
+    "q163_streaming_scd2_enrich": ORACLE_Q163,
+    "q164_daily_trend_slope": ORACLE_Q164,
     "q159_pagerank": ORACLE_Q159,
     "q160_shingle_containment": ORACLE_Q160,
     "q161_streaming_hist_quantiles": ORACLE_Q161,
