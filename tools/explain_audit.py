@@ -422,6 +422,21 @@ def main() -> None:
         ),
         # record linkage: capped-block self-join + broadcast freq
         # lookups; never an NLJ
+        # triangles: wedge equi-joins over the checkpointed oriented
+        # edge list; never a product
+        "q165_triangle_clustering": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # RRF: q105's scorer (query/df/totals broadcasts) + windows on
+        # the 20-row candidate pool
+        "q166_rrf_hybrid_retrieval": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        # chi-square drift: one linear histogram agg; the only join is
+        # histogram x per-lang totals (both bounded relations)
+        "q167_snapshot_drift_chi2": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
         # OLS trend: one linear (type, day) agg; the only "join" is
         # the deliberate 1-row x-origin broadcast (BNLJ by design)
         "q164_daily_trend_slope": dict(

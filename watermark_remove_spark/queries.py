@@ -5931,11 +5931,57 @@ def q105_bm25_retrieval(spark, sf_dir):
     )
 
 
+def _bm25_scored(spark, sf_dir) -> DataFrame:
+    """q105's scored (qid, doc_id, score_milli, n_terms) relation,
+    pre-top-k — shared by q105's ranking and q166's RRF fusion.  Kept
+    as a separate builder so the two queries provably score
+    identically."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tk = tokens_expr(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        F.size(tk).alias("dl"),
+        F.explode(F.filter(tk, lambda t: t.isin(_Q105_VOCAB))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tk)).cast("bigint").alias("total_dl"),
+    )
+    qt = spark.createDataFrame(_Q105_QUERIES, "qid string, token string")
+    term = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(dfq), "token")
+        .join(F.broadcast(tot))
+        .select(
+            "qid",
+            "doc_id",
+            F.expr(
+                """CAST(
+                     (CAST((1000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)
+                           AS DECIMAL(38,0))
+                      * 22 * tf * total_dl)
+                     div
+                     (CAST(10 AS DECIMAL(38,0)) * tf * total_dl
+                      + 3 * total_dl + 9 * n_docs * dl)
+                   AS BIGINT)"""
+            ).alias("s"),
+        )
+    )
+    return term.groupBy("qid", "doc_id").agg(
+        F.sum("s").cast("bigint").alias("score_milli"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+
+
 _Q105_Q_SQL = ", ".join(f"('{q}', '{t}')" for q, t in _Q105_QUERIES)
 _Q105_V_SQL = ", ".join(f"'{t}'" for t in _Q105_VOCAB)
 
-ORACLE_Q105 = f"""
-WITH tk AS (
+# the CTE chain producing the scored (qid, doc_id, score_milli,
+# n_terms) relation — shared by ORACLE_Q105 (top-5 rank) and
+# ORACLE_Q166 (RRF fusion over the top-20 candidates)
+_Q105_AGG_CTES = f"""tk AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
 ), toks AS (
@@ -5964,7 +6010,10 @@ term AS (
   SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_milli,
          CAST(count(*) AS BIGINT) AS n_terms
   FROM term GROUP BY 1, 2
-)
+)"""
+
+ORACLE_Q105 = f"""
+WITH {_Q105_AGG_CTES}
 SELECT qid, rank, doc_id, score_milli, n_terms FROM (
   SELECT qid, doc_id, score_milli, n_terms,
          CAST(row_number() OVER (PARTITION BY qid
@@ -11292,6 +11341,285 @@ FROM agg WHERE n >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q165: degree-ordered triangle counting / local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def q165_triangle_clustering(spark, sf_dir):
+    """Exact triangle counting + local clustering coefficient over the
+    near-dup candidate graph, via DEGREE-ORDERED edge orientation (the
+    classic O(m^1.5) wedge bound): every undirected edge is oriented
+    from its lower-(deg, id) endpoint to the higher, so each triangle
+    is enumerated exactly once as a wedge at its minimum vertex closed
+    by one oriented edge — and the wedge-join fan-out is bounded by
+    ORIENTED out-degree, which the ordering provably caps at O(sqrt m)
+    amortized even under power-law degree skew (the hub's edges all
+    point INTO it, so the hub generates no wedges).  Clustering
+    coefficient = 2·tri·1e6 div (deg·(deg−1)) in integer ppm — the
+    "is this duplicate neighborhood a clique (one template family) or
+    a chain (drift)" diagnostic; q141 measures reach, this measures
+    closure.
+
+    The oracle enumerates the same triangle SET by id-orientation
+    ((a,b),(b,c),(a,c) joins — valid because _q62_edges emits src<dst)
+    — degree-ordering changes the JOIN COST, never the result, which
+    is exactly the property worth pinning with a test."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    edges = _q62_edges(docs, min_shared=2).localCheckpoint(eager=True)
+    adj = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.join(deg.select(F.col("a").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(deg.select(F.col("a").alias("dst"), F.col("deg").alias("dd")), "dst")
+    )
+    lower_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(lower_first, F.col("dd")).otherwise(F.col("ds")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select("u", "v1", "v2")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return per_node.join(
+        deg.select(F.col("a").alias("doc_id"), "deg"), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("deg").cast("bigint").alias("deg"),
+        F.col("n_tri").cast("bigint").alias("n_tri"),
+        F.expr("CAST((2 * n_tri * 1000000) div (deg * (deg - 1)) AS BIGINT)").alias(
+            "clust_ppm"
+        ),
+    )
+
+
+ORACLE_Q165 = f"""
+WITH {_q62_edges_sql(min_shared=2)},
+adj AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL
+  SELECT dst AS a, src AS b FROM edges
+),
+deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY a),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+per_node AS (
+  SELECT doc_id, count(*) AS n_tri FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT p.doc_id, CAST(d.deg AS BIGINT) AS deg,
+       CAST(p.n_tri AS BIGINT) AS n_tri,
+       CAST((2 * p.n_tri * 1000000) // (d.deg * (d.deg - 1)) AS BIGINT)
+         AS clust_ppm
+FROM per_node p JOIN deg d ON d.a = p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q166: reciprocal-rank fusion (hybrid relevance + freshness retrieval)
+# ---------------------------------------------------------------------------
+
+_Q166_CAND = 20  # BM25 candidate pool per query
+_Q166_K = 60  # RRF smoothing constant (Cormack et al. 2009)
+
+
+def q166_rrf_hybrid_retrieval(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) —
+    the standard hybrid-retrieval combiner: each query's top-20 BM25
+    candidates (q105's integer-exact scorer, via the shared
+    ``_bm25_scored`` builder) are re-ranked by
+    RRF = 1e6 div (60 + bm25_rank) + 1e6 div (60 + fresh_rank),
+    where freshness rank orders the candidate pool by crawl recency
+    (doc_id desc — warc_ts is t0 + doc_id·47 s in the derived crawl,
+    so doc_id IS crawl order).  Rank-space fusion needs no score
+    normalization across signals — the property that makes RRF the
+    default in production hybrid search — and in integer arithmetic
+    the fused scores sit directly on the hash-compared oracle.
+
+    Scale shape: everything after q105's scorer runs on the
+    CANDIDATE relation (20 rows/query): two rank windows partitioned
+    by qid and one reorder — metadata-scale."""
+    agg = _bm25_scored(spark, sf_dir)
+    wb = Window.partitionBy("qid").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id")
+    )
+    cand = (
+        agg.withColumn("bm25_rank", F.row_number().over(wb))
+        .where(F.col("bm25_rank") <= _Q166_CAND)
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("doc_id").desc())
+    fused = cand.withColumn("fresh_rank", F.row_number().over(wf)).withColumn(
+        "rrf_micro",
+        F.expr(
+            f"1000000 div ({_Q166_K} + bm25_rank)"
+            f" + 1000000 div ({_Q166_K} + fresh_rank)"
+        ),
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wr))
+        .where(F.col("fused_rank") <= 5)
+        .select(
+            "qid",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+            "doc_id",
+            F.col("bm25_rank").cast("bigint").alias("bm25_rank"),
+            F.col("fresh_rank").cast("bigint").alias("fresh_rank"),
+            F.col("rrf_micro").cast("bigint").alias("rrf_micro"),
+        )
+    )
+
+
+ORACLE_Q166 = f"""
+WITH {_Q105_AGG_CTES},
+cand AS (
+  SELECT qid, doc_id, score_milli,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_milli DESC, doc_id) AS bm25_rank
+  FROM agg
+  QUALIFY bm25_rank <= {_Q166_CAND}
+),
+fused AS (
+  SELECT qid, doc_id, bm25_rank,
+         row_number() OVER (PARTITION BY qid ORDER BY doc_id DESC)
+           AS fresh_rank
+  FROM cand
+),
+scored AS (
+  SELECT qid, doc_id, bm25_rank, fresh_rank,
+         1000000 // ({_Q166_K} + bm25_rank)
+           + 1000000 // ({_Q166_K} + fresh_rank) AS rrf_micro
+  FROM fused
+)
+SELECT qid, CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(fresh_rank AS BIGINT) AS fresh_rank,
+       CAST(rrf_micro AS BIGINT) AS rrf_micro
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY rrf_micro DESC, doc_id) AS fused_rank
+  FROM scored
+) WHERE fused_rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q167: two-sample chi-square drift between crawl snapshots
+# ---------------------------------------------------------------------------
+
+_Q167_BINW = 100  # n_chars per histogram bin
+_Q167_BINS = 20  # overflow-clamped bin count
+
+
+def q167_snapshot_drift_chi2(spark, sf_dir):
+    """Two-sample chi-square homogeneity test between two crawl
+    snapshots — the distribution-shift gate a pipeline runs before
+    mixing a new crawl into training data ("did this source's length
+    profile change?").  Snapshots are the deterministic doc_id-parity
+    split (in production: yesterday's vs today's partition); the
+    per-lang feature is the n_chars histogram (100-char bins, overflow
+    bin at 19 — the q161 clamp).  The statistic is the textbook
+    Σ_i (c1·N2 − c2·N1)² / (N1·N2·(c1+c2)) with each bin's term
+    integer-floor-divided in milli units FIRST and then summed —
+    associative, partitioning-independent (the q105 per-term
+    precedent).  q157 tests a 2×2 treatment effect; this tests k-bin
+    homogeneity.  q144/q126 watch one series over time; this compares
+    two populations.
+
+    Scale shape: ONE linear pass builds the (lang, snapshot, bin)
+    histogram with map-side partials; N1/N2 and the statistic are
+    computed on the HISTOGRAM relation (bounded: langs × 20 bins).
+    Cross terms c·N stay under 2^63 through ~1e9 docs/lang-snapshot;
+    the DECIMAL(38,0) casts carry it to 1e18 (documented budget)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            "lang",
+            F.expr("CAST(doc_id % 2 AS INT)").alias("snap"),
+            F.expr(
+                f"least(n_chars div {_Q167_BINW}, {_Q167_BINS - 1})"
+            ).alias("bin"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.sum(F.expr("CASE WHEN snap = 0 THEN 1 ELSE 0 END")).alias("c1"),
+            F.sum(F.expr("CASE WHEN snap = 1 THEN 1 ELSE 0 END")).alias("c2"),
+        )
+    )
+    tot = hist.groupBy("lang").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    term = (
+        f"({dec.format('c1 * n2 - c2 * n1')}"
+        f" * {dec.format('c1 * n2 - c2 * n1')} * 1000)"
+        f" div ({dec.format('n1')} * {dec.format('n2')}"
+        f" * {dec.format('c1 + c2')})"
+    )
+    return (
+        hist.join(tot, "lang")
+        .withColumn("t", F.expr(f"CAST({term} AS BIGINT)"))
+        .groupBy("lang")
+        .agg(
+            F.max("n1").cast("bigint").alias("n_a"),
+            F.max("n2").cast("bigint").alias("n_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+            F.sum("t").cast("bigint").alias("chi2_milli"),
+        )
+    )
+
+
+ORACLE_Q167 = f"""
+WITH hist AS (
+  SELECT lang, least(n_chars // {_Q167_BINW}, {_Q167_BINS - 1}) AS bin,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c2
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT lang, sum(c1) AS n1, sum(c2) AS n2 FROM hist GROUP BY 1),
+terms AS (
+  SELECT h.lang, h.bin,
+         ((h.c1 * t.n2 - h.c2 * t.n1)::HUGEINT
+          * (h.c1 * t.n2 - h.c2 * t.n1)::HUGEINT * 1000)
+         // (t.n1::HUGEINT * t.n2::HUGEINT * (h.c1 + h.c2)::HUGEINT) AS tt,
+         t.n1, t.n2
+  FROM hist h JOIN tot t USING (lang)
+)
+SELECT lang, CAST(max(n1) AS BIGINT) AS n_a, CAST(max(n2) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(count(*) - 1 AS BIGINT) AS dof,
+       CAST(sum(tt) AS BIGINT) AS chi2_milli
+FROM terms GROUP BY lang
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -11305,6 +11633,9 @@ FROM agg WHERE n >= 2
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q165_triangle_clustering": q165_triangle_clustering,
+    "q166_rrf_hybrid_retrieval": q166_rrf_hybrid_retrieval,
+    "q167_snapshot_drift_chi2": q167_snapshot_drift_chi2,
     "q162_streaming_countmin": q162_streaming_countmin,
     "q163_streaming_scd2_enrich": q163_streaming_scd2_enrich,
     "q164_daily_trend_slope": q164_daily_trend_slope,
@@ -11477,6 +11808,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q165_triangle_clustering": ORACLE_Q165,
+    "q166_rrf_hybrid_retrieval": ORACLE_Q166,
+    "q167_snapshot_drift_chi2": ORACLE_Q167,
     "q162_streaming_countmin": ORACLE_Q162,
     "q163_streaming_scd2_enrich": ORACLE_Q163,
     "q164_daily_trend_slope": ORACLE_Q164,
