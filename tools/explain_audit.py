@@ -422,6 +422,21 @@ def main() -> None:
         ),
         # record linkage: capped-block self-join + broadcast freq
         # lookups; never an NLJ
+        # equi-depth histogram: one linear value agg; windows/aggs on
+        # the bounded value relation; 1-row total broadcast (BNLJ ok)
+        "q168_equidepth_histogram": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
+        # varint audit: per-token lag windows (parallel by token);
+        # df joins fixed-width; 1-row corpus total broadcast (BNLJ ok)
+        "q169_posting_compression_audit": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        # blocklist: map-side distinct grams + broadcast lexicon join
+        "q170_blocklist_tagger": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"),
+        ),
         # triangles: wedge equi-joins over the checkpointed oriented
         # edge list; never a product
         "q165_triangle_clustering": dict(

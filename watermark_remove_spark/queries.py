@@ -11620,6 +11620,263 @@ FROM terms GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q168: equi-depth histogram (optimizer statistics)
+# ---------------------------------------------------------------------------
+
+_Q168_B = 8  # histogram buckets
+
+
+def q168_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equi-height) histogram construction over
+    documents.n_chars — the selectivity-estimation artifact a
+    cost-based optimizer consumes (q131 gives NDV/min/max/MCV; q146
+    forecasts join sizes; this gives the range-predicate buckets):
+    each distinct value lands in bucket ((cum−1)·8) div N + 1 by its
+    cumulative row count — the nearest-rank discipline of q143, so
+    bucket k holds as close to N/8 rows as value multiplicity allows,
+    deterministically, with NO float quantiles.  Per bucket: exact
+    [lo, hi] bounds, row count and NDV — enough to estimate any range
+    predicate's selectivity to one bucket of error.
+
+    Scale shape: ONE corpus-linear (value, count) hash agg with
+    map-side partials; the cumulative window and the bucket agg run on
+    the grouped VALUE relation (bounded domain — the q128/q143
+    argument); the 1-row corpus total is a broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.groupBy(F.col("n_chars").alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("val")
+    cum = (
+        vals.crossJoin(F.broadcast(n))
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("bucket", F.expr(f"((cum - 1) * {_Q168_B}) div n + 1"))
+    )
+    return cum.groupBy("bucket").agg(
+        F.min("val").cast("bigint").alias("lo"),
+        F.max("val").cast("bigint").alias("hi"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+    ).select(F.col("bucket").cast("bigint").alias("bucket"), "lo", "hi", "n_rows", "ndv")
+
+
+ORACLE_Q168 = f"""
+WITH vals AS (
+  SELECT n_chars AS val, count(*) AS cnt FROM documents GROUP BY 1
+),
+n AS (SELECT count(*) AS n FROM documents),
+cum AS (
+  SELECT val, cnt, sum(cnt) OVER (ORDER BY val) AS cum, n.n
+  FROM vals, n
+)
+SELECT CAST(((cum - 1) * {_Q168_B}) // n + 1 AS BIGINT) AS bucket,
+       CAST(min(val) AS BIGINT) AS lo, CAST(max(val) AS BIGINT) AS hi,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS ndv
+FROM cum GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q169: posting-list delta-gap / varint compression economics
+# ---------------------------------------------------------------------------
+
+
+def q169_posting_compression_audit(spark, sf_dir):
+    """Inverted-index compression economics: delta-gap + varint size
+    accounting over the posting lists (q70/q113 build and maintain the
+    index; this prices its LAYOUT — the bytes-saved number that
+    decides whether the 100-TB index rewrite to delta-varint encoding
+    pays, the same decision shape as q153's zone-map audit).  Per
+    token, postings sorted by doc_id are gap-encoded (first gap =
+    doc_id + 1, so every gap is >= 1); each gap's varint cost is the
+    exact LEB128 byte count (1 byte under 2^7, 2 under 2^14, 3 under
+    2^21, else 4 — doc ids stay under 2^28 here, documented); results
+    aggregate per document-frequency band, because gap sizes — and
+    therefore savings — are a function of posting density: frequent
+    tokens have dense lists, tiny gaps, and ~87% savings; rare tokens
+    save little.  savings_ppm = (raw − varint)·1e6 div raw against
+    8-byte raw ids.  Bands are df ppm RELATIVE to corpus size (rare
+    < 10%, mid < 50%, common) so band semantics are scale-independent.
+
+    Scale shape: ONE (doc, token) distinct explode (map-side
+    array_distinct before the shuffle); the lag window partitions BY
+    TOKEN (posting lists sort in parallel per token, never a global
+    sort); df joins back fixed-width; the final agg runs on 5 band
+    rows."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(F.split(F.col("text"), "\n", -1), tokens_expr)
+                )
+            )
+        ).alias("token"),
+    )
+    dfr = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    gaps = postings.withColumn(
+        "gap",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id") + 1
+        ),
+    ).withColumn(
+        "vbytes",
+        F.expr(
+            "CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 "
+            "WHEN gap < 2097152 THEN 3 ELSE 4 END"
+        ),
+    )
+    # density bands are RELATIVE to corpus size (df ppm), so the band
+    # semantics are scale-independent: a token in 80% of a 10^12-doc
+    # corpus and of a 500-doc corpus band identically
+    banded = (
+        gaps.join(dfr, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "band",
+            F.expr(
+                "CASE WHEN df * 10 < n THEN 'rare' "
+                "WHEN df * 2 < n THEN 'mid' ELSE 'common' END"
+            ),
+        )
+    )
+    return banded.groupBy("band").agg(
+        F.countDistinct("token").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        (F.count(F.lit(1)) * 8).cast("bigint").alias("raw_bytes"),
+        F.sum("vbytes").cast("bigint").alias("varint_bytes"),
+        F.expr(
+            "CAST(((count(1) * 8 - sum(vbytes)) * 1000000)"
+            " div (count(1) * 8) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )
+
+
+ORACLE_Q169 = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(flatten(list_transform(
+           string_split(text, chr(10)),
+           ln -> list_filter(string_split(ln, ' '), t -> t <> ''))))) AS token
+  FROM documents
+),
+dfr AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+gaps AS (
+  SELECT token, doc_id,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id),
+                  doc_id + 1) AS gap
+  FROM toks
+),
+vb AS (
+  SELECT g.token, g.gap,
+         CASE WHEN g.gap < 128 THEN 1 WHEN g.gap < 16384 THEN 2
+              WHEN g.gap < 2097152 THEN 3 ELSE 4 END AS vbytes,
+         CASE WHEN d.df * 10 < n.n THEN 'rare'
+              WHEN d.df * 2 < n.n THEN 'mid' ELSE 'common' END AS band
+  FROM gaps g JOIN dfr d USING (token), n
+)
+SELECT band, CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+       CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+       CAST(((count(*) * 8 - sum(vbytes)) * 1000000) // (count(*) * 8)
+            AS BIGINT) AS savings_ppm
+FROM vb GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# q170: multi-pattern blocklist tagger (policy phrase filtering)
+# ---------------------------------------------------------------------------
+
+# (phrase, category bit): pii=1, toxic=2, spam=4.  Stand-ins for a real
+# policy lexicon; phrases chosen to occur in the synthetic corpus so
+# the tagger's joins are non-vacuous at every SF.
+_Q170_BLOCKLIST: list[tuple[str, int]] = [
+    ("data query", 1),
+    ("customer value", 1),
+    ("order fast", 2),
+    ("window join", 2),
+    ("stream column", 4),
+    ("big order scan", 4),
+]
+
+
+def q170_blocklist_tagger(spark, sf_dir):
+    """Multi-pattern policy blocklist tagging — the safety-filtering
+    pass a training pipeline runs with a lexicon of flagged phrases
+    (PII patterns, toxicity lists, spam templates): every document is
+    tagged with WHICH categories matched (a bitmask), how many
+    distinct phrases hit, and a block decision (any pii/toxic
+    category).  q96 searches ONE phrase by position arithmetic; this
+    tags against a whole lexicon at once — mixed 2- and 3-token
+    phrases — which is the shape content filters actually run.
+
+    Scale shape: per-doc 2- and 3-gram windows are built map-side
+    (the q32/q50 window builder), array_distinct'ed BEFORE the
+    explode (map-side dedup shrinks the shuffle), and the lexicon is
+    a BROADCAST hash join — the corpus never shuffles on anything
+    wider than one matched gram; per-doc flags are one hash agg.
+    Growing the lexicon to 10^5 phrases changes only the broadcast
+    size."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    doc_shingles_expr(F.col("text"), 2),
+                    doc_shingles_expr(F.col("text"), 3),
+                )
+            )
+        ).alias("phrase"),
+    )
+    bl = spark.createDataFrame(_Q170_BLOCKLIST, "phrase string, cat int")
+    matched = grams.join(F.broadcast(bl), "phrase")
+    return matched.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_phrases"),
+        F.expr("CAST(bit_or(cat) AS BIGINT)").alias("cat_mask"),
+        F.expr("CAST((bit_or(cat) & 3) != 0 AS BOOLEAN)").alias("blocked"),
+    )
+
+
+def _oracle_q170() -> str:
+    def kgrams(k: int) -> str:
+        toks = "list_filter(string_split(ln, ' '), t -> t <> '')"
+        return f"""flatten(list_transform(string_split(text, chr(10)), ln ->
+  CASE WHEN len({toks}) = 0 THEN []::VARCHAR[]
+       WHEN len({toks}) <= {k} THEN [array_to_string({toks}, ' ')]
+       ELSE list_transform(
+              generate_series(1, len({toks}) - {k - 1}),
+              i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))
+  END))"""
+
+    bl = ", ".join(f"('{p}', {c})" for p, c in _Q170_BLOCKLIST)
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_concat({kgrams(2)}, {kgrams(3)}))) AS phrase
+  FROM documents
+),
+bl(phrase, cat) AS (VALUES {bl}),
+matched AS (SELECT g.doc_id, g.phrase, bl.cat FROM grams g JOIN bl USING (phrase))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrases,
+       CAST(bit_or(cat) AS BIGINT) AS cat_mask,
+       (bit_or(cat) & 3) != 0 AS blocked
+FROM matched GROUP BY doc_id
+"""
+
+
+ORACLE_Q170 = _oracle_q170()
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -11633,6 +11890,9 @@ FROM terms GROUP BY lang
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q168_equidepth_histogram": q168_equidepth_histogram,
+    "q169_posting_compression_audit": q169_posting_compression_audit,
+    "q170_blocklist_tagger": q170_blocklist_tagger,
     "q165_triangle_clustering": q165_triangle_clustering,
     "q166_rrf_hybrid_retrieval": q166_rrf_hybrid_retrieval,
     "q167_snapshot_drift_chi2": q167_snapshot_drift_chi2,
@@ -11808,6 +12068,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q168_equidepth_histogram": ORACLE_Q168,
+    "q169_posting_compression_audit": ORACLE_Q169,
+    "q170_blocklist_tagger": ORACLE_Q170,
     "q165_triangle_clustering": ORACLE_Q165,
     "q166_rrf_hybrid_retrieval": ORACLE_Q166,
     "q167_snapshot_drift_chi2": ORACLE_Q167,
