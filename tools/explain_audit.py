@@ -422,6 +422,21 @@ def main() -> None:
         ),
         # record linkage: capped-block self-join + broadcast freq
         # lookups; never an NLJ
+        # precedence: self-join of the per-user AGGREGATED (user, type)
+        # relation; 1-row denominator broadcast (BNLJ ok)
+        "q171_precedence_mining": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        # ANN recall: the brute side is the sanctioned 3-row broadcast
+        # baseline (q20); LSH side bucket equi-join; no SMJ anywhere
+        "q172_ann_recall_audit": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
+        # contrastive pairs: fixed-width (doc, idx) equi-joins +
+        # 1-row corpus-size broadcast (BNLJ ok)
+        "q173_contrastive_pairs": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
         # equi-depth histogram: one linear value agg; windows/aggs on
         # the bounded value relation; 1-row total broadcast (BNLJ ok)
         "q168_equidepth_histogram": dict(

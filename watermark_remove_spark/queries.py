@@ -11877,6 +11877,294 @@ FROM matched GROUP BY doc_id
 ORACLE_Q170 = _oracle_q170()
 
 
+# ---------------------------------------------------------------------------
+# q171: temporal precedence mining (A-before-B support)
+# ---------------------------------------------------------------------------
+
+
+def q171_precedence_mining(spark, sf_dir):
+    """Temporal precedence mining: for every ordered pair of event
+    types (A, B), in how many users' histories does A's FIRST
+    occurrence strictly precede B's first occurrence — the
+    funnel-DISCOVERY statistic (which orderings exist and how strong)
+    that precedes hand-building a funnel (q135) or a transition matrix
+    (q129, adjacent steps only; this measures long-range precedence).
+    Ties (equal first timestamps) count in neither direction —
+    deterministic and symmetric.
+
+    Scale shape: ONE corpus-linear (user, type) min-ts agg; the pair
+    generator self-joins the AGGREGATED relation per user — bounded at
+    |event types|² rows per user (25 here), never events²; support
+    denominators are a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("t"))
+    nu = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("et_a"), F.col("t").alias("ta")
+    )
+    b = firsts.select(
+        "user_id", F.col("event_type").alias("et_b"), F.col("t").alias("tb")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .where((F.col("et_a") != F.col("et_b")) & (F.col("ta") < F.col("tb")))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_users_ab"))
+    )
+    return pairs.crossJoin(F.broadcast(nu)).select(
+        "et_a",
+        "et_b",
+        F.col("n_users_ab").cast("bigint").alias("n_users_ab"),
+        F.expr("CAST((n_users_ab * 1000000) div n_users AS BIGINT)").alias(
+            "support_ppm"
+        ),
+    )
+
+
+ORACLE_Q171 = """
+WITH firsts AS (
+  SELECT user_id, event_type, min(ts) AS t FROM events GROUP BY 1, 2
+),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+pairs AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b, count(*) AS n_users_ab
+  FROM firsts a JOIN firsts b USING (user_id)
+  WHERE a.event_type <> b.event_type AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT et_a, et_b, CAST(n_users_ab AS BIGINT) AS n_users_ab,
+       CAST((n_users_ab * 1000000) // n_users AS BIGINT) AS support_ppm
+FROM pairs, nu
+"""
+
+
+# ---------------------------------------------------------------------------
+# q172: ANN recall audit (LSH vs brute-force ground truth, in-engine)
+# ---------------------------------------------------------------------------
+
+
+def q172_ann_recall_audit(spark, sf_dir):
+    """ANN quality audit: recall@5 of the LSH index (q24's bucketed
+    top-k) against the brute-force ground truth (q20), computed
+    IN-ENGINE as one query — the eval harness an ANN deployment runs
+    after every index rebuild ("did the last re-bucketing hurt
+    recall?").  Per query vector: how many true top-5 neighbors the
+    LSH top-5 recovered, the LSH candidate count (buckets can
+    under-fill), and recall in integer ppm.  The pytest recall
+    assertion on q24 checks a floor ONCE; this makes the audit itself
+    a first-class, oracle-checked operator.
+
+    Scale shape: ground truth is the documented broadcast brute-force
+    baseline (3 query rows broadcast against the corpus — the one
+    sanctioned crossJoin, as q20); the LSH side is the bucket
+    equi-join; the recall join runs on two K-row/query top-k
+    relations."""
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    approx = lsh_topk(emb, q, k=5, n_planes=4).select("query_id", "neighbor_id")
+    qv = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        )
+        .crossJoin(F.broadcast(qv))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_expr(
+                    F.col("qv").cast("array<double>"),
+                    F.col("cv").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    brute = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    # both sides are K-row/query relations; the truth side is
+    # broadcast so the recall join never sorts
+    hits = approx.join(
+        F.broadcast(brute.withColumn("hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.lit(5).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lsh"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        F.expr(
+            "CAST((sum(coalesce(hit, 0)) * 1000000) div 5 AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+def _oracle_q172() -> str:
+    bucket = _duck_lsh_bucket("embedding::DOUBLE[]", 4, 64)
+    return f"""
+WITH qset AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, {bucket} AS bucket
+  FROM embeddings WHERE vec_id < 3
+),
+cset AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, {bucket} AS bucket
+  FROM embeddings
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))), 6) DESC,
+             neighbor_id ASC) AS rk
+    FROM cset JOIN qset USING (bucket) WHERE neighbor_id <> query_id
+  ) WHERE rk <= 5
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6) DESC,
+             e.vec_id ASC) AS rk
+    FROM embeddings e CROSS JOIN qset q WHERE e.vec_id <> q.query_id
+  ) WHERE rk <= 5
+)
+SELECT l.query_id, CAST(5 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_lsh,
+       CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST((sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000) // 5 AS BIGINT) AS recall_ppm
+FROM lsh l LEFT JOIN brute b
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY l.query_id
+"""
+
+
+ORACLE_Q172 = _oracle_q172()
+
+
+# ---------------------------------------------------------------------------
+# q173: contrastive pair construction (NSP-style training data prep)
+# ---------------------------------------------------------------------------
+
+_Q173_CHUNK = 10
+_Q173_STRIDE = 257  # coprime doc offset for negative sampling
+
+
+def q173_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair construction (the next-sentence /
+    adjacent-chunk objective): every consecutive chunk pair in a
+    document is a POSITIVE (anchor, next); each positive gets a
+    deterministic NEGATIVE — the same chunk index (mod length) from
+    doc (anchor_doc + 257) mod N, a coprime stride so negatives
+    spread over the corpus without RNG (reproducible data prep, the
+    q47/q76 determinism discipline; random sampling would be
+    layout-dependent and oracle-invisible).  Chunks travel as
+    portable-md5 hashes, not text — what a pair-writing job actually
+    materializes next to a sample store.
+
+    Scale shape: chunking is ONE map-side transform+posexplode;
+    positives are a (doc, idx) self-equi-join at offset 1; negatives
+    are one equi-join against the chunk-count relation and one
+    against the chunk store — all fixed-width (doc, idx) keys, no
+    shuffle wider than a hash."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tk"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(tk) - 1) div {_Q173_CHUNK}),"
+                f" i -> concat_ws(' ', slice(tk, i * {_Q173_CHUNK} + 1,"
+                f" {_Q173_CHUNK})))"
+            )
+        ).alias("idx", "chunk"),
+    ).select("doc_id", "idx", md5_i64_expr(F.col("chunk"), "cp#").alias("h"))
+    nc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchor = chunks.select(
+        "doc_id", "idx", F.col("h").alias("anchor_h")
+    )
+    pos = chunks.select(
+        "doc_id", (F.col("idx") - 1).alias("idx"), F.col("h").alias("pos_h")
+    )
+    pairs = (
+        anchor.join(pos, ["doc_id", "idx"])
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "neg_doc", F.expr(f"(doc_id + {_Q173_STRIDE}) % n_docs")
+        )
+    )
+    withnc = pairs.join(
+        nc.select(F.col("doc_id").alias("neg_doc"), "n_chunks"), "neg_doc"
+    ).withColumn("neg_idx", F.expr("idx % n_chunks"))
+    return withnc.join(
+        chunks.select(
+            F.col("doc_id").alias("neg_doc"),
+            F.col("idx").alias("neg_idx"),
+            F.col("h").alias("neg_h"),
+        ),
+        ["neg_doc", "neg_idx"],
+    ).select(
+        "doc_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        "anchor_h",
+        "pos_h",
+        F.col("neg_doc").cast("bigint").alias("neg_doc"),
+        F.col("neg_idx").cast("bigint").alias("neg_idx"),
+        "neg_h",
+    )
+
+
+ORACLE_Q173 = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, u.i AS idx,
+         ('0x' || substr(md5('cp#' || array_to_string(
+            list_slice(toks, CAST(u.i * {_Q173_CHUNK} + 1 AS INT),
+                       CAST(u.i * {_Q173_CHUNK} + {_Q173_CHUNK} AS INT)), ' ')),
+            1, 15))::BIGINT AS h
+  FROM tk, UNNEST(range((len(toks) - 1) // {_Q173_CHUNK} + 1)) AS u(i)
+),
+nc AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.doc_id, a.idx, a.h AS anchor_h, p.h AS pos_h,
+         (a.doc_id + {_Q173_STRIDE}) % nd.n_docs AS neg_doc
+  FROM chunks a
+  JOIN chunks p ON p.doc_id = a.doc_id AND p.idx = a.idx + 1
+  CROSS JOIN nd
+),
+withnc AS (
+  SELECT pr.*, pr.idx % nc.n_chunks AS neg_idx
+  FROM pairs pr JOIN nc ON nc.doc_id = pr.neg_doc
+)
+SELECT w.doc_id, CAST(w.idx AS BIGINT) AS idx, w.anchor_h, w.pos_h,
+       CAST(w.neg_doc AS BIGINT) AS neg_doc,
+       CAST(w.neg_idx AS BIGINT) AS neg_idx, c.h AS neg_h
+FROM withnc w JOIN chunks c
+  ON c.doc_id = w.neg_doc AND c.idx = w.neg_idx
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -11890,6 +12178,9 @@ ORACLE_Q170 = _oracle_q170()
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q171_precedence_mining": q171_precedence_mining,
+    "q172_ann_recall_audit": q172_ann_recall_audit,
+    "q173_contrastive_pairs": q173_contrastive_pairs,
     "q168_equidepth_histogram": q168_equidepth_histogram,
     "q169_posting_compression_audit": q169_posting_compression_audit,
     "q170_blocklist_tagger": q170_blocklist_tagger,
@@ -12068,6 +12359,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q171_precedence_mining": ORACLE_Q171,
+    "q172_ann_recall_audit": ORACLE_Q172,
+    "q173_contrastive_pairs": ORACLE_Q173,
     "q168_equidepth_histogram": ORACLE_Q168,
     "q169_posting_compression_audit": ORACLE_Q169,
     "q170_blocklist_tagger": ORACLE_Q170,
