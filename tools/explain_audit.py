@@ -422,6 +422,26 @@ def main() -> None:
         ),
         # record linkage: capped-block self-join + broadcast freq
         # lookups; never an NLJ
+        # attribution: one per-user window pass + channel-domain agg;
+        # 1-row denominator broadcast (BNLJ ok)
+        "q174_last_touch_attribution": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
+        # roaring audit: one (source, chunk) hash agg, zero joins
+        "q175_roaring_container_audit": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
+        # percent-rank: windows on the grouped (lang, value) relation,
+        # fixed-width join back to the corpus — never a corpus sort
+        "q176_percent_rank_normalization": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
         # precedence: self-join of the per-user AGGREGATED (user, type)
         # relation; 1-row denominator broadcast (BNLJ ok)
         "q171_precedence_mining": dict(

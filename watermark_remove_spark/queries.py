@@ -12165,6 +12165,216 @@ FROM withnc w JOIN chunks c
 """
 
 
+# ---------------------------------------------------------------------------
+# q174: last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def q174_last_touch_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: every purchase is credited
+    to the user's most recent PRECEDING non-purchase event type (the
+    "channel"), via one ordered window pass per user — the marketing
+    attribution primitive.  q129's Markov matrix models ALL adjacent
+    transitions and q171 long-range precedence; this answers the
+    specific revenue question "which touchpoint gets the credit".
+    Purchases with no preceding touch attribute to '(none)'.
+    Determinism: window ordered by (ts, event_id) — equal timestamps
+    cannot reorder between engines — and last(ignorenulls) mirrors
+    DuckDB's last_value IGNORE NULLS over the same frame.
+
+    Scale shape: ONE window pass partitioned BY USER (parallel across
+    users, state = one carried value per row), then a channel-domain
+    hash agg; the share denominator is a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "lt",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    conv = tagged.where(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("lt"), F.lit("(none)")).alias("channel")
+    )
+    agg = conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
+    )
+    tot = conv.agg(F.count(F.lit(1)).alias("n_total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "n_conversions",
+        F.expr("CAST((n_conversions * 1000000) div n_total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+ORACLE_Q174 = """
+WITH tagged AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events
+),
+conv AS (
+  SELECT coalesce(lt, '(none)') AS channel FROM tagged
+  WHERE event_type = 'purchase'
+),
+agg AS (SELECT channel, count(*) AS n_conversions FROM conv GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM conv)
+SELECT channel, CAST(n_conversions AS BIGINT) AS n_conversions,
+       CAST((n_conversions * 1000000) // n_total AS BIGINT) AS share_ppm
+FROM agg, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# q175: Roaring-style bitmap-index container planning audit
+# ---------------------------------------------------------------------------
+
+_Q175_W = 64  # container chunk width (id space per container)
+_Q175_ARR_MAX = 4  # array container iff cardinality < W/16 (Roaring's rule)
+
+
+def q175_roaring_container_audit(spark, sf_dir):
+    """Roaring-bitmap container PLANNING audit over the per-source
+    doc-id posting sets — the layout decision inside every bitmap
+    index (q132 does the set algebra; q169 prices varint postings;
+    this prices the CONTAINER choice): the id space is split into
+    fixed-width chunks and each (source, chunk) picks array vs bitmap
+    by Roaring's cardinality rule (array iff n < width/16; array
+    costs 2n bytes, bitmap width/8), giving the exact bytes a roaring
+    index would spend vs naive 8-byte ids — the number that decides
+    whether the 100-TB audience index is roaring or a plain list.
+    Width 64 (vs Roaring's 2^16) keeps both container types live in
+    the test fixtures; the rule scales verbatim.
+
+    Scale shape: ONE (source, chunk) hash agg over the corpus (doc
+    ids never shuffle wider than a count), container choice and byte
+    pricing computed per aggregated chunk row, final rollup per
+    source."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.groupBy(
+        "source", F.expr(f"doc_id div {_Q175_W}").alias("chunk")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    priced = chunks.withColumn(
+        "is_arr", F.expr(f"n < {_Q175_ARR_MAX}")
+    ).withColumn(
+        "bytes", F.expr(f"CASE WHEN n < {_Q175_ARR_MAX} THEN 2 * n ELSE {_Q175_W // 8} END")
+    )
+    return priced.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.expr("CASE WHEN is_arr THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_array"),
+        F.sum(F.expr("CASE WHEN is_arr THEN 0 ELSE 1 END"))
+        .cast("bigint")
+        .alias("n_bitmap"),
+        F.sum("bytes").cast("bigint").alias("roaring_bytes"),
+        (F.sum("n") * 8).cast("bigint").alias("naive_bytes"),
+        F.expr(
+            "CAST(((sum(n) * 8 - sum(bytes)) * 1000000) div (sum(n) * 8)"
+            " AS BIGINT)"
+        ).alias("savings_ppm"),
+    )
+
+
+ORACLE_Q175 = f"""
+WITH chunks AS (
+  SELECT source, doc_id // {_Q175_W} AS chunk, count(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+priced AS (
+  SELECT source, n, n < {_Q175_ARR_MAX} AS is_arr,
+         CASE WHEN n < {_Q175_ARR_MAX} THEN 2 * n ELSE {_Q175_W // 8} END AS bytes
+  FROM chunks
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN is_arr THEN 1 ELSE 0 END) AS BIGINT) AS n_array,
+       CAST(sum(CASE WHEN is_arr THEN 0 ELSE 1 END) AS BIGINT) AS n_bitmap,
+       CAST(sum(bytes) AS BIGINT) AS roaring_bytes,
+       CAST(sum(n) * 8 AS BIGINT) AS naive_bytes,
+       CAST(((sum(n) * 8 - sum(bytes)) * 1000000) // (sum(n) * 8) AS BIGINT)
+         AS savings_ppm
+FROM priced GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q176: rank-based feature normalization (percent-rank in integer ppm)
+# ---------------------------------------------------------------------------
+
+
+def q176_percent_rank_normalization(spark, sf_dir):
+    """Rank-based feature normalization: each document's n_chars is
+    mapped to its within-language percent-rank in integer ppm —
+    below·1e6 div (n−1), where `below` counts rows STRICTLY smaller
+    (ties share the min rank, the SQL percent_rank convention) — the
+    distribution-free scaling a quality-mixing pipeline applies before
+    combining heterogeneous signals (raw lengths aren't comparable
+    across languages; ranks are).
+
+    Scale shape: the ranking does NOT sort the corpus — the cumulative
+    count runs on the grouped (lang, value) relation (bounded domain,
+    the q128/q143/q168 argument) and joins back to documents on the
+    fixed-width (lang, value) key; per-lang totals ride the same
+    grouped relation.  A naive percent_rank() window over raw rows
+    would sort every language partition — corpus-scale — for the
+    identical answer."""
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.groupBy("lang", F.col("n_chars").alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy("val")
+    ranked = (
+        vals.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("below", F.col("cum") - F.col("cnt"))
+        .withColumn(
+            "ntot", F.sum("cnt").over(Window.partitionBy("lang"))
+        )
+        .select(
+            F.col("lang").alias("rl"),
+            "val",
+            F.expr(
+                "CAST((below * 1000000) div greatest(ntot - 1, 1) AS BIGINT)"
+            ).alias("pct_ppm"),
+        )
+    )
+    return docs.join(
+        ranked,
+        (F.col("lang") == F.col("rl")) & (F.col("n_chars") == F.col("val")),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "pct_ppm",
+    )
+
+
+ORACLE_Q176 = """
+WITH vals AS (
+  SELECT lang, n_chars AS val, count(*) AS cnt FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, val,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY val) - cnt AS below,
+         sum(cnt) OVER (PARTITION BY lang) AS ntot
+  FROM vals
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST((r.below * 1000000) // greatest(r.ntot - 1, 1) AS BIGINT)
+         AS pct_ppm
+FROM documents d JOIN ranked r ON r.lang = d.lang AND r.val = d.n_chars
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -12178,6 +12388,9 @@ FROM withnc w JOIN chunks c
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q174_last_touch_attribution": q174_last_touch_attribution,
+    "q175_roaring_container_audit": q175_roaring_container_audit,
+    "q176_percent_rank_normalization": q176_percent_rank_normalization,
     "q171_precedence_mining": q171_precedence_mining,
     "q172_ann_recall_audit": q172_ann_recall_audit,
     "q173_contrastive_pairs": q173_contrastive_pairs,
@@ -12359,6 +12572,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q174_last_touch_attribution": ORACLE_Q174,
+    "q175_roaring_container_audit": ORACLE_Q175,
+    "q176_percent_rank_normalization": ORACLE_Q176,
     "q171_precedence_mining": ORACLE_Q171,
     "q172_ann_recall_audit": ORACLE_Q172,
     "q173_contrastive_pairs": ORACLE_Q173,
