@@ -1,13 +1,12 @@
-"""Round-4p operators: integer-exact PageRank, asymmetric shingle
-containment (quote detection), streaming histogram quantiles.
+"""Round-4p operators: asymmetric shingle containment (quote
+detection).
 
-Properties proven against brute force / constructed fixtures: PageRank
-equals a Python integer reconstruction over the same edge list (and
-isolates stay at base mass); containment detects a planted wholesale
-quote at exactly 1e6 ppm in the contained direction while Jaccard-style
-symmetric evidence stays low; the streaming quantile picks equal a
-Python nearest-rank reconstruction over the raw fixture values and the
-overflow-bin clamp is exercised.
+Properties proven against brute force / constructed fixtures:
+containment detects a planted wholesale quote at exactly 1e6 ppm in the
+contained direction while Jaccard-style symmetric evidence stays low,
+and matches a Python set-algebra reconstruction on real fixtures.
+(The round-4p pagerank and streaming-histogram-quantile queries were
+retired as duplicates of q63/q72; their tests went with them.)
 """
 
 from __future__ import annotations
@@ -17,45 +16,6 @@ import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
-
-def test_pagerank_matches_bruteforce(spark):
-    from watermark_remove_spark.queries import (
-        _Q159_BASE,
-        _Q159_ITERS,
-        _Q159_UNIT,
-        _q62_edges_sql,
-        q159_pagerank,
-    )
-
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
-    )
-    edges = con.execute(
-        f"WITH {_q62_edges_sql(min_shared=2)} SELECT src, dst FROM edges"
-    ).fetchall()
-    nodes = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
-    adj: dict[int, list[int]] = {}
-    for s, d in edges:
-        adj.setdefault(s, []).append(d)
-        adj.setdefault(d, []).append(s)
-    rank = {n: _Q159_UNIT for n in nodes}
-    for _ in range(_Q159_ITERS):
-        recv = {n: 0 for n in nodes}
-        for n, neighbors in adj.items():
-            c = (85 * rank[n]) // (100 * len(neighbors))
-            for m in neighbors:
-                recv[m] += c
-        rank = {n: _Q159_BASE + recv[n] for n in nodes}
-
-    got = {r["doc_id"]: (r["pr_ppm"], r["deg"]) for r in q159_pagerank(spark, SF).collect()}
-    assert {k: v[0] for k, v in got.items()} == rank
-    assert all(got[n][1] == len(adj.get(n, [])) for n in nodes)
-    # non-vacuity: the graph is non-empty and rank mass actually moved
-    assert any(d > 0 for _, d in got.values())
-    assert len({r for r, _ in got.values()}) > 2
-    # isolates keep exactly the base mass
-    assert all(got[n][0] == _Q159_BASE for n in nodes if n not in adj)
 
 
 def test_containment_detects_planted_quote(spark, tmp_path):
@@ -138,52 +98,3 @@ def test_containment_matches_bruteforce(spark):
     assert len(got) > 0  # non-vacuous on real fixtures
 
 
-def test_streaming_hist_quantiles_match_bruteforce(spark):
-    from watermark_remove_spark.queries import (
-        _Q161_BINS,
-        _Q161_BINW,
-        _Q161_MOD,
-        _Q161_N,
-        q161_streaming_hist_quantiles,
-        STATIC_T0_EPOCH,
-    )
-
-    # raw fixture values, grouped into their event-time windows
-    per_win: dict[int, list[int]] = {}
-    clamped = 0
-    for i in range(_Q161_N):
-        m = (i * i) % _Q161_MOD
-        ws = STATIC_T0_EPOCH + (i * 5 // 600) * 600
-        per_win.setdefault(ws, []).append(m)
-        clamped += m >= (_Q161_BINS - 1) * _Q161_BINW
-    assert clamped > 0  # the overflow-bin clamp is non-vacuous
-
-    def ub(vals: list[int], pct: int) -> int:
-        bins = sorted(min(v // _Q161_BINW, _Q161_BINS - 1) for v in vals)
-        tot, cum = len(bins), 0
-        seen: dict[int, int] = {}
-        for b in bins:
-            seen[b] = seen.get(b, 0) + 1
-        for b in sorted(seen):
-            cum += seen[b]
-            if 100 * cum >= pct * tot:
-                return (b + 1) * _Q161_BINW
-        raise AssertionError("unreachable")
-
-    got = {
-        r["window_start_epoch"]: r
-        for r in q161_streaming_hist_quantiles(spark, SF).collect()
-    }
-    assert set(got) == set(per_win)
-    for ws, vals in per_win.items():
-        r = got[ws]
-        assert r["total_n"] == len(vals)
-        assert r["n_bins"] == len(
-            {min(v // _Q161_BINW, _Q161_BINS - 1) for v in vals}
-        )
-        assert (r["p50_ub"], r["p90_ub"], r["p99_ub"]) == (
-            ub(vals, 50),
-            ub(vals, 90),
-            ub(vals, 99),
-        )
-        assert r["p50_ub"] < r["p99_ub"]  # real spread in every window

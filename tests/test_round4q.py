@@ -1,10 +1,10 @@
-"""Round-4q operators: streaming count-min sketch, streaming SCD2
-as-of enrichment, integer-exact OLS trend slopes.
+"""Round-4q operators: streaming SCD2 as-of enrichment, integer-exact
+OLS trend slopes.  (The q162 streaming count-min query was retired as
+a duplicate of q67; its test went with it.)
 
-Properties proven: the CMS estimate is ONE-SIDED (never below the true
-per-url windowed count, strictly above for some url — real collisions);
-the as-of join routes every real page to exactly one dimension version
-and both tiers actually occur; the OLS slope matches the hand formula on
+Properties proven: the as-of join routes every real page to exactly
+one dimension version and both tiers actually occur; the OLS slope
+matches the hand formula on
 planted increasing/decreasing series including the negative-slope
 truncate-toward-zero case where floor and truncate diverge.
 """
@@ -16,48 +16,6 @@ import pandas as pd
 
 SF = "/root/testdata/sf0.001"
 
-
-def test_countmin_estimate_is_one_sided(spark):
-    from watermark_remove_spark.functions.portable_hash import md5_i64_py
-    from watermark_remove_spark.queries import (
-        _Q162_D,
-        _Q162_W,
-        STATIC_T0_EPOCH,
-        q162_streaming_countmin,
-    )
-
-    counters = {
-        (r["window_start_epoch"], r["d"], r["w"]): r["cnt"]
-        for r in q162_streaming_countmin(spark, SF).collect()
-    }
-    # true per-(window, url) counts from the derived-pages arithmetic
-    docs = duckdb.sql(
-        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
-    ).fetchall()
-    true: dict[tuple[int, str], int] = {}
-    for doc_id, source in docs:
-        url = f"https://{source}.example.com/p/{doc_id}"
-        ws = STATIC_T0_EPOCH + (doc_id * 47 // 600) * 600
-        true[(ws, url)] = true.get((ws, url), 0) + 1
-
-    over = 0
-    for (ws, url), t in true.items():
-        est = min(
-            counters.get((ws, d, md5_i64_py(f"cms{d}#{url}") % _Q162_W), 0)
-            for d in range(_Q162_D)
-        )
-        assert est >= t, (ws, url, est, t)  # never under-estimates
-        over += est > t
-    assert over > 0  # collisions are real at |urls| >> W
-    # counter mass conservation: every row's counters sum to the row count
-    per_wd: dict[tuple[int, int], int] = {}
-    for (ws, d, _), c in counters.items():
-        per_wd[(ws, d)] = per_wd.get((ws, d), 0) + c
-    n_by_ws: dict[int, int] = {}
-    for (ws, _), t in true.items():
-        n_by_ws[ws] = n_by_ws.get(ws, 0) + t
-    for (ws, d), m in per_wd.items():
-        assert m == n_by_ws[ws]
 
 
 def test_scd2_enrich_matches_bruteforce(spark):

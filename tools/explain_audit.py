@@ -492,16 +492,25 @@ def main() -> None:
         "q164_daily_trend_slope": dict(
             broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
         ),
-        # pagerank: edge/rank equi-joins + hash aggs per unrolled
-        # iteration; the edge derivation's 1-row count broadcast is
-        # behind a localCheckpoint (audited as q62_edge_derivation)
-        "q159_pagerank": dict(
-            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
-        ),
         # containment: q62's candidate shape — shared-shingle
         # equi-join, size lookups on aggregated relations
         "q160_shingle_containment": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # OOV audit: one explode; 16-row vocab broadcast
+        "q159_oov_rate_audit": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"),
+        ),
+        # conversion latency: self-join of the (user, type) AGGREGATED
+        # relation; percentiles on grouped hour counts
+        "q161_conversion_latency": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # bloom skipping audit: word-index equi-join vs broadcast
+        # probes; 1-row file-count broadcast (BNLJ ok)
+        "q162_bloom_file_skipping_audit": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
         ),
         "q156_record_linkage_scores": dict(
             broadcast=True,

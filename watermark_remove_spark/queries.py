@@ -10698,106 +10698,6 @@ WHERE b.rk = 1
 
 
 # ---------------------------------------------------------------------------
-# q159: integer-exact PageRank over the near-dup graph (unrolled iterations)
-# ---------------------------------------------------------------------------
-
-_Q159_ITERS = 3
-_Q159_UNIT = 1_000_000  # initial rank mass per node (ppm units)
-_Q159_BASE = 150_000  # (1 - d) * UNIT at damping d = 0.85
-
-
-def q159_pagerank(spark, sf_dir):
-    """Integer-exact PageRank (damping 0.85, 3 unrolled iterations)
-    over the undirected near-dup candidate graph — the canonical
-    web-graph importance measure (Page et al. 1999), here ranking
-    documents by how central they sit in the duplication graph (a
-    high-rank doc is template/boilerplate-adjacent; a rank-150000
-    isolate is unique content).  All arithmetic is integer ppm: each
-    node starts with 1e6 units, each iteration sends
-    (85·r) div (100·deg) along every edge and re-seeds 150000 base
-    units, so both engines (and the brute-force pytest) reproduce the
-    same numbers bit for bit — floor-lost remainder mass is the
-    documented price of exactness.  Dangling nodes keep their base
-    (classic lost-mass variant).
-
-    Scale shape: each iteration is ONE edge⋈rank equi-join + ONE
-    hash agg + ONE left join back to the node relation — linear in
-    edges, the textbook distributed-PageRank step; the edge list is
-    localCheckpointed once and reused by all iterations; no
-    iteration-count blowup (K is fixed and unrolled into the plan).
-    q141 gives bounded hop distances; this gives stationary-mass
-    importance the BFS cannot."""
-    docs = _t_wide(spark, sf_dir, "documents")
-    edges = _q62_edges(docs, min_shared=2).localCheckpoint(eager=True)
-    adj = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
-        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    )
-    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    links = adj.join(deg, "a").localCheckpoint(eager=True)
-    nodes = docs.select("doc_id")
-    rank = nodes.select(
-        "doc_id", F.lit(_Q159_UNIT).cast("bigint").alias("r")
-    )
-    for _ in range(_Q159_ITERS):
-        contribs = (
-            links.join(rank, links["a"] == rank["doc_id"])
-            .select(
-                F.col("b").alias("doc_id"),
-                F.expr("(85 * r) div (100 * deg)").alias("c"),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("s"))
-        )
-        rank = nodes.join(contribs, "doc_id", "left").select(
-            "doc_id",
-            (F.lit(_Q159_BASE) + F.coalesce(F.col("s"), F.lit(0)))
-            .cast("bigint")
-            .alias("r"),
-        )
-    degn = deg.select(F.col("a").alias("doc_id"), F.col("deg"))
-    return rank.join(degn, "doc_id", "left").select(
-        "doc_id",
-        F.col("r").alias("pr_ppm"),
-        F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("deg"),
-    )
-
-
-def _oracle_q159() -> str:
-    parts = [
-        f"WITH {_q62_edges_sql(min_shared=2)},",
-        "adj AS (SELECT src AS a, dst AS b FROM edges"
-        " UNION ALL SELECT dst AS a, src AS b FROM edges),",
-        "deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY a),",
-        "links AS (SELECT adj.a, adj.b, deg.deg FROM adj JOIN deg USING (a)),",
-        "nodes AS (SELECT doc_id FROM documents),",
-        f"r0 AS (SELECT doc_id, CAST({_Q159_UNIT} AS BIGINT) AS r FROM nodes),",
-    ]
-    for i in range(1, _Q159_ITERS + 1):
-        parts.append(
-            f"c{i} AS (SELECT l.b AS doc_id,"
-            f" sum((85 * r.r) // (100 * l.deg)) AS s"
-            f" FROM links l JOIN r{i - 1} r ON r.doc_id = l.a GROUP BY l.b),"
-        )
-        parts.append(
-            f"r{i} AS (SELECT n.doc_id,"
-            f" CAST({_Q159_BASE} + coalesce(c{i}.s, 0) AS BIGINT) AS r"
-            f" FROM nodes n LEFT JOIN c{i} USING (doc_id)),"
-        )
-    parts[-1] = parts[-1].rstrip(",")
-    last = f"r{_Q159_ITERS}"
-    parts.append(
-        f"SELECT n.doc_id, {last}.r AS pr_ppm,"
-        " CAST(coalesce(d.deg, 0) AS BIGINT) AS deg"
-        f" FROM nodes n JOIN {last} ON {last}.doc_id = n.doc_id"
-        " LEFT JOIN deg d ON d.a = n.doc_id"
-    )
-    return "\n".join(parts)
-
-
-ORACLE_Q159 = _oracle_q159()
-
-
-# ---------------------------------------------------------------------------
 # q160: asymmetric shingle containment (quote / inclusion detection)
 # ---------------------------------------------------------------------------
 
@@ -10898,240 +10798,6 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE sa.ns >= {_Q160_MIN_SET} AND sb.ns >= {_Q160_MIN_SET}
   AND greatest(i * 1000000 // sa.ns, i * 1000000 // sb.ns) >= {_Q160_T_PPM}
 """
-
-
-# ---------------------------------------------------------------------------
-# q161: STREAMING windowed quantiles via bounded histogram states
-# ---------------------------------------------------------------------------
-
-_Q161_BINW = 16  # measure units per histogram bin
-_Q161_BINS = 30  # bounded state: at most 30 bin rows per window
-_Q161_N = 600
-_Q161_MOD = 500  # measure domain: (i*i) % 500
-
-
-def q161_streaming_hist_quantiles(spark, sf_dir):
-    """STREAMING windowed quantiles (p50/p90/p99) via bounded
-    equi-width histogram states — the quantile member of the
-    bounded-state family (q53 HLL, q149 min-sketch, q150 exact
-    bitmap): per-bin counts are mergeable (sum-associative,
-    replay-safe under the sink's exactly-once ledger), so the state
-    store holds AT MOST 30 bin rows per window on an unbounded
-    stream, where an exact streaming quantile would need every value.
-    The drained histogram is post-processed batch-side: nearest-rank
-    pick = smallest bin with 100·cum ≥ p·total (cross-multiplied
-    integers, no float ranks), reported as the bin's exclusive upper
-    bound — the bin-resolution quantile a latency/length SLO monitor
-    actually pages on.  The top bin clamps (overflow bin, least()), so
-    the domain may be unbounded while state stays fixed.
-
-    Fixture timeline is pure arithmetic (q100/q150 pattern): measure
-    m(i) = (i·i) mod 500 at t0 + 5i seconds — skewed enough that
-    p50 < p90 < p99 in every window and the clamp is exercised
-    (m ≥ 464 rows exist); watermark pushers flush every real
-    window."""
-    import pandas as pd
-
-    from .sources.pages import stream_events_files, write_batch_files
-
-    t0 = pd.Timestamp(STATIC_T0_EPOCH, unit="s")
-
-    def ev_batch(rows, id0):
-        return pd.DataFrame(
-            {
-                "event_id": [id0 + j for j in range(len(rows))],
-                "ts": [t0 + pd.Timedelta(seconds=s) for _, s in rows],
-                "user_id": [m for m, _ in rows],
-                "event_type": ["crawl"] * len(rows),
-                "value": [0.0] * len(rows),
-                "props": ["{}"] * len(rows),
-            }
-        )
-
-    half = _Q161_N // 2
-    batches = [
-        ev_batch(
-            [((i * i) % _Q161_MOD, i * 5) for i in range(half)], 0
-        ),
-        ev_batch(
-            [((i * i) % _Q161_MOD, i * 5) for i in range(half, _Q161_N)],
-            10000,
-        ),
-        ev_batch([(0, 7200), (1, 7207)], 20000),
-        ev_batch([(2, 7214), (3, 7221)], 25000),
-    ]
-    src = _q_tmpdir("wrs-q-histstream-")
-    write_batch_files(batches, src)
-
-    stream = stream_events_files(spark, src, 1).withWatermark("ts", "10 minutes")
-    hist = stream.groupBy(
-        F.window("ts", "10 minutes").alias("w"),
-        F.expr(
-            f"least(user_id div {_Q161_BINW}, {_Q161_BINS - 1})"
-        ).alias("bin"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    out = _drain(
-        hist.select(
-            F.unix_timestamp("w.start").cast("bigint").alias("ws"),
-            "bin",
-            "cnt",
-        ),
-        spark,
-    )
-    wcum = Window.partitionBy("ws").orderBy("bin")
-    wall = Window.partitionBy("ws")
-    cum = out.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
-        "tot", F.sum("cnt").over(wall)
-    )
-    return (
-        cum.where(F.col("ws") < STATIC_T0_EPOCH + 3600)
-        .groupBy("ws")
-        .agg(
-            F.max("tot").cast("bigint").alias("total_n"),
-            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
-            *[
-                (
-                    (
-                        F.min(
-                            F.when(
-                                F.expr(f"100 * cum >= {p} * tot"),
-                                F.col("bin"),
-                            )
-                        )
-                        + 1
-                    )
-                    * _Q161_BINW
-                )
-                .cast("bigint")
-                .alias(f"p{p}_ub")
-                for p in (50, 90, 99)
-            ],
-        )
-        .select(
-            F.col("ws").alias("window_start_epoch"),
-            "total_n",
-            "n_bins",
-            "p50_ub",
-            "p90_ub",
-            "p99_ub",
-        )
-    )
-
-
-ORACLE_Q161 = f"""
-WITH ev AS (
-  SELECT (u.i * u.i) % {_Q161_MOD} AS m,
-         {STATIC_T0_EPOCH} + u.i * 5 AS epoch
-  FROM UNNEST(range({_Q161_N})) AS u(i)
-),
-hist AS (
-  SELECT (epoch // 600) * 600 AS ws,
-         least(m // {_Q161_BINW}, {_Q161_BINS - 1}) AS bin,
-         count(*) AS cnt
-  FROM ev GROUP BY 1, 2
-),
-cum AS (
-  SELECT ws, bin, cnt,
-         sum(cnt) OVER (PARTITION BY ws ORDER BY bin) AS cum,
-         sum(cnt) OVER (PARTITION BY ws) AS tot
-  FROM hist
-)
-SELECT ws AS window_start_epoch,
-       CAST(max(tot) AS BIGINT) AS total_n,
-       CAST(count(*) AS BIGINT) AS n_bins,
-       CAST((min(CASE WHEN 100 * cum >= 50 * tot THEN bin END) + 1)
-            * {_Q161_BINW} AS BIGINT) AS p50_ub,
-       CAST((min(CASE WHEN 100 * cum >= 90 * tot THEN bin END) + 1)
-            * {_Q161_BINW} AS BIGINT) AS p90_ub,
-       CAST((min(CASE WHEN 100 * cum >= 99 * tot THEN bin END) + 1)
-            * {_Q161_BINW} AS BIGINT) AS p99_ub
-FROM cum GROUP BY ws
-"""
-
-
-# ---------------------------------------------------------------------------
-# q162: STREAMING count-min sketch (windowed frequency estimation)
-# ---------------------------------------------------------------------------
-
-_Q162_D = 3  # hash rows
-_Q162_W = 64  # counters per row
-
-
-def q162_streaming_countmin(spark, sf_dir):
-    """STREAMING windowed count-min sketch (Cormode & Muthukrishnan
-    2005) — the FREQUENCY-estimation member of the bounded-state
-    family (q53/q149 estimate distinct counts, q150 exact distinct,
-    q161 quantiles): each page's url increments D=3 counters (one per
-    hash row, bucket = portable-hash_d(url) mod 64), so the state
-    store holds AT MOST D·W = 192 counter rows per window on an
-    unbounded stream, and any key's frequency is over-estimated by
-    min over rows — never under-estimated (one-sided error, the
-    property the pytest proves against exact per-url counts, with
-    real collisions at 500 urls into 64 buckets).  Counter sums are
-    mergeable + replay-safe under the exactly-once ledger.  The
-    hash-compared surface is the full counter matrix — bit-exact,
-    like q149's raw sketch mass.
-
-    Scale shape: ONE bounded explode (D rows per page) feeding ONE
-    windowed stateful agg; the portable md5 hash keeps Spark, DuckDB
-    and the pytest's Python bit-identical."""
-    from .sources.pages import stream_pages_files
-
-    src, _ = _derived_stream_fixture(spark, sf_dir)
-    stream = stream_pages_files(spark, src, 1)
-    dw = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                (md5_i64_expr(F.col("url"), f"cms{d}#") % _Q162_W).alias("w"),
-            )
-            for d in range(_Q162_D)
-        ]
-    )
-    rows = stream.withWatermark("warc_ts", "10 minutes").select(
-        "warc_ts", F.explode(dw).alias("dw")
-    )
-    cms = rows.groupBy(
-        F.window("warc_ts", "10 minutes").alias("win"),
-        F.col("dw.d").alias("d"),
-        F.col("dw.w").alias("w"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    out = _drain(
-        cms.select(
-            F.unix_timestamp("win.start").cast("bigint").alias("window_start_epoch"),
-            F.col("d").cast("bigint").alias("d"),
-            F.col("w").cast("bigint").alias("w"),
-            F.col("cnt").cast("bigint").alias("cnt"),
-        ),
-        spark,
-    )
-    return out.where(
-        F.col("window_start_epoch")
-        < F.unix_timestamp(F.lit("2027-01-01").cast("timestamp"))
-    )
-
-
-def _oracle_q162() -> str:
-    hs = [duck_md5_i64("url", f"cms{d}#") for d in range(_Q162_D)]
-    case = (
-        f"CASE dd.d WHEN 0 THEN {hs[0]} WHEN 1 THEN {hs[1]} "
-        f"ELSE {hs[2]} END % {_Q162_W}"
-    )
-    return f"""
-WITH pages AS (
-{_DUCK_DERIVED_PAGES}
-), br AS (
-  SELECT (CAST(epoch(warc_ts) AS BIGINT) // 600) * 600 AS ws, dd.d AS d,
-         {case} AS w
-  FROM pages, (VALUES (0), (1), (2)) dd(d)
-)
-SELECT ws AS window_start_epoch, CAST(d AS BIGINT) AS d,
-       CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS cnt
-FROM br GROUP BY 1, 2, 3
-"""
-
-
-ORACLE_Q162 = _oracle_q162()
 
 
 # ---------------------------------------------------------------------------
@@ -12375,6 +12041,366 @@ FROM documents d JOIN ranked r ON r.lang = d.lang AND r.val = d.n_chars
 """
 
 
+# ---------------------------------------------------------------------------
+# q159: tokenizer OOV-rate audit (vocabulary coverage gap)
+# ---------------------------------------------------------------------------
+
+_Q159_VOCAB_K = 16  # top-K corpus types form the vocabulary
+
+
+def q159_oov_rate_audit(spark, sf_dir):
+    """Tokenizer out-of-vocabulary audit: fix the vocabulary at the
+    top-16 corpus token types (orderBy+limit → TakeOrderedAndProject,
+    the q158 discipline) and measure, per language, the OOV rate in
+    exact integer ppm at BOTH granularities — token occurrences (how
+    much raw text falls outside the vocab) and types (how much of the
+    lexicon is uncovered).  q88 measures coverage of an EXTERNAL
+    vocab-size sweep; this audits ONE induced vocabulary's per-lang
+    blind spots — the number that decides whether a tokenizer
+    retrains before a new-language crawl is mixed in.
+
+    Scale shape: ONE token explode feeds both the type-frequency
+    relation (vocab induction) and the per-lang tallies; membership is
+    one broadcast left join against the 16-row vocab; everything
+    downstream of the explode is hash aggs."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.flatten(F.transform(F.split(F.col("text"), "\n", -1), tokens_expr))
+        ).alias("token"),
+    )
+    types = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = (
+        types.orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(_Q159_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "token", "left")
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.expr("CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_oov_tokens"),
+        F.countDistinct("token").cast("bigint").alias("n_types"),
+        F.countDistinct(F.expr("CASE WHEN in_vocab IS NULL THEN token END"))
+        .cast("bigint")
+        .alias("n_oov_types"),
+        F.expr(
+            "CAST((sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)"
+            " * 1000000) div count(1) AS BIGINT)"
+        ).alias("oov_ppm"),
+    )
+
+
+ORACLE_Q159 = f"""
+WITH toks AS (
+  SELECT lang,
+         unnest(flatten(list_transform(string_split(text, chr(10)),
+           ln -> list_filter(string_split(ln, ' '), t -> t <> '')))) AS token
+  FROM documents
+),
+types AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
+vocab AS (
+  SELECT token FROM types ORDER BY tf DESC, token ASC LIMIT {_Q159_VOCAB_K}
+),
+tagged AS (
+  SELECT t.lang, t.token, v.token IS NOT NULL AS in_vocab
+  FROM toks t LEFT JOIN vocab v ON v.token = t.token
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN token END) AS BIGINT)
+         AS n_oov_types,
+       CAST((sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS oov_ppm
+FROM tagged GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q161: conversion-latency percentiles (time-to-event)
+# ---------------------------------------------------------------------------
+
+
+def q161_conversion_latency(spark, sf_dir):
+    """Time-to-event analysis: per first-view cohort day, the exact
+    p50/p90 of hours from a user's FIRST view to their FIRST purchase
+    (users who never purchase, or purchased before viewing, are out of
+    the population — documented censoring rule).  q127 counts WHO
+    retains; q135 matches funnel steps; this measures HOW LONG
+    conversion takes — the latency distribution a growth team
+    watches.  Percentiles are nearest-rank over the grouped
+    (cohort, latency-hour) relation (bounded domain, the q143/q168
+    discipline) — no sort of the user relation.
+
+    Scale shape: ONE (user, type) min-ts agg (linear); the view/
+    purchase pivot is a self-join of that AGGREGATED relation on
+    user; latency percentiles run on grouped hour counts."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.where(
+        F.col("event_type").isin("view", "purchase")
+    ).groupBy("user_id", "event_type").agg(F.min("ts").alias("t"))
+    v = firsts.where(F.col("event_type") == "view").select(
+        "user_id", F.col("t").alias("tv")
+    )
+    p = firsts.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("tp")
+    )
+    lat = (
+        v.join(p, "user_id")
+        .where(F.col("tp") >= F.col("tv"))
+        .select(
+            F.to_date("tv").alias("cohort_day"),
+            F.expr(
+                "(unix_timestamp(tp) - unix_timestamp(tv)) div 3600"
+            ).alias("lat_h"),
+        )
+    )
+    hist = lat.groupBy("cohort_day", "lat_h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.partitionBy("cohort_day").orderBy("lat_h")
+    wall = Window.partitionBy("cohort_day")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "tot", F.sum("cnt").over(wall)
+    )
+    return cum.groupBy("cohort_day").agg(
+        F.max("tot").cast("bigint").alias("n_users"),
+        F.min(F.when(F.expr("100 * cum >= 50 * tot"), F.col("lat_h")))
+        .cast("bigint")
+        .alias("p50_hours"),
+        F.min(F.when(F.expr("100 * cum >= 90 * tot"), F.col("lat_h")))
+        .cast("bigint")
+        .alias("p90_hours"),
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "n_users",
+        "p50_hours",
+        "p90_hours",
+    )
+
+
+ORACLE_Q161 = """
+WITH firsts AS (
+  SELECT user_id, event_type, min(ts) AS t
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+lat AS (
+  SELECT v.t::DATE AS cohort_day,
+         CAST(epoch(p.t) AS BIGINT) // 3600
+           - CAST(epoch(v.t) AS BIGINT) // 3600 AS _unused,
+         (CAST(epoch(p.t) AS BIGINT) - CAST(epoch(v.t) AS BIGINT)) // 3600
+           AS lat_h
+  FROM firsts v JOIN firsts p USING (user_id)
+  WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    AND p.t >= v.t
+),
+hist AS (
+  SELECT cohort_day, lat_h, count(*) AS cnt FROM lat GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_day, lat_h, cnt,
+         sum(cnt) OVER (PARTITION BY cohort_day ORDER BY lat_h) AS cum,
+         sum(cnt) OVER (PARTITION BY cohort_day) AS tot
+  FROM hist
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(max(tot) AS BIGINT) AS n_users,
+       CAST(min(CASE WHEN 100 * cum >= 50 * tot THEN lat_h END) AS BIGINT)
+         AS p50_hours,
+       CAST(min(CASE WHEN 100 * cum >= 90 * tot THEN lat_h END) AS BIGINT)
+         AS p90_hours
+FROM cum GROUP BY cohort_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# q162: per-file Bloom-filter data-skipping audit (point-lookup planning)
+# ---------------------------------------------------------------------------
+
+_Q162_FILE_W = 64  # docs per simulated file (row bucket)
+_Q162_BITS = 64  # deliberately UNDERSIZED (q54 discipline): real FPs at fixture scale
+_Q162_K = 2
+
+
+def q162_bloom_file_skipping_audit(spark, sf_dir):
+    """Per-file Bloom-filter data-skipping audit — the point-lookup
+    complement of q153's zone maps (zones prune RANGE predicates on
+    clustered columns; equality lookups on unclustered keys need
+    per-file Bloom filters — what Parquet bloom_filter_enabled and
+    Iceberg's bloom write properties do): simulate files as fixed
+    64-doc buckets, build each file's DELIBERATELY UNDERSIZED 64-bit / 2-hash Bloom (the
+    q54 discipline — FPs must actually occur at fixture scale for the
+    oracle to reproduce them; production sizes ~10 bits/key) over its
+    docs' HEAD TOKENS (functions/bloom.py construction — portable md5
+    positions, UBIGINT-safe words), and replay a 10-key point-lookup
+    workload: a file is scanned iff its bloom says maybe.  Output per
+    key: files truly containing it, bloom-maybe files (false positives
+    = wasted scans, reproduced bit-for-bit by the oracle — the q54
+    discipline), and the scan fraction in ppm.
+
+    Scale shape: bloom build is ONE (file, word) bit_or agg (the
+    corpus never shuffles wider than a position); the workload is a
+    broadcast key relation probed against the per-file word rows via
+    a word-index equi-join; exact containment is a semi-style join of
+    the distinct (file, head) relation."""
+    docs = _t(spark, sf_dir, "documents")
+    first_line = F.element_at(F.split(F.col("text"), "\n", -1), 1)
+    heads = docs.select(
+        F.expr(f"doc_id div {_Q162_FILE_W}").alias("f"),
+        F.element_at(tokens_expr(first_line), 1).alias("head"),
+    )
+    pos = heads.select(
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    (md5_i64_expr(F.col("head"), f"bf{i}#") % _Q162_BITS)
+                    for i in range(_Q162_K)
+                ]
+            )
+        ).alias("p"),
+    )
+    words = (
+        pos.select(
+            "f",
+            F.expr("p div 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("f", "w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    keys = spark.createDataFrame(
+        [(k,) for k in _Q162_WORKLOAD], "key string"
+    ).select(
+        "key",
+        *[
+            (md5_i64_expr(F.col("key"), f"bf{i}#") % _Q162_BITS).alias(f"p{i}")
+            for i in range(_Q162_K)
+        ],
+    )
+    # per (file, key): every probe position must find its bit set;
+    # join words on the word index of each position
+    probes = keys.select(
+        "key", F.explode(F.array(*[F.col(f"p{i}") for i in range(_Q162_K)])).alias("p")
+    )
+    tests = (
+        words.join(
+            F.broadcast(probes), F.col("w") == F.expr("p div 64")
+        )
+        .withColumn(
+            "hit", F.expr("(shiftright(bits, CAST(p % 64 AS INT)) & 1) = 1")
+        )
+        .groupBy("f", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.expr("CASE WHEN hit THEN 1 ELSE 0 END")).alias("n_hit"),
+        )
+        .withColumn("maybe", F.expr(f"n_probes = {_Q162_K} AND n_hit = {_Q162_K}"))
+    )
+    truth = heads.distinct().withColumnRenamed("head", "key").withColumn(
+        "present", F.lit(1)
+    )
+    nf = docs.agg(
+        F.countDistinct(F.expr(f"doc_id div {_Q162_FILE_W}")).alias("n_files")
+    )
+    return (
+        tests.join(truth, ["f", "key"], "left")
+        .groupBy("key")
+        .agg(
+            F.sum(F.expr("CASE WHEN maybe THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_maybe"),
+            F.sum(F.coalesce(F.col("present"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_true"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN maybe AND present IS NULL THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "key",
+            F.col("n_files").cast("bigint").alias("n_files"),
+            "n_maybe",
+            "n_true",
+            "n_false_pos",
+            F.expr("CAST((n_maybe * 1000000) div n_files AS BIGINT)").alias(
+                "scan_ppm"
+            ),
+        )
+    )
+
+
+# 10-key point-lookup workload: head tokens spanning rare -> common
+_Q162_WORKLOAD = [
+    "big", "group", "small", "order", "window",
+    "stream", "batch", "spark", "line", "hash",
+]
+
+
+def _oracle_q162() -> str:
+    keys = ", ".join(f"('{k}')" for k in _Q162_WORKLOAD)
+    hp = lambda expr, i: f"({duck_md5_i64(expr, salt=f'bf{i}#')} % {_Q162_BITS})"
+    return f"""
+WITH heads AS (
+  SELECT doc_id // {_Q162_FILE_W} AS f,
+         (list_filter(string_split(string_split(text, chr(10))[1], ' '),
+                      t -> t <> ''))[1] AS head
+  FROM documents
+),
+pos AS (
+  SELECT f, unnest([{', '.join(hp('head', i) for i in range(_Q162_K))}]) AS p
+  FROM heads
+),
+words AS (
+  SELECT f, p // 64 AS w, bit_or(1::UBIGINT << CAST(p % 64 AS INT)) AS bits
+  FROM pos GROUP BY 1, 2
+),
+keys(key) AS (VALUES {keys}),
+probes AS (
+  SELECT key, unnest([{', '.join(hp('key', i) for i in range(_Q162_K))}]) AS p
+  FROM keys
+),
+tests AS (
+  SELECT w.f, pr.key,
+         count(*) AS n_probes,
+         sum(CASE WHEN ((w.bits >> CAST(pr.p % 64 AS INT)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS n_hit
+  FROM words w JOIN probes pr ON w.w = pr.p // 64
+  GROUP BY 1, 2
+),
+truth AS (SELECT DISTINCT f, head AS key FROM heads),
+nf AS (SELECT count(DISTINCT f) AS n_files FROM heads)
+SELECT t.key, CAST(nf.n_files AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN t.n_probes = {_Q162_K} AND t.n_hit = {_Q162_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(sum(CASE WHEN tr.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       CAST(sum(CASE WHEN t.n_probes = {_Q162_K} AND t.n_hit = {_Q162_K}
+                      AND tr.key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST((sum(CASE WHEN t.n_probes = {_Q162_K} AND t.n_hit = {_Q162_K}
+                      THEN 1 ELSE 0 END) * 1000000) // nf.n_files AS BIGINT)
+         AS scan_ppm
+FROM tests t
+LEFT JOIN truth tr ON tr.f = t.f AND tr.key = t.key
+CROSS JOIN nf
+GROUP BY t.key, nf.n_files
+"""
+
+
+ORACLE_Q162 = _oracle_q162()
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -12400,12 +12426,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q165_triangle_clustering": q165_triangle_clustering,
     "q166_rrf_hybrid_retrieval": q166_rrf_hybrid_retrieval,
     "q167_snapshot_drift_chi2": q167_snapshot_drift_chi2,
-    "q162_streaming_countmin": q162_streaming_countmin,
     "q163_streaming_scd2_enrich": q163_streaming_scd2_enrich,
     "q164_daily_trend_slope": q164_daily_trend_slope,
-    "q159_pagerank": q159_pagerank,
+    "q159_oov_rate_audit": q159_oov_rate_audit,
+    "q161_conversion_latency": q161_conversion_latency,
+    "q162_bloom_file_skipping_audit": q162_bloom_file_skipping_audit,
     "q160_shingle_containment": q160_shingle_containment,
-    "q161_streaming_hist_quantiles": q161_streaming_hist_quantiles,
     "q156_record_linkage_scores": q156_record_linkage_scores,
     "q157_experiment_guardrail": q157_experiment_guardrail,
     "q158_extractive_summary": q158_extractive_summary,
@@ -12584,12 +12610,12 @@ ORACLES: dict[str, str] = {
     "q165_triangle_clustering": ORACLE_Q165,
     "q166_rrf_hybrid_retrieval": ORACLE_Q166,
     "q167_snapshot_drift_chi2": ORACLE_Q167,
-    "q162_streaming_countmin": ORACLE_Q162,
     "q163_streaming_scd2_enrich": ORACLE_Q163,
     "q164_daily_trend_slope": ORACLE_Q164,
-    "q159_pagerank": ORACLE_Q159,
+    "q159_oov_rate_audit": ORACLE_Q159,
+    "q161_conversion_latency": ORACLE_Q161,
+    "q162_bloom_file_skipping_audit": ORACLE_Q162,
     "q160_shingle_containment": ORACLE_Q160,
-    "q161_streaming_hist_quantiles": ORACLE_Q161,
     "q156_record_linkage_scores": ORACLE_Q156,
     "q157_experiment_guardrail": ORACLE_Q157,
     "q158_extractive_summary": ORACLE_Q158,
