@@ -497,6 +497,16 @@ def main() -> None:
         "q160_shingle_containment": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # threshold sweep: grouped (lang, tc) relation x broadcast
+        # 5-row threshold lattice (BNLJ ok — metadata-scale side)
+        "q177_threshold_sweep": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
+        # Neyman: one linear moment agg; everything else on the 5-row
+        # strata relation (1-row total broadcasts, BNLJ ok)
+        "q178_neyman_allocation": dict(
+            broadcast=True, forbid_node=("CartesianProduct", "SortMergeJoin")
+        ),
         # OOV audit: one explode; 16-row vocab broadcast
         "q159_oov_rate_audit": dict(
             broadcast=True,

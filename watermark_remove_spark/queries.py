@@ -12401,6 +12401,314 @@ GROUP BY t.key, nf.n_files
 ORACLE_Q162 = _oracle_q162()
 
 
+# ---------------------------------------------------------------------------
+# q177: quality-filter threshold sweep (calibration lattice)
+# ---------------------------------------------------------------------------
+
+_Q177_THRESHOLDS = [5, 10, 20, 40, 80]  # min-token-count candidates
+
+
+def q177_threshold_sweep(spark, sf_dir):
+    """Quality-gate CALIBRATION sweep: for every candidate min-token
+    threshold, the docs and token mass each language would keep — the
+    pass a pipeline runs BEFORE freezing q97's cascade thresholds
+    ("what does tightening from 20 to 40 tokens actually cost per
+    language?").  All five thresholds are evaluated in ONE corpus
+    pass: the corpus collapses to a grouped (lang, token-count)
+    relation first, and the threshold lattice joins against THAT
+    (bounded domain × 5 thresholds), so adding a sixth threshold
+    costs nothing corpus-side.
+
+    Scale shape: one linear (lang, tc) hash agg with map-side
+    partials; the sweep is a broadcast join of the 5-row threshold
+    relation against the grouped relation; shares are integer ppm
+    against per-lang totals computed on the same grouped relation."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = docs.groupBy(
+        "lang", token_count_expr(F.col("text")).alias("tc")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = tc.groupBy("lang").agg(
+        F.sum("n_docs").alias("tot_docs"),
+        F.sum(F.expr("tc * n_docs")).alias("tot_tokens"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _Q177_THRESHOLDS], "threshold int"
+    )
+    kept = (
+        tc.crossJoin(F.broadcast(th))
+        .where(F.col("tc") >= F.col("threshold"))
+        .groupBy("lang", "threshold")
+        .agg(
+            F.sum("n_docs").alias("n_kept"),
+            F.sum(F.expr("tc * n_docs")).alias("tokens_kept"),
+        )
+    )
+    return kept.join(tot, "lang").select(
+        "lang",
+        F.col("threshold").cast("bigint").alias("threshold"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("tokens_kept").cast("bigint").alias("tokens_kept"),
+        F.expr("CAST((n_kept * 1000000) div tot_docs AS BIGINT)").alias(
+            "doc_share_ppm"
+        ),
+        F.expr("CAST((tokens_kept * 1000000) div tot_tokens AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
+    )
+
+
+ORACLE_Q177 = f"""
+WITH tc AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS tc,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, sum(n_docs) AS tot_docs, sum(tc * n_docs) AS tot_tokens
+  FROM tc GROUP BY 1
+),
+th(threshold) AS (VALUES {', '.join(f'({t})' for t in _Q177_THRESHOLDS)}),
+kept AS (
+  SELECT lang, threshold, sum(n_docs) AS n_kept,
+         sum(tc * n_docs) AS tokens_kept
+  FROM tc, th WHERE tc >= threshold GROUP BY 1, 2
+)
+SELECT lang, CAST(threshold AS BIGINT) AS threshold,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(tokens_kept AS BIGINT) AS tokens_kept,
+       CAST((n_kept * 1000000) // tot_docs AS BIGINT) AS doc_share_ppm,
+       CAST((tokens_kept * 1000000) // tot_tokens AS BIGINT) AS token_share_ppm
+FROM kept JOIN tot USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q178: Neyman allocation with largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+_Q178_BUDGET = 1000  # total sample budget to allocate across strata
+
+
+def q178_neyman_allocation(spark, sf_dir):
+    """Variance-optimal (Neyman) sample allocation across language
+    strata, integer-exact end to end: each stratum's weight is
+    N_h·σ_h = floor(sqrt(N_h·Σx² − (Σx)²)) over doc token counts
+    (the identity (N·Σx²−(Σx)²) = N²σ²_pop makes the scaled variance
+    an integer, and its isqrt IS N·σ floored), and the 1000-doc
+    budget is split ∝ weight by the LARGEST-REMAINDER method — floor
+    every exact share, then hand the leftover seats to the largest
+    remainders (count desc, lang asc) — the classic apportionment
+    that guarantees Σ quotas = budget exactly, no float rounding
+    drift.  q154 enforces a FIXED per-stratum K and q112 matches a
+    target distribution; this COMPUTES the statistically optimal
+    budget when strata differ in spread.  sqrt-on-integers note: both
+    engines take IEEE-754 sqrt of the same exact double (< 2^52), so
+    floor(sqrt(x)) is bit-identical cross-engine.
+
+    Scale shape: ONE corpus-linear (lang) moment agg; every later
+    step (weights, shares, remainder ranking) runs on the 5-row
+    strata relation."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = token_count_expr(F.col("text"))
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(tc.cast("bigint")).alias("sx"),
+        F.sum(F.expr("CAST(0 AS BIGINT)") + tc.cast("bigint") * tc.cast("bigint")).alias("sxx"),
+    )
+    w = strata.withColumn(
+        "wt",
+        F.expr("CAST(floor(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE))) AS BIGINT)"),
+    )
+    tot = w.agg(F.sum("wt").alias("wtot"))
+    shares = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "nh",
+        "wt",
+        F.expr(f"({_Q178_BUDGET} * wt) div wtot").alias("base"),
+        F.expr(f"({_Q178_BUDGET} * wt) % wtot").alias("rem"),
+    )
+    leftover = shares.agg(
+        (F.lit(_Q178_BUDGET) - F.sum("base")).alias("extra")
+    )
+    wrk = Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    return (
+        shares.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(wrk))
+        .select(
+            "lang",
+            F.col("nh").cast("bigint").alias("n_docs"),
+            F.col("wt").cast("bigint").alias("weight"),
+            F.expr("CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)").alias(
+                "quota"
+            ),
+        )
+    )
+
+
+ORACLE_Q178 = f"""
+WITH strata AS (
+  SELECT lang, count(*) AS nh,
+         sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS sx,
+         sum(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+             * len(list_filter(string_split(text, ' '), t -> t <> ''))) AS sxx
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT lang, nh,
+         CAST(floor(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS wt
+  FROM strata
+),
+tot AS (SELECT sum(wt) AS wtot FROM w),
+shares AS (
+  SELECT lang, nh, wt,
+         ({_Q178_BUDGET} * wt) // wtot AS base,
+         ({_Q178_BUDGET} * wt) % wtot AS rem
+  FROM w, tot
+),
+leftover AS (SELECT {_Q178_BUDGET} - sum(base) AS extra FROM shares)
+SELECT lang, CAST(nh AS BIGINT) AS n_docs, CAST(wt AS BIGINT) AS weight,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                          <= extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM shares, leftover
+"""
+
+
+# ---------------------------------------------------------------------------
+# q179: STREAMING feed-silence alarm (missing-window detection)
+# ---------------------------------------------------------------------------
+
+_Q179_N = 360
+
+
+def q179_streaming_feed_silence(spark, sf_dir):
+    """STREAMING feed-silence detection: windowed per-feed counts are
+    maintained as bounded stream state, and after the drain a
+    time-spine audit finds the windows where a PREVIOUSLY-ACTIVE feed
+    went quiet — the alarm that catches a dead producer, which count-
+    based monitors (q78's mix drift, q126's bursts) structurally
+    cannot see: an absent feed contributes no rows to compare.  A
+    feed's expected spine runs from its FIRST active window to the
+    global last window; silent = expected but absent.  q102 gap-fills
+    a batch time series with values; this detects the gaps as the
+    signal, fed by streaming state.
+
+    Fixture timeline is pure arithmetic: feed 'steady' fires in all 5
+    windows; feed 'dying' stops after window 1 (silent 2..4); feed
+    'late_start' begins at window 2 (windows 0..1 are NOT silence —
+    before first activity there is no expectation).  Watermark pushers
+    flush every real window.
+
+    Scale shape: the stream side is ONE windowed stateful agg (state =
+    one count row per (window, feed)); the spine explode and the
+    anti-join both run on the drained AGGREGATED relation (windows ×
+    feeds — metadata scale)."""
+    import pandas as pd
+
+    from .sources.pages import stream_events_files, write_batch_files
+
+    t0 = pd.Timestamp(STATIC_T0_EPOCH, unit="s")
+
+    def ev_batch(rows, id0):
+        return pd.DataFrame(
+            {
+                "event_id": [id0 + j for j in range(len(rows))],
+                "ts": [t0 + pd.Timedelta(seconds=s) for _, s in rows],
+                "user_id": [0] * len(rows),
+                "event_type": [f for f, _ in rows],
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    rows = []
+    for i in range(_Q179_N):
+        s = i * 8  # 0..2872 s -> windows 0..4 (600 s each)
+        win = s // 600
+        rows.append(("steady", s))
+        if win <= 1:
+            rows.append(("dying", s + 1))
+        if win >= 2:
+            rows.append(("late_start", s + 2))
+    rows.sort(key=lambda r: r[1])
+    half = len(rows) // 2
+    batches = [
+        ev_batch(rows[:half], 0),
+        ev_batch(rows[half:], 10000),
+        ev_batch([("steady", 7200), ("steady", 7207)], 20000),
+        ev_batch([("steady", 7214), ("steady", 7221)], 25000),
+    ]
+    src = _q_tmpdir("wrs-q-silence-")
+    write_batch_files(batches, src)
+
+    stream = stream_events_files(spark, src, 1).withWatermark("ts", "10 minutes")
+    counts = stream.groupBy(
+        F.window("ts", "10 minutes").alias("w"), F.col("event_type").alias("feed")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = _drain(
+        counts.select(
+            F.unix_timestamp("w.start").cast("bigint").alias("ws"), "feed", "cnt"
+        ),
+        spark,
+    ).where(F.col("ws") < STATIC_T0_EPOCH + 3600)
+    first = out.groupBy("feed").agg(F.min("ws").alias("first_ws"))
+    last = out.agg(F.max("ws").alias("last_ws"))
+    spine = first.crossJoin(F.broadcast(last)).select(
+        "feed",
+        F.explode(
+            F.expr("sequence(first_ws, last_ws, 600)")
+        ).alias("ws"),
+    )
+    return (
+        spine.join(out.select("ws", "feed", "cnt"), ["feed", "ws"], "left")
+        .groupBy("feed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_expected"),
+            F.sum(F.expr("CASE WHEN cnt IS NULL THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_silent"),
+            F.min(
+                F.when(F.col("cnt").isNull(), F.col("ws"))
+            ).cast("bigint").alias("first_silent_ws"),
+            F.expr("CAST(max(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) = 1 AS BOOLEAN)").alias(
+                "alarm"
+            ),
+        )
+    )
+
+
+ORACLE_Q179 = f"""
+WITH ev AS (
+  SELECT 'steady' AS feed, u.i * 8 AS s
+  FROM UNNEST(range({_Q179_N})) u(i)
+  UNION ALL
+  SELECT 'dying', u.i * 8 + 1 FROM UNNEST(range({_Q179_N})) u(i)
+  WHERE (u.i * 8) // 600 <= 1
+  UNION ALL
+  SELECT 'late_start', u.i * 8 + 2 FROM UNNEST(range({_Q179_N})) u(i)
+  WHERE (u.i * 8) // 600 >= 2
+),
+counts AS (
+  SELECT feed, {STATIC_T0_EPOCH} + (s // 600) * 600 AS ws, count(*) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+first AS (SELECT feed, min(ws) AS first_ws FROM counts GROUP BY 1),
+last AS (SELECT max(ws) AS last_ws FROM counts),
+spine AS (
+  SELECT feed, unnest(range(first_ws, last_ws + 600, 600)) AS ws
+  FROM first, last
+)
+SELECT sp.feed, CAST(count(*) AS BIGINT) AS n_expected,
+       CAST(sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_silent,
+       CAST(min(CASE WHEN c.cnt IS NULL THEN sp.ws END) AS BIGINT)
+         AS first_silent_ws,
+       max(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END) = 1 AS alarm
+FROM spine sp LEFT JOIN counts c ON c.feed = sp.feed AND c.ws = sp.ws
+GROUP BY sp.feed
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -12428,6 +12736,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q167_snapshot_drift_chi2": q167_snapshot_drift_chi2,
     "q163_streaming_scd2_enrich": q163_streaming_scd2_enrich,
     "q164_daily_trend_slope": q164_daily_trend_slope,
+    "q177_threshold_sweep": q177_threshold_sweep,
+    "q178_neyman_allocation": q178_neyman_allocation,
+    "q179_streaming_feed_silence": q179_streaming_feed_silence,
     "q159_oov_rate_audit": q159_oov_rate_audit,
     "q161_conversion_latency": q161_conversion_latency,
     "q162_bloom_file_skipping_audit": q162_bloom_file_skipping_audit,
@@ -12612,6 +12923,9 @@ ORACLES: dict[str, str] = {
     "q167_snapshot_drift_chi2": ORACLE_Q167,
     "q163_streaming_scd2_enrich": ORACLE_Q163,
     "q164_daily_trend_slope": ORACLE_Q164,
+    "q177_threshold_sweep": ORACLE_Q177,
+    "q178_neyman_allocation": ORACLE_Q178,
+    "q179_streaming_feed_silence": ORACLE_Q179,
     "q159_oov_rate_audit": ORACLE_Q159,
     "q161_conversion_latency": ORACLE_Q161,
     "q162_bloom_file_skipping_audit": ORACLE_Q162,
