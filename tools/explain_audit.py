@@ -497,6 +497,25 @@ def main() -> None:
         "q160_shingle_containment": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # seasonal anomaly: linear cell agg; median + classification on
+        # the grouped (type, hour, count) relation
+        "q180_seasonal_anomaly": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # MLT: anchor token relations broadcast into the postings join
+        "q181_more_like_this": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
+        # encoding advisor: one melt + two hash aggs, zero joins
+        "q182_dictionary_encoding_advisor": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
         # threshold sweep: grouped (lang, tc) relation x broadcast
         # 5-row threshold lattice (BNLJ ok — metadata-scale side)
         "q177_threshold_sweep": dict(

@@ -12709,6 +12709,286 @@ GROUP BY sp.feed
 """
 
 
+# ---------------------------------------------------------------------------
+# q180: seasonal-profile anomaly detection (hour-of-day baseline)
+# ---------------------------------------------------------------------------
+
+
+def q180_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware anomaly detection: each (event type,
+    hour-of-day) cell gets a baseline — the MEDIAN daily count for
+    that hour across the month (nearest-rank over the grouped count
+    relation, the q143 discipline) — and every day's actual count is
+    classified against it with cross-multiplied integer bounds:
+    high if 2·cnt > 3·median (>1.5×), low if 2·cnt < median
+    (<0.5×).  The monitor that neither q126 (adjacent-window burst —
+    blind to "every midnight looks like a burst vs 11 pm") nor q144
+    (CUSUM level shift — blind to time-of-day shape) can replace:
+    the baseline is the SAME hour's history, so diurnal shape is
+    modeled away.
+
+    Scale shape: ONE corpus-linear (type, date, hour) hash agg; the
+    median and the classification run on the grouped (type, hour,
+    count) relation (bounded: types × 24 hours × distinct counts);
+    output is the types × 24 profile."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("how"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    dist = daily.groupBy("event_type", "how", "cnt").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    wcum = Window.partitionBy("event_type", "how").orderBy("cnt")
+    wall = Window.partitionBy("event_type", "how")
+    med = (
+        dist.withColumn("cum", F.sum("nd").over(wcum))
+        .withColumn("tot", F.sum("nd").over(wall))
+        .groupBy("event_type", "how")
+        .agg(
+            F.min(
+                F.when(F.expr("100 * cum >= 50 * tot"), F.col("cnt"))
+            ).alias("median_cnt"),
+            F.max("tot").alias("n_days"),
+        )
+    )
+    flagged = daily.join(med, ["event_type", "how"]).select(
+        "event_type",
+        "how",
+        "median_cnt",
+        "n_days",
+        F.expr("CASE WHEN 2 * cnt > 3 * median_cnt THEN 1 ELSE 0 END").alias("hi"),
+        F.expr("CASE WHEN 2 * cnt < median_cnt THEN 1 ELSE 0 END").alias("lo"),
+    )
+    return flagged.groupBy("event_type", F.col("how").cast("bigint").alias("hour")).agg(
+        F.max("median_cnt").cast("bigint").alias("median_cnt"),
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.sum("hi").cast("bigint").alias("n_high"),
+        F.sum("lo").cast("bigint").alias("n_low"),
+    )
+
+
+ORACLE_Q180 = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, extract(hour FROM ts) AS how,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT event_type, how, cnt, count(*) AS nd FROM daily GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT event_type, how,
+         min(CASE WHEN 100 * cum >= 50 * tot THEN cnt END) AS median_cnt,
+         max(tot) AS n_days
+  FROM (
+    SELECT event_type, how, cnt,
+           sum(nd) OVER (PARTITION BY event_type, how ORDER BY cnt) AS cum,
+           sum(nd) OVER (PARTITION BY event_type, how) AS tot
+    FROM dist
+  ) GROUP BY 1, 2
+)
+SELECT d.event_type, CAST(d.how AS BIGINT) AS hour,
+       CAST(max(m.median_cnt) AS BIGINT) AS median_cnt,
+       CAST(max(m.n_days) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN 2 * d.cnt > 3 * m.median_cnt THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN 2 * d.cnt < m.median_cnt THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low
+FROM daily d JOIN med m ON m.event_type = d.event_type AND m.how = d.how
+GROUP BY d.event_type, d.how
+"""
+
+
+# ---------------------------------------------------------------------------
+# q181: more-like-this lexical retrieval (doc-as-query expansion)
+# ---------------------------------------------------------------------------
+
+_Q181_ANCHORS = [0, 7, 13]  # anchor doc ids (the "seed" documents)
+_Q181_W = 1_000_000_000  # inverse-df weight numerator
+_Q181_K = 5
+
+
+def q181_more_like_this(spark, sf_dir):
+    """More-like-this retrieval: rank the corpus against ANCHOR
+    DOCUMENTS (doc-as-query, Lucene's MLT shape) by rare-token
+    evidence — score(d, anchor) = Σ over shared distinct tokens of
+    1e9 div df(token), so sharing one rare token outweighs sharing
+    ten ubiquitous ones (the q156 inverse-frequency evidence rule,
+    applied to retrieval).  The seed-expansion primitive of corpus
+    curation ("find me more documents like these three good ones") —
+    q105 ranks against TERM queries, q20/q24 against embedding space;
+    this is the lexical doc-query member.
+
+    Scale shape: anchors' distinct-token relations are metadata-scale
+    and BROADCAST into the postings equi-join (the corpus never
+    shuffles on more than a matched token); df joins on the
+    fixed-width token key; per-(anchor, doc) scores are one hash agg
+    and top-k is a rank window over candidates only."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(F.split(F.col("text"), "\n", -1), tokens_expr)
+                )
+            )
+        ).alias("token"),
+    )
+    dfr = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    anchors = postings.where(
+        F.col("doc_id").isin(_Q181_ANCHORS)
+    ).select(F.col("doc_id").alias("anchor_id"), "token")
+    scored = (
+        postings.join(F.broadcast(anchors), "token")
+        .where(F.col("doc_id") != F.col("anchor_id"))
+        .join(dfr, "token")
+        .groupBy("anchor_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.expr(f"{_Q181_W} div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _Q181_K)
+        .select(
+            F.col("anchor_id").cast("bigint").alias("anchor_id"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
+
+
+ORACLE_Q181 = f"""
+WITH postings AS (
+  SELECT doc_id,
+         unnest(list_distinct(flatten(list_transform(
+           string_split(text, chr(10)),
+           ln -> list_filter(string_split(ln, ' '), t -> t <> ''))))) AS token
+  FROM documents
+),
+dfr AS (SELECT token, count(*) AS df FROM postings GROUP BY 1),
+anchors AS (
+  SELECT doc_id AS anchor_id, token FROM postings
+  WHERE doc_id IN ({', '.join(str(a) for a in _Q181_ANCHORS)})
+),
+scored AS (
+  SELECT a.anchor_id, p.doc_id, count(*) AS n_shared,
+         sum({_Q181_W} // d.df) AS score
+  FROM postings p
+  JOIN anchors a USING (token)
+  JOIN dfr d USING (token)
+  WHERE p.doc_id <> a.anchor_id
+  GROUP BY 1, 2
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id, CAST(rk AS BIGINT) AS rk,
+       doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {_Q181_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q182: dictionary-encoding advisor (column layout economics)
+# ---------------------------------------------------------------------------
+
+
+def q182_dictionary_encoding_advisor(spark, sf_dir):
+    """Column-encoding advisor — the parquet/ORC layout decision the
+    writer makes per column (PLAIN vs DICTIONARY), priced exactly:
+    plain = Σ byte-length of every value; dictionary = Σ byte-length
+    of DISTINCT values + the bit-packed index stream
+    ceil(n·bits(ndv) / 8), where bits(ndv) = length of the binary
+    representation of ndv−1 (0 for a constant column) — both engines
+    compute it as length(bin(ndv−1)), bit-identical.  Completes the
+    storage-economics family: q169 prices posting gaps, q175 prices
+    bitmap containers, q153 prices zone clustering — this prices the
+    value encoding itself.
+
+    Scale shape: the corpus is melted ONCE into (column, value) pairs
+    (one Generate — the q131 pattern) and ONE hash agg yields
+    per-value counts; totals, NDV, and byte models all derive from
+    that grouped relation."""
+    docs = _t(spark, sf_dir, "documents")
+    melted = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("lang").alias("col"), F.col("lang").alias("val")),
+                F.struct(F.lit("source").alias("col"), F.col("source").alias("val")),
+                F.struct(
+                    F.lit("n_chars").alias("col"),
+                    F.col("n_chars").cast("string").alias("val"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.col", "kv.val")
+    vals = melted.groupBy("col", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = vals.groupBy("col").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("ndv"),
+        F.sum(F.expr("cnt * length(val)")).alias("plain_bytes"),
+        F.sum(F.expr("length(val)")).alias("dict_value_bytes"),
+    )
+    return agg.select(
+        "col",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("ndv").cast("bigint").alias("ndv"),
+        F.col("plain_bytes").cast("bigint").alias("plain_bytes"),
+        F.expr(
+            "CAST(dict_value_bytes"
+            " + (n * (CASE WHEN ndv <= 1 THEN 0"
+            "          ELSE length(bin(ndv - 1)) END) + 7) div 8 AS BIGINT)"
+        ).alias("dict_bytes"),
+        F.expr(
+            "CAST(dict_value_bytes"
+            " + (n * (CASE WHEN ndv <= 1 THEN 0"
+            "          ELSE length(bin(ndv - 1)) END) + 7) div 8"
+            " < plain_bytes AS BOOLEAN)"
+        ).alias("choose_dict"),
+    )
+
+
+ORACLE_Q182 = """
+WITH melted AS (
+  SELECT 'lang' AS col, lang AS val FROM documents
+  UNION ALL
+  SELECT 'source', source FROM documents
+  UNION ALL
+  SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+),
+vals AS (SELECT col, val, count(*) AS cnt FROM melted GROUP BY 1, 2),
+agg AS (
+  SELECT col, sum(cnt) AS n, count(*) AS ndv,
+         sum(cnt * length(val)) AS plain_bytes,
+         sum(length(val)) AS dict_value_bytes
+  FROM vals GROUP BY 1
+)
+SELECT col, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+       CAST(plain_bytes AS BIGINT) AS plain_bytes,
+       CAST(dict_value_bytes
+            + (n * (CASE WHEN ndv <= 1 THEN 0
+                     ELSE length(bin(ndv - 1)) END) + 7) // 8 AS BIGINT)
+         AS dict_bytes,
+       dict_value_bytes
+         + (n * (CASE WHEN ndv <= 1 THEN 0
+                  ELSE length(bin(ndv - 1)) END) + 7) // 8
+         < plain_bytes AS choose_dict
+FROM agg
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -12736,6 +13016,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q167_snapshot_drift_chi2": q167_snapshot_drift_chi2,
     "q163_streaming_scd2_enrich": q163_streaming_scd2_enrich,
     "q164_daily_trend_slope": q164_daily_trend_slope,
+    "q180_seasonal_anomaly": q180_seasonal_anomaly,
+    "q181_more_like_this": q181_more_like_this,
+    "q182_dictionary_encoding_advisor": q182_dictionary_encoding_advisor,
     "q177_threshold_sweep": q177_threshold_sweep,
     "q178_neyman_allocation": q178_neyman_allocation,
     "q179_streaming_feed_silence": q179_streaming_feed_silence,
@@ -12923,6 +13206,9 @@ ORACLES: dict[str, str] = {
     "q167_snapshot_drift_chi2": ORACLE_Q167,
     "q163_streaming_scd2_enrich": ORACLE_Q163,
     "q164_daily_trend_slope": ORACLE_Q164,
+    "q180_seasonal_anomaly": ORACLE_Q180,
+    "q181_more_like_this": ORACLE_Q181,
+    "q182_dictionary_encoding_advisor": ORACLE_Q182,
     "q177_threshold_sweep": ORACLE_Q177,
     "q178_neyman_allocation": ORACLE_Q178,
     "q179_streaming_feed_silence": ORACLE_Q179,
