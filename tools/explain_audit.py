@@ -497,6 +497,20 @@ def main() -> None:
         "q160_shingle_containment": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # dedup yield: content-hash agg + q62 candidate machinery on
+        # the keeper subset; lang-scale output joins (plan is
+        # post-checkpoint for the CC loop, like q62)
+        "q183_dedup_yield": dict(forbid_node=("CartesianProduct",)),
+        # transition dwell: one lag window + grouped-relation windows
+        "q184_transition_dwell": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
         # seasonal anomaly: linear cell agg; median + classification on
         # the grouped (type, hour, count) relation
         "q180_seasonal_anomaly": dict(

@@ -12989,6 +12989,310 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# q183: dedup yield accounting (raw -> exact -> near-dup funnel)
+# ---------------------------------------------------------------------------
+
+
+def q183_dedup_yield(spark, sf_dir):
+    """Dedup YIELD accounting — the three-level token funnel a corpus
+    team reports after every crawl: raw tokens, tokens surviving
+    EXACT dedup (content-hash min-id keeper, the q15/q35 rule), and
+    tokens surviving NEAR-dup dedup (q62's components over the exact
+    keepers, min-id keeper per cluster, the q114 policy) — per
+    language, with the final yield in ppm.  q15/q62/q114 each FIND or
+    DECIDE one level; this prices the whole pipeline's data loss in
+    one oracle-checked statement, which is the number that actually
+    gets reviewed ("near-dedup costs us 3% of German").
+
+    Scale shape: exact level is one fixed-width content-hash agg +
+    join; near level reuses q62's candidate machinery RESTRICTED to
+    exact keepers (dedup levels compose — near-dup never re-scans
+    documents exact dedup already dropped); the three per-lang
+    aggregates are joins of LANG-scale relations."""
+    from .operators.graph import connected_components
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count_expr(F.col("text")).cast("bigint").alias("tc"),
+        F.md5("text").alias("h"),
+    ).localCheckpoint(eager=True)
+    keep1 = base.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept1 = base.join(keep1, ["h", "doc_id"]).localCheckpoint(eager=True)
+    edges = _q62_edges(kept1.select("doc_id", "text"))
+    comps = connected_components(edges, "src", "dst")
+    drop2 = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept2 = kept1.join(drop2, "doc_id", "left_anti")
+
+    raw = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tc").alias("tokens_raw")
+    )
+    l1 = kept1.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_exact"), F.sum("tc").alias("tokens_exact")
+    )
+    l2 = kept2.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_near"), F.sum("tc").alias("tokens_near")
+    )
+    return (
+        raw.join(l1, "lang")
+        .join(l2, "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("tokens_raw").cast("bigint").alias("tokens_raw"),
+            F.col("docs_exact").cast("bigint").alias("docs_exact"),
+            F.col("tokens_exact").cast("bigint").alias("tokens_exact"),
+            F.col("docs_near").cast("bigint").alias("docs_near"),
+            F.col("tokens_near").cast("bigint").alias("tokens_near"),
+            F.expr(
+                "CAST((tokens_near * 1000000) div tokens_raw AS BIGINT)"
+            ).alias("yield_ppm"),
+        )
+    )
+
+
+ORACLE_Q183 = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, text,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS tc,
+         md5(text) AS h
+  FROM documents
+),
+keep1 AS (SELECT h, min(doc_id) AS doc_id FROM base GROUP BY h),
+kept1 AS (SELECT b.* FROM base b JOIN keep1 k ON k.h = b.h AND k.doc_id = b.doc_id),
+nd AS (SELECT count(*) AS n FROM kept1),
+shings AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS shingle
+  FROM kept1
+), dfq AS (
+  SELECT shingle, count(*) AS df FROM shings GROUP BY 1
+), keptsh AS (
+  SELECT s.doc_id, s.shingle
+  FROM shings s JOIN dfq USING (shingle), nd
+  WHERE 10 * dfq.df < nd.n
+), edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM keptsh a JOIN keptsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+),
+reach(node, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.label FROM reach r JOIN sym s ON s.b = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+drop2 AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+kept2 AS (
+  SELECT k.* FROM kept1 k LEFT JOIN drop2 d ON d.doc_id = k.doc_id
+  WHERE d.doc_id IS NULL
+),
+raw AS (SELECT lang, count(*) AS n_docs, sum(tc) AS tokens_raw FROM base GROUP BY 1),
+l1 AS (SELECT lang, count(*) AS docs_exact, sum(tc) AS tokens_exact FROM kept1 GROUP BY 1),
+l2 AS (SELECT lang, count(*) AS docs_near, sum(tc) AS tokens_near FROM kept2 GROUP BY 1)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tokens_raw AS BIGINT) AS tokens_raw,
+       CAST(docs_exact AS BIGINT) AS docs_exact,
+       CAST(tokens_exact AS BIGINT) AS tokens_exact,
+       CAST(docs_near AS BIGINT) AS docs_near,
+       CAST(tokens_near AS BIGINT) AS tokens_near,
+       CAST((tokens_near * 1000000) // tokens_raw AS BIGINT) AS yield_ppm
+FROM raw JOIN l1 USING (lang) JOIN l2 USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q184: transition dwell-time percentiles
+# ---------------------------------------------------------------------------
+
+
+def q184_transition_dwell(spark, sf_dir):
+    """Per-transition dwell-time distribution: for every adjacent
+    event-type pair in a user's (ts, event_id)-ordered history, the
+    p50/p90 of minutes spent between the two events — q129 counts
+    HOW OFTEN each transition happens, q161 measures one end-to-end
+    latency; this profiles EVERY edge's timing, the micro-structure
+    behind funnel staging decisions ("users stall 10× longer between
+    click and purchase than between view and click").  Percentiles
+    are nearest-rank over the grouped (pair, minutes) relation — the
+    q143/q180 discipline, never a sort of the event relation.
+
+    Scale shape: ONE lag-window pass partitioned by user (parallel),
+    ONE (pair, minutes) hash agg, windows over the bounded grouped
+    relation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("curr_type"),
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            / F.lit(60)
+        ).cast("bigint").alias("gap_min"),
+    ).where(F.col("prev_type").isNotNull())
+    dist = hops.groupBy("prev_type", "curr_type", "gap_min").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    wcum = Window.partitionBy("prev_type", "curr_type").orderBy("gap_min")
+    wall = Window.partitionBy("prev_type", "curr_type")
+    cum = dist.withColumn("cum", F.sum("nd").over(wcum)).withColumn(
+        "tot", F.sum("nd").over(wall)
+    )
+    return cum.groupBy("prev_type", "curr_type").agg(
+        F.max("tot").cast("bigint").alias("n_hops"),
+        F.min(F.when(F.expr("100 * cum >= 50 * tot"), F.col("gap_min")))
+        .cast("bigint")
+        .alias("p50_min"),
+        F.min(F.when(F.expr("100 * cum >= 90 * tot"), F.col("gap_min")))
+        .cast("bigint")
+        .alias("p90_min"),
+    )
+
+
+ORACLE_Q184 = """
+WITH hops AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS curr_type,
+         (CAST(epoch(ts) AS BIGINT)
+          - CAST(epoch(lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS BIGINT))
+           // 60 AS gap_min
+  FROM events
+),
+dist AS (
+  SELECT prev_type, curr_type, gap_min, count(*) AS nd
+  FROM hops WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT prev_type, curr_type, gap_min, nd,
+         sum(nd) OVER (PARTITION BY prev_type, curr_type ORDER BY gap_min)
+           AS cum,
+         sum(nd) OVER (PARTITION BY prev_type, curr_type) AS tot
+  FROM dist
+)
+SELECT prev_type, curr_type, CAST(max(tot) AS BIGINT) AS n_hops,
+       CAST(min(CASE WHEN 100 * cum >= 50 * tot THEN gap_min END) AS BIGINT)
+         AS p50_min,
+       CAST(min(CASE WHEN 100 * cum >= 90 * tot THEN gap_min END) AS BIGINT)
+         AS p90_min
+FROM cum GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q185: STREAMING unknown-key DLQ (referential guard at ingest)
+# ---------------------------------------------------------------------------
+
+_Q185_N = 400
+
+
+def q185_streaming_unknown_key_dlq(spark, sf_dir):
+    """STREAMING referential ingest guard: every event is checked
+    against the known-entity dimension AS IT ARRIVES (stream-static
+    LEFT join — stateless, re-planned per micro-batch), and rows
+    referencing UNKNOWN keys are counted per window as the dead-letter
+    signal — unknown_ppm spiking is how a producer-side id-space bug
+    announces itself.  q52 quarantines rows whose CONTENT fails the
+    parse contract; q152 audits referential integrity in BATCH after
+    the fact; this is the streaming form where the unmatched rows ARE
+    the signal, caught before they poison downstream joins.
+
+    Fixture: user ids cycle 0..99 against a dimension that knows only
+    ids with id % 7 != 0 (the q100 arithmetic-fixture discipline) —
+    exactly the multiples of 7 are unknown, every window.  Watermark
+    pushers are KNOWN users (the q147 rule: rows driving the
+    watermark must survive every predicate; a LEFT join keeps them
+    regardless).
+
+    Scale shape: dimension broadcast per batch; ONE windowed stateful
+    agg with two conditional counts — no state beyond the window
+    rows."""
+    import pandas as pd
+
+    from .sources.pages import stream_events_files, write_batch_files
+
+    t0 = pd.Timestamp(STATIC_T0_EPOCH, unit="s")
+
+    def ev_batch(rows, id0):
+        return pd.DataFrame(
+            {
+                "event_id": [id0 + j for j in range(len(rows))],
+                "ts": [t0 + pd.Timedelta(seconds=s) for _, s in rows],
+                "user_id": [u for u, _ in rows],
+                "event_type": ["crawl"] * len(rows),
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    half = _Q185_N // 2
+    batches = [
+        ev_batch([(i % 100, i * 7) for i in range(half)], 0),
+        ev_batch([(i % 100, i * 7) for i in range(half, _Q185_N)], 10000),
+        ev_batch([(1, 7200), (2, 7207)], 20000),
+        ev_batch([(3, 7214), (4, 7221)], 25000),
+    ]
+    src = _q_tmpdir("wrs-q-dlq-")
+    write_batch_files(batches, src)
+
+    dim = (
+        spark.range(100)
+        .select(F.col("id").alias("known_id"))
+        .where(F.expr("id % 7 != 0"))
+    )
+    stream = stream_events_files(spark, src, 1).withWatermark("ts", "10 minutes")
+    joined = stream.join(
+        F.broadcast(dim), F.col("user_id") == F.col("known_id"), "left"
+    )
+    agg = joined.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CASE WHEN known_id IS NULL THEN 1 ELSE 0 END")).alias(
+            "n_unknown"
+        ),
+    )
+    out = _drain(
+        agg.select(
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start_epoch"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_unknown").cast("bigint").alias("n_unknown"),
+            F.expr(
+                "CAST((n_unknown * 1000000) div n_events AS BIGINT)"
+            ).alias("unknown_ppm"),
+        ),
+        spark,
+    )
+    return out.where(F.col("window_start_epoch") < STATIC_T0_EPOCH + 3600)
+
+
+ORACLE_Q185 = f"""
+WITH ev AS (
+  SELECT CAST(u.i % 100 AS BIGINT) AS user_id,
+         {STATIC_T0_EPOCH} + u.i * 7 AS epoch
+  FROM UNNEST(range({_Q185_N})) AS u(i)
+),
+agg AS (
+  SELECT (epoch // 600) * 600 AS ws, count(*) AS n_events,
+         sum(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS n_unknown
+  FROM ev GROUP BY 1
+)
+SELECT ws AS window_start_epoch, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_unknown AS BIGINT) AS n_unknown,
+       CAST((n_unknown * 1000000) // n_events AS BIGINT) AS unknown_ppm
+FROM agg
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -13016,6 +13320,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q167_snapshot_drift_chi2": q167_snapshot_drift_chi2,
     "q163_streaming_scd2_enrich": q163_streaming_scd2_enrich,
     "q164_daily_trend_slope": q164_daily_trend_slope,
+    "q183_dedup_yield": q183_dedup_yield,
+    "q184_transition_dwell": q184_transition_dwell,
+    "q185_streaming_unknown_key_dlq": q185_streaming_unknown_key_dlq,
     "q180_seasonal_anomaly": q180_seasonal_anomaly,
     "q181_more_like_this": q181_more_like_this,
     "q182_dictionary_encoding_advisor": q182_dictionary_encoding_advisor,
@@ -13206,6 +13513,9 @@ ORACLES: dict[str, str] = {
     "q167_snapshot_drift_chi2": ORACLE_Q167,
     "q163_streaming_scd2_enrich": ORACLE_Q163,
     "q164_daily_trend_slope": ORACLE_Q164,
+    "q183_dedup_yield": ORACLE_Q183,
+    "q184_transition_dwell": ORACLE_Q184,
+    "q185_streaming_unknown_key_dlq": ORACLE_Q185,
     "q180_seasonal_anomaly": ORACLE_Q180,
     "q181_more_like_this": ORACLE_Q181,
     "q182_dictionary_encoding_advisor": ORACLE_Q182,
