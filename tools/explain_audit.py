@@ -497,6 +497,21 @@ def main() -> None:
         "q160_shingle_containment": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # bot detection: two hash aggs, zero joins
+        "q187_bot_detection": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
+        # intersection planner: postings pruned map-side by the
+        # broadcast query-term join; aggs on candidates only
+        "q188_intersection_planner": dict(
+            broadcast=True, forbid_node=("CartesianProduct",)
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

@@ -13293,6 +13293,304 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# q186: STREAMING percolator (stored-query alerting over a doc stream)
+# ---------------------------------------------------------------------------
+
+# stored queries: (qid, term, bit); a doc matches a query iff it
+# contains ALL the query's terms.  Terms chosen to exist in the corpus
+# vocabulary; q_c's rare pair keeps match counts sparse.
+_Q186_QUERIES: list[tuple[str, str, int]] = [
+    ("q_a", "data", 1),
+    ("q_a", "crawl", 2),
+    ("q_b", "stream", 1),
+    ("q_b", "window", 2),
+    ("q_b", "join", 4),
+    ("q_c", "vector", 1),
+    ("q_c", "spark", 2),
+]
+
+
+def q186_streaming_percolator(spark, sf_dir):
+    """STREAMING percolator — Elasticsearch's reverse search as a
+    Spark plan: STORED queries (each a set of required terms) are
+    matched against the incoming page stream, emitting per-window
+    match counts per query — the saved-search / alerting primitive.
+    A page matches iff it contains ALL the query's terms, computed
+    replay-safely with a BIT TRICK: each (query, term) carries a bit,
+    the first stateful agg bit_or's the bits seen per (window, query,
+    page) (bit_or is idempotent — replays cannot double-set), and a
+    page matches when its bits equal the query's full mask (max'd
+    through the same agg — constant per query, so max is exact).
+    q170 tags docs against ANY-phrase blocklists in batch; this
+    requires ALL-terms conjunctions and runs ON THE STREAM.
+
+    Scale shape: the broadcast query-term join prunes the exploded
+    token stream MAP-SIDE to query-relevant tokens only (a vanishing
+    fraction — the q105 vocabulary-prune argument), then TWO chained
+    stateful aggs (the q150 pattern), state bounded at (queries ×
+    candidate pages) per window."""
+    from .sources.pages import stream_pages_files
+
+    src, _ = _derived_stream_fixture(spark, sf_dir)
+    stream = stream_pages_files(spark, src, 1)
+    qt = spark.createDataFrame(
+        _Q186_QUERIES, "qid string, term string, bit int"
+    )
+    masks = (
+        qt.groupBy("qid").agg(F.sum("bit").alias("mask"))
+        .join(qt, "qid")
+        .select("qid", "term", "bit", "mask")
+    )
+    toks = stream.withWatermark("warc_ts", "10 minutes").select(
+        "warc_ts",
+        "url",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(F.split(F.col("text"), "\n", -1), tokens_expr)
+                )
+            )
+        ).alias("term"),
+    )
+    cand = toks.join(F.broadcast(masks), "term")
+    per_doc = cand.groupBy(
+        F.window("warc_ts", "10 minutes").alias("w"), "qid", "url"
+    ).agg(
+        F.expr("bit_or(bit)").alias("bits"), F.max("mask").alias("mask")
+    )
+    agg = per_doc.groupBy(
+        F.window(F.col("w"), "10 minutes").alias("w2"), F.col("qid")
+    ).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.expr("CASE WHEN bits = mask THEN 1 ELSE 0 END")).alias(
+            "n_matches"
+        ),
+    )
+    out = _drain(
+        agg.select(
+            F.unix_timestamp("w2.start").cast("bigint").alias("window_start_epoch"),
+            "qid",
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_matches").cast("bigint").alias("n_matches"),
+        ),
+        spark,
+    )
+    return out.where(
+        F.col("window_start_epoch")
+        < F.unix_timestamp(F.lit("2027-01-01").cast("timestamp"))
+    )
+
+
+def _oracle_q186() -> str:
+    qvals = ", ".join(f"('{q}', '{t}', {b})" for q, t, b in _Q186_QUERIES)
+    return f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), qt(qid, term, bit) AS (VALUES {qvals}),
+masks AS (SELECT qid, sum(bit) AS mask FROM qt GROUP BY 1),
+toks AS (
+  SELECT (CAST(epoch(warc_ts) AS BIGINT) // 600) * 600 AS ws, url,
+         unnest(list_distinct(flatten(list_transform(
+           string_split(text, chr(10)),
+           ln -> list_filter(string_split(ln, ' '), t -> t <> ''))))) AS term
+  FROM pages
+),
+per_doc AS (
+  SELECT t.ws, q.qid, t.url, bit_or(q.bit) AS bits, max(m.mask) AS mask
+  FROM toks t JOIN qt q USING (term) JOIN masks m ON m.qid = q.qid
+  GROUP BY 1, 2, 3
+)
+SELECT ws AS window_start_epoch, qid,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN bits = mask THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches
+FROM per_doc GROUP BY 1, 2
+"""
+
+
+ORACLE_Q186 = _oracle_q186()
+
+
+# ---------------------------------------------------------------------------
+# q187: rate-based bot detection
+# ---------------------------------------------------------------------------
+
+_Q187_RATE_MAX = 5  # events in any single minute
+_Q187_CONC_PPM = 400_000  # burst concentration threshold
+
+
+def q187_bot_detection(spark, sf_dir):
+    """Rate-based bot/abuse detection: per user, the two classic
+    integer signals — peak per-minute event rate (humans do not emit
+    6 events in one minute for hours) and burst CONCENTRATION (the
+    share of all events landing in the user's single busiest minute,
+    in ppm) — with a flag when either exceeds its threshold.  q11/q28
+    build sessions and q55 per-user features; this is the ADVERSARIAL
+    read of the same history, the ingest-abuse gate a crawl pipeline
+    runs before letting behavioral data into training.
+
+    Scale shape: ONE (user, minute) hash agg with map-side partials,
+    then ONE user-level agg over the minute relation; thresholds are
+    cross-multiplied integers."""
+    ev = _t(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", F.expr("CAST(unix_timestamp(ts) div 60 AS BIGINT)").alias("m")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_min.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+        F.max("cnt").cast("bigint").alias("peak_per_min"),
+        F.expr("CAST((max(cnt) * 1000000) div sum(cnt) AS BIGINT)").alias(
+            "burst_ppm"
+        ),
+        F.expr(
+            f"CAST(max(cnt) > {_Q187_RATE_MAX}"
+            f" OR (max(cnt) * 1000000) div sum(cnt) > {_Q187_CONC_PPM}"
+            " AS BOOLEAN)"
+        ).alias("flagged"),
+    )
+
+
+ORACLE_Q187 = f"""
+WITH per_min AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS active_minutes,
+       CAST(max(cnt) AS BIGINT) AS peak_per_min,
+       CAST((max(cnt) * 1000000) // sum(cnt) AS BIGINT) AS burst_ppm,
+       (max(cnt) > {_Q187_RATE_MAX}
+        OR (max(cnt) * 1000000) // sum(cnt) > {_Q187_CONC_PPM}) AS flagged
+FROM per_min GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q188: AND-query index intersection planner
+# ---------------------------------------------------------------------------
+
+_Q188_QUERIES: list[tuple[str, str]] = [
+    ("qa", "data"), ("qa", "crawl"), ("qa", "web"),
+    ("qb", "stream", ), ("qb", "window"),
+    ("qc", "vector"), ("qc", "spark"), ("qc", "hash"),
+]
+
+
+def q188_intersection_planner(spark, sf_dir):
+    """AND-query index-intersection PLANNING audit: for each stored
+    conjunctive query, the driving-term decision an index executor
+    makes — scan the RAREST term's posting list and probe the others —
+    priced against ground truth: df of the rarest and commonest term,
+    the estimated scan cost (min df — the driver list), the TRUE
+    intersection size, and the selectivity of the intersection vs the
+    driver list in ppm (how much the probes actually pruned).  q146
+    forecasts equi-JOIN sizes from key histograms; this is the IR
+    twin for conjunctive posting intersections — the decision inside
+    every AND query at 100 TB.
+
+    Scale shape: one distinct-postings explode pruned MAP-SIDE to
+    query terms (broadcast join); df from the pruned relation; the
+    true intersection via per-(query, doc) distinct-term counts
+    compared to the query's term count — all hash aggs on candidate
+    rows only."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(_Q188_QUERIES, "qid string, term string")
+    qsz = qt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_terms"))
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(F.split(F.col("text"), "\n", -1), tokens_expr)
+                )
+            )
+        ).alias("term"),
+    ).join(F.broadcast(qt), "term")
+    # LEFT join from the query-term list so a term with ZERO postings
+    # keeps df=0 (an empty driver list = an empty intersection) rather
+    # than silently dropping out of the min/max.
+    dfr = qt.join(
+        postings.groupBy("qid", "term").agg(F.count(F.lit(1)).alias("df")),
+        ["qid", "term"],
+        "left",
+    ).withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+    plan = dfr.groupBy("qid").agg(
+        F.min("df").alias("df_min"), F.max("df").alias("df_max")
+    )
+    matched = (
+        postings.groupBy("qid", "doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .join(F.broadcast(qsz), "qid")
+        .where(F.col("nt") == F.col("n_terms"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        plan.join(qsz, "qid")
+        .join(matched, "qid", "left")
+        .select(
+            "qid",
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.col("df_min").cast("bigint").alias("driver_df"),
+            F.col("df_max").cast("bigint").alias("widest_df"),
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matches"),
+            F.expr(
+                "CAST(CASE WHEN df_min = 0 THEN 0 ELSE"
+                " (coalesce(n_matches, 0) * 1000000) div df_min END"
+                " AS BIGINT)"
+            ).alias("driver_selectivity_ppm"),
+        )
+    )
+
+
+def _oracle_q188() -> str:
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t in _Q188_QUERIES)
+    return f"""
+WITH qt(qid, term) AS (VALUES {qvals}),
+qsz AS (SELECT qid, count(*) AS n_terms FROM qt GROUP BY 1),
+postings AS (
+  SELECT p.doc_id, q.qid, q.term
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(flatten(list_transform(
+             string_split(text, chr(10)),
+             ln -> list_filter(string_split(ln, ' '), t -> t <> ''))))) AS term
+    FROM documents
+  ) p JOIN qt q USING (term)
+),
+dfc AS (SELECT qid, term, count(*) AS df FROM postings GROUP BY 1, 2),
+dfr AS (
+  SELECT q.qid, q.term, coalesce(c.df, 0) AS df
+  FROM qt q LEFT JOIN dfc c ON c.qid = q.qid AND c.term = q.term
+),
+plan AS (SELECT qid, min(df) AS df_min, max(df) AS df_max FROM dfr GROUP BY 1),
+matched AS (
+  SELECT qid, count(*) AS n_matches FROM (
+    SELECT p.qid, p.doc_id
+    FROM postings p
+    GROUP BY 1, 2
+    HAVING count(DISTINCT p.term)
+           = (SELECT n_terms FROM qsz WHERE qsz.qid = p.qid)
+  ) GROUP BY 1
+)
+SELECT p.qid, CAST(s.n_terms AS BIGINT) AS n_terms,
+       CAST(p.df_min AS BIGINT) AS driver_df,
+       CAST(p.df_max AS BIGINT) AS widest_df,
+       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(CASE WHEN p.df_min = 0 THEN 0 ELSE
+            (coalesce(m.n_matches, 0) * 1000000) // p.df_min END AS BIGINT)
+         AS driver_selectivity_ppm
+FROM plan p JOIN qsz s USING (qid) LEFT JOIN matched m ON m.qid = p.qid
+"""
+
+
+ORACLE_Q188 = _oracle_q188()
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -13306,6 +13604,9 @@ FROM agg
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q186_streaming_percolator": q186_streaming_percolator,
+    "q187_bot_detection": q187_bot_detection,
+    "q188_intersection_planner": q188_intersection_planner,
     "q174_last_touch_attribution": q174_last_touch_attribution,
     "q175_roaring_container_audit": q175_roaring_container_audit,
     "q176_percent_rank_normalization": q176_percent_rank_normalization,
@@ -13513,6 +13814,9 @@ ORACLES: dict[str, str] = {
     "q167_snapshot_drift_chi2": ORACLE_Q167,
     "q163_streaming_scd2_enrich": ORACLE_Q163,
     "q164_daily_trend_slope": ORACLE_Q164,
+    "q186_streaming_percolator": ORACLE_Q186,
+    "q187_bot_detection": ORACLE_Q187,
+    "q188_intersection_planner": ORACLE_Q188,
     "q183_dedup_yield": ORACLE_Q183,
     "q184_transition_dwell": ORACLE_Q184,
     "q185_streaming_unknown_key_dlq": ORACLE_Q185,
