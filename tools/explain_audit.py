@@ -512,6 +512,23 @@ def main() -> None:
         "q188_intersection_planner": dict(
             broadcast=True, forbid_node=("CartesianProduct",)
         ),
+        # symspell: variant equi-join with the mention side broadcast —
+        # the all-pairs levenshtein scan must never appear
+        "q189_symspell_edit1_join": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        ),
+        # shard top-k audit: per-shard windows + TakeOrdered head,
+        # k-row head broadcast back
+        "q190_shard_topk_audit": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "SortMergeJoin"),
+        ),
+        # co-occurrence pairs: user-key equi-self-join (cap-bounded
+        # fan-out), hash aggs; no NLJ anywhere
+        "q191_coclick_similarity": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

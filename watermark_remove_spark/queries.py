@@ -13591,6 +13591,341 @@ FROM plan p JOIN qsz s USING (qid) LEFT JOIN matched m ON m.qid = p.qid
 ORACLE_Q188 = _oracle_q188()
 
 
+# ---------------------------------------------------------------------------
+# q189: SymSpell deletion-neighborhood spelling-correction join
+# ---------------------------------------------------------------------------
+
+# dirty query-log mentions to resolve against the corpus vocabulary.
+# The list deliberately exercises every lookup outcome: deletion /
+# insertion / substitution typos (ed=1), an exact hit (ed=0), a
+# transposition ('csan' vs 'scan') that SHARES a deletion variant but
+# fails the plain-levenshtein<=1 filter (proving the verify step is
+# real, not vacuous), and pure garbage with zero candidates.
+_Q189_MENTIONS: list[str] = [
+    "strem",    # 'stream' with a deleted char  -> ed 1
+    "windoww",  # 'window' + inserted char      -> ed 1
+    "scann",    # 'scan' + inserted char        -> ed 1
+    "qery",     # 'query' with a deleted char   -> ed 1
+    "botch",    # 'batch' with a substitution   -> ed 1
+    "batch",    # exact vocabulary hit          -> ed 0
+    "csan",     # 'scan' transposed: candidate via shared variant, ed 2 -> dropped
+    "zzzz",     # garbage: no shared variant at all
+]
+
+
+def _q189_variants_spark(col: str) -> str:
+    """Spark SQL fragment: the SymSpell edit-1 deletion neighborhood of
+    ``col`` — the string itself plus every single-character deletion
+    (distinct, empty string dropped so length-1 tokens stay safe)."""
+    return (
+        f"array_distinct(filter(concat(array({col}),"
+        f" transform(sequence(1, length({col})),"
+        f" i -> concat(substring({col}, 1, i-1), substring({col}, i+1, 10000)))),"
+        " v -> v <> ''))"
+    )
+
+
+def _q189_variants_duck(col: str) -> str:
+    """DuckDB mirror of :func:`_q189_variants_spark`."""
+    return (
+        f"list_distinct(list_filter(list_concat([{col}],"
+        f" list_transform(range(1, length({col}) + 1),"
+        f" i -> substr({col}, 1, i-1) || substr({col}, i+1, 10000))),"
+        " v -> v <> ''))"
+    )
+
+
+def q189_symspell_edit1_join(spark, sf_dir):
+    """SymSpell spelling-correction lookup: dirty mentions are resolved
+    against the corpus vocabulary under edit distance <= 1 WITHOUT an
+    all-pairs levenshtein scan — both sides explode their edit-1
+    DELETION NEIGHBORHOOD (the string plus every single-char deletion)
+    and candidates come from an equi-join on the shared variant, which
+    is COMPLETE for ed<=1 (a deletion shares the deleted form; an
+    insertion is its mirror; a substitution at position i shares the
+    both-sides-delete-i form).  The exact levenshtein predicate then
+    filters inside the candidate set (a transposition shares a variant
+    at ed=2 and must be dropped), and one window picks the best
+    suggestion per mention by (ed, df DESC, token).  q89 blocks fuzzy
+    linkage on a FIRST-4-CHARS prefix — incomplete when the typo hits
+    the prefix; the deletion-neighborhood generator has no such blind
+    spot for ed<=1, at the cost of a (len+1)-way explode.
+
+    Scale shape: the vocabulary-side explode is linear in token length
+    (len+1 variants/token, never quadratic); the only shuffle is the
+    fixed-width variant equi-join with the mention side BROADCAST —
+    the all-pairs scan never happens."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(F.split(F.col("text"), "\n", -1), tokens_expr)
+                )
+            )
+        ).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    mentions = spark.createDataFrame(
+        [(m,) for m in _Q189_MENTIONS], "mention string"
+    )
+    mvar = mentions.select(
+        "mention",
+        F.explode(F.expr(_q189_variants_spark("mention"))).alias("variant"),
+    )
+    vvar = vocab.select(
+        "tok",
+        "df",
+        F.explode(F.expr(_q189_variants_spark("tok"))).alias("variant"),
+    )
+    cand = (
+        vvar.join(F.broadcast(mvar), "variant")
+        .select("mention", "tok", "df")
+        .distinct()
+        .withColumn("ed", F.levenshtein("mention", "tok"))
+        .where(F.col("ed") <= 1)
+    )
+    w = Window.partitionBy("mention").orderBy(
+        F.col("ed"), F.col("df").desc(), F.col("tok")
+    )
+    best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return mentions.join(best, "mention", "left").select(
+        "mention",
+        F.col("tok").alias("suggestion"),
+        F.col("ed").cast("bigint").alias("edit_distance"),
+        F.col("df").cast("bigint").alias("suggestion_df"),
+    )
+
+
+def _oracle_q189() -> str:
+    mvals = ", ".join(f"('{m}')" for m in _Q189_MENTIONS)
+    return f"""
+WITH vocab AS (
+  SELECT tok, count(*) AS df FROM (
+    SELECT doc_id, unnest(list_distinct(flatten(list_transform(
+             string_split(text, chr(10)),
+             ln -> list_filter(string_split(ln, ' '), t -> t <> ''))))) AS tok
+    FROM documents
+  ) GROUP BY 1
+),
+mentions(mention) AS (VALUES {mvals}),
+mvar AS (
+  SELECT mention, unnest({_q189_variants_duck('mention')}) AS variant
+  FROM mentions
+),
+vvar AS (
+  SELECT tok, df, unnest({_q189_variants_duck('tok')}) AS variant FROM vocab
+),
+cand AS (
+  SELECT DISTINCT m.mention, v.tok, v.df
+  FROM mvar m JOIN vvar v USING (variant)
+),
+scored AS (
+  SELECT mention, tok, df, levenshtein(mention, tok) AS ed
+  FROM cand WHERE levenshtein(mention, tok) <= 1
+),
+best AS (
+  SELECT mention, tok, ed, df,
+         row_number() OVER (PARTITION BY mention ORDER BY ed, df DESC, tok)
+           AS rn
+  FROM scored
+)
+SELECT m.mention, b.tok AS suggestion, CAST(b.ed AS BIGINT) AS edit_distance,
+       CAST(b.df AS BIGINT) AS suggestion_df
+FROM mentions m LEFT JOIN best b ON b.mention = m.mention AND b.rn = 1
+"""
+
+
+ORACLE_Q189 = _oracle_q189()
+
+
+# ---------------------------------------------------------------------------
+# q190: distributed top-k scatter-gather fetch-depth audit
+# ---------------------------------------------------------------------------
+
+_Q190_K = 20
+_Q190_SHARDS = 8
+
+
+def q190_shard_topk_audit(spark, sf_dir):
+    """Distributed top-k scatter-gather audit: q08 ANSWERS a top-k;
+    this audits the two-phase contract every sharded executor relies
+    on — each shard returns its local top-k', the gather merges them —
+    by computing, for each global top-k row, WHICH shard holds it and
+    its LOCAL rank there, plus ``fetch_depth`` = max local rank over
+    the winners: the minimal uniform per-shard k' that makes the
+    scatter-gather lossless.  fetch_depth == k means one shard owns
+    the whole head (skew — gather degenerates to that shard); a
+    fetch_depth near ceil(k/shards) certifies the head is spread and
+    per-shard fetches can shrink ~shards-fold.
+
+    Scale shape: local ranks are a window per shard (embarrassingly
+    parallel — each shard sorts only its own rows); the global head
+    is orderBy+limit (TakeOrdered, never a single-partition total
+    sort of the full relation); the final join broadcasts the k-row
+    head; the only unpartitioned window runs on k rows."""
+    docs = _t(spark, sf_dir, "documents")
+    sharded = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            md5_i64_expr(F.col("doc_id").cast("string"), salt="shard#")
+            % _Q190_SHARDS
+        ).alias("shard"),
+    )
+    w_local = Window.partitionBy("shard").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    local = sharded.withColumn("local_rank", F.row_number().over(w_local))
+    head = sharded.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(
+        _Q190_K
+    )
+    w_glob = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    head = head.withColumn("global_rank", F.row_number().over(w_glob))
+    joined = local.join(
+        F.broadcast(head.select("doc_id", "global_rank")), "doc_id"
+    )
+    w_all = Window.partitionBy()
+    return joined.select(
+        F.col("global_rank").cast("bigint").alias("global_rank"),
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("local_rank").cast("bigint").alias("local_rank"),
+        F.max(F.col("local_rank").cast("bigint"))
+        .over(w_all)
+        .alias("fetch_depth"),
+    )
+
+
+ORACLE_Q190 = f"""
+WITH sharded AS (
+  SELECT doc_id, n_chars,
+         {duck_md5_i64("CAST(doc_id AS VARCHAR)", salt="shard#")}
+           % {_Q190_SHARDS} AS shard
+  FROM documents
+),
+local AS (
+  SELECT doc_id, n_chars, shard,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY n_chars DESC, doc_id) AS local_rank
+  FROM sharded
+),
+head AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+           AS global_rank
+  FROM sharded ORDER BY n_chars DESC, doc_id LIMIT {_Q190_K}
+)
+SELECT CAST(h.global_rank AS BIGINT) AS global_rank, l.doc_id,
+       CAST(l.n_chars AS BIGINT) AS n_chars, CAST(l.shard AS BIGINT) AS shard,
+       CAST(l.local_rank AS BIGINT) AS local_rank,
+       CAST(max(l.local_rank) OVER () AS BIGINT) AS fetch_depth
+FROM local l JOIN head h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q191: co-occurrence item-item similarity (capped pair mining)
+# ---------------------------------------------------------------------------
+
+_Q191_CAP = 12     # max items kept per user before pair mining
+_Q191_MIN_CO = 3   # pair support floor
+
+
+def q191_coclick_similarity(spark, sf_dir):
+    """Item-item co-occurrence similarity over user behavior (the
+    recommender / related-queries primitive): users' event items
+    (props.k) are pair-mined per user and scored with the squared
+    cosine of the co-occurrence counts, in ppm.  The scale trick is
+    the PER-USER CAP before the self-join: a power-law user with 10^5
+    items would alone emit 10^10 pairs; capping each user to a
+    DETERMINISTIC portable-hash-ordered sample of <= {_Q191_CAP} items
+    bounds every user's contribution at cap^2 pairs (the DISCO /
+    Twitter "WTF" discipline), making the pair explosion linear in
+    users.  q98 mines token PMI WITHIN documents; this mines
+    co-occurrence ACROSS a user dimension with the cap as the
+    load-bearing scale device, and squared cosine keeps the score
+    integer-exact (no sqrt).
+
+    Scale shape: one user-key equi-self-join on the capped relation
+    (bounded fan-out cap^2 per user), then one (item_a, item_b) hash
+    agg; item marginals join on fixed-width item keys."""
+    ev = _t(spark, sf_dir, "events")
+    ui = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        md5_i64_expr(F.col("item").cast("string"), salt="cap#"), F.col("item")
+    )
+    capped = (
+        ui.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _Q191_CAP)
+        .drop("rn")
+    )
+    n = capped.groupBy("item").agg(F.count(F.lit(1)).alias("n_users"))
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= _Q191_MIN_CO)
+    )
+    na = n.select(F.col("item").alias("item_a"), F.col("n_users").alias("n_a"))
+    nb = n.select(F.col("item").alias("item_b"), F.col("n_users").alias("n_b"))
+    return (
+        co.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("co").cast("bigint").alias("co_users"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "CAST((co * co * 1000000) div (n_a * n_b) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+    )
+
+
+ORACLE_Q191 = f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (
+             PARTITION BY user_id
+             ORDER BY {duck_md5_i64("CAST(item AS VARCHAR)", salt="cap#")},
+                      item) AS rn
+    FROM ui
+  ) WHERE rn <= {_Q191_CAP}
+),
+n AS (SELECT item, count(*) AS n_users FROM capped GROUP BY 1),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS co
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {_Q191_MIN_CO}
+)
+SELECT c.item_a, c.item_b, CAST(c.co AS BIGINT) AS co_users,
+       CAST(na.n_users AS BIGINT) AS n_a, CAST(nb.n_users AS BIGINT) AS n_b,
+       CAST((c.co * c.co * 1000000) // (na.n_users * nb.n_users) AS BIGINT)
+         AS cos2_ppm
+FROM co c JOIN n na ON na.item = c.item_a JOIN n nb ON nb.item = c.item_b
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -13604,6 +13939,9 @@ ORACLE_Q188 = _oracle_q188()
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q189_symspell_edit1_join": q189_symspell_edit1_join,
+    "q190_shard_topk_audit": q190_shard_topk_audit,
+    "q191_coclick_similarity": q191_coclick_similarity,
     "q186_streaming_percolator": q186_streaming_percolator,
     "q187_bot_detection": q187_bot_detection,
     "q188_intersection_planner": q188_intersection_planner,
@@ -13800,6 +14138,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q189_symspell_edit1_join": ORACLE_Q189,
+    "q190_shard_topk_audit": ORACLE_Q190,
+    "q191_coclick_similarity": ORACLE_Q191,
     "q174_last_touch_attribution": ORACLE_Q174,
     "q175_roaring_container_audit": ORACLE_Q175,
     "q176_percent_rank_normalization": ORACLE_Q176,
