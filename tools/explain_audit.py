@@ -529,6 +529,22 @@ def main() -> None:
         "q191_coclick_similarity": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # CDC chunking: map-side fold chunker, per-source hash agg —
+        # zero joins of any kind
+        "q193_cdc_chunking": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+        ),
+        # COEC: 10-row position baseline broadcast, one item hash agg
+        "q194_position_bias_coec": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "SortMergeJoin"),
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

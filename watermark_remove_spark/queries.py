@@ -13926,6 +13926,435 @@ FROM co c JOIN n na ON na.item = c.item_a JOIN n nb ON nb.item = c.item_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q192: STREAMING MinHash feed-similarity audit
+# ---------------------------------------------------------------------------
+
+_Q192_K = 16  # signature width (seeds)
+
+
+def _q192_min_exprs() -> list:
+    return [
+        F.min(md5_i64_expr(F.col("tok"), salt=f"mh{i}#")).alias(f"h{i}")
+        for i in range(_Q192_K)
+    ]
+
+
+def q192_streaming_minhash_feed_similarity(spark, sf_dir):
+    """STREAMING MinHash feed-similarity audit: per event-time window,
+    each source feed maintains a k={_Q192_K} bottom-hash SIGNATURE of
+    its token set inside ONE stateful agg — ``min`` per seed is
+    duplicate-insensitive, replay-IDEMPOTENT (exactly the property an
+    at-least-once stream needs) and mergeable, so the state is k
+    bigints per (window, source) regardless of volume.  The batch side
+    then estimates cross-feed Jaccard as matching-seed-fraction and
+    AUDITS it against the exact Jaccard recomputed from the same
+    corpus derivation — the content-overlap drift monitor between
+    crawl feeds.  q149's streamed min-sketch estimates CARDINALITY of
+    one keyed stream; this keeps a full signature per feed to measure
+    SIMILARITY BETWEEN feeds, with ground truth in the same result.
+    q22 mines batch doc-pair candidates; nothing here ever joins docs.
+
+    Scale shape: stream side is one windowed stateful agg (k min
+    registers per group); the audit side is a window-key equi-self-
+    join of the tiny signature relation plus one shared-token
+    equi-join for the exact value — no all-pairs doc work anywhere."""
+    from .sources.pages import stream_pages_files
+
+    src, _ = _derived_stream_fixture(spark, sf_dir)
+    stream = stream_pages_files(spark, src, 1)
+    toks = stream.withWatermark("warc_ts", "10 minutes").select(
+        "warc_ts",
+        F.regexp_extract("url", "https://([^.]+)\\.", 1).alias("source"),
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(F.split(F.col("text"), "\n", -1), tokens_expr)
+                )
+            )
+        ).alias("tok"),
+    )
+    mins = toks.groupBy(
+        F.window("warc_ts", "10 minutes").alias("w"), "source"
+    ).agg(*_q192_min_exprs())
+    sig = _drain(
+        mins.select(
+            F.unix_timestamp("w.start").cast("bigint").alias("ws"),
+            "source",
+            *[f"h{i}" for i in range(_Q192_K)],
+        ),
+        spark,
+    ).where(
+        F.col("ws")
+        < F.unix_timestamp(F.lit("2027-01-01").cast("timestamp"))
+    )
+    a = sig.select(
+        "ws",
+        F.col("source").alias("source_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_Q192_K)],
+    )
+    b = sig.select(
+        "ws",
+        F.col("source").alias("source_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_Q192_K)],
+    )
+    match_expr = " + ".join(
+        f"IF(a{i} = b{i}, 1, 0)" for i in range(_Q192_K)
+    )
+    est = (
+        a.join(b, "ws")
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "ws",
+            "source_a",
+            "source_b",
+            F.expr(f"CAST({match_expr} AS BIGINT)").alias("sig_matches"),
+        )
+    )
+    # exact ground truth from the same pure-function page derivation
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            (
+                (F.lit(STATIC_T0_EPOCH) + F.col("doc_id") * 47)
+                .cast("bigint")
+                - (F.lit(STATIC_T0_EPOCH) + F.col("doc_id") * 47) % 600
+            ).alias("ws"),
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.split(
+                                F.concat(
+                                    F.lit("wm-header "),
+                                    F.col("source"),
+                                    F.lit(" common header line\n"),
+                                    F.col("text"),
+                                    F.lit("\nwm-footer "),
+                                    F.col("source"),
+                                    F.lit(" shared footer line"),
+                                ),
+                                "\n",
+                                -1,
+                            ),
+                            tokens_expr,
+                        )
+                    )
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = dt.groupBy("ws", "source").agg(F.count(F.lit(1)).alias("n"))
+    ta = dt.select("ws", F.col("source").alias("source_a"), "tok")
+    tb = dt.select("ws", F.col("source").alias("source_b"), "tok")
+    inter = (
+        ta.join(tb, ["ws", "tok"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("ws", "source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(
+        "ws", F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    nb = sizes.select(
+        "ws", F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    truth = (
+        est.join(na, ["ws", "source_a"])
+        .join(nb, ["ws", "source_b"])
+        .join(inter, ["ws", "source_a", "source_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    return truth.select(
+        F.col("ws").alias("window_start_epoch"),
+        "source_a",
+        "source_b",
+        "sig_matches",
+        F.expr(
+            f"CAST((sig_matches * 1000000) div {_Q192_K} AS BIGINT)"
+        ).alias("est_jaccard_ppm"),
+        F.expr(
+            "CAST((n_inter * 1000000) div (n_a + n_b - n_inter) AS BIGINT)"
+        ).alias("true_jaccard_ppm"),
+    )
+
+
+def _oracle_q192() -> str:
+    mins = ",\n         ".join(
+        f"min({duck_md5_i64('tok', salt=f'mh{i}#')}) AS h{i}"
+        for i in range(_Q192_K)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(_Q192_K)
+    )
+    return f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), toks AS (
+  SELECT (CAST(epoch(warc_ts) AS BIGINT) // 600) * 600 AS ws, source,
+         unnest(list_distinct(flatten(list_transform(
+           string_split(text, chr(10)),
+           ln -> list_filter(string_split(ln, ' '), t -> t <> ''))))) AS tok
+  FROM pages
+),
+sig AS (
+  SELECT ws, source,
+         {mins}
+  FROM toks GROUP BY 1, 2
+),
+est AS (
+  SELECT a.ws, a.source AS source_a, b.source AS source_b,
+         {matches} AS sig_matches
+  FROM sig a JOIN sig b ON a.ws = b.ws AND a.source < b.source
+),
+dt AS (SELECT DISTINCT ws, source, tok FROM toks),
+sizes AS (SELECT ws, source, count(*) AS n FROM dt GROUP BY 1, 2),
+inter AS (
+  SELECT a.ws, a.source AS source_a, b.source AS source_b,
+         count(*) AS n_inter
+  FROM dt a JOIN dt b
+    ON a.ws = b.ws AND a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2, 3
+)
+SELECT e.ws AS window_start_epoch, e.source_a, e.source_b,
+       CAST(e.sig_matches AS BIGINT) AS sig_matches,
+       CAST((e.sig_matches * 1000000) // {_Q192_K} AS BIGINT)
+         AS est_jaccard_ppm,
+       CAST((coalesce(i.n_inter, 0) * 1000000)
+            // (na.n + nb.n - coalesce(i.n_inter, 0)) AS BIGINT)
+         AS true_jaccard_ppm
+FROM est e
+JOIN sizes na ON na.ws = e.ws AND na.source = e.source_a
+JOIN sizes nb ON nb.ws = e.ws AND nb.source = e.source_b
+LEFT JOIN inter i
+  ON i.ws = e.ws AND i.source_a = e.source_a AND i.source_b = e.source_b
+"""
+
+
+ORACLE_Q192 = _oracle_q192()
+
+
+# ---------------------------------------------------------------------------
+# q193: content-defined chunking (CDC) storage-dedup audit
+# ---------------------------------------------------------------------------
+
+_Q193_MOD = 8  # boundary when hash(tok) % MOD == 0 -> ~MOD-token chunks
+
+# one MAP-SIDE pass per document inside codegen: a higher-order fold
+# builds the variable-width chunk list; only chunk strings leave the row
+_Q193_CHUNKS_EXPR = (
+    "aggregate("
+    " filter(split(replace(text, '\\n', ' '), ' '), t -> t <> ''),"
+    " named_struct('chunks', cast(array() as array<string>),"
+    "              'cur', cast(array() as array<string>)),"
+    " (acc, t) -> IF("
+    "   CAST(conv(substring(md5(concat('cdc#', t)), 1, 15), 16, 10) AS BIGINT)"
+    f"   % {_Q193_MOD} = 0,"
+    "   named_struct('chunks', array_append(acc.chunks,"
+    "                  array_join(array_append(acc.cur, t), ' ')),"
+    "                'cur', cast(array() as array<string>)),"
+    "   named_struct('chunks', acc.chunks,"
+    "                'cur', array_append(acc.cur, t))),"
+    " acc -> IF(size(acc.cur) > 0,"
+    "   array_append(acc.chunks, array_join(acc.cur, ' ')), acc.chunks))"
+)
+
+
+def q193_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking (CDC) storage-dedup audit: documents
+    are cut into VARIABLE-width chunks at content-derived boundaries
+    (after any token whose hash % {_Q193_MOD} == 0 — the rolling-hash
+    cut rule of LBFS/restic/borg), then per-source chunk-level
+    duplication is measured.  CDC's defining property over fixed-size
+    blocks is SHIFT RESISTANCE: inserting one token re-cuts only the
+    chunk it lands in, every boundary after the next cut point
+    realigns, so shared suffixes still dedup (pytest perturbs one doc
+    and proves locality).  q32's winnowing selects representative
+    fingerprints FOR doc-level near-dup; q86 dedups fixed structural
+    paragraphs; this defines the chunk boundaries themselves from
+    content — the storage/transfer dedup primitive.
+
+    Scale shape: the chunker is a per-row higher-order fold (ONE pass
+    per doc, map-side, zero shuffle); only chunk fingerprints reach
+    the per-source hash agg."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "source", F.explode(F.expr(_Q193_CHUNKS_EXPR)).alias("chunk")
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct(
+                md5_i64_expr(F.col("chunk"), salt="chunk#")
+            ).alias("n_distinct_chunks"),
+            F.sum(F.size(F.split(F.col("chunk"), " ", -1)))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+        .select(
+            "source",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_distinct_chunks").cast("bigint").alias(
+                "n_distinct_chunks"
+            ),
+            F.expr(
+                "CAST(((n_chunks - n_distinct_chunks) * 1000000)"
+                " div n_chunks AS BIGINT)"
+            ).alias("dup_ppm"),
+            "total_tokens",
+            F.expr(
+                "CAST((total_tokens * 1000) div n_chunks AS BIGINT)"
+            ).alias("avg_chunk_tokens_milli"),
+        )
+    )
+
+
+ORACLE_Q193 = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                           t -> t <> '') AS tk
+        FROM documents)
+),
+marked AS (
+  SELECT doc_id, source, tok, pos,
+         CASE WHEN ('0x' || substr(md5('cdc#' || tok), 1, 15))::BIGINT
+                   % {_Q193_MOD} = 0 THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, source, tok, pos,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_id
+  FROM marked
+),
+chunks AS (
+  SELECT doc_id, source, chunk_id,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk, count(*) AS n_toks
+  FROM chunked GROUP BY 1, 2, 3
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT ('0x' || substr(md5('chunk#' || chunk), 1, 15))
+                    ::BIGINT) AS BIGINT) AS n_distinct_chunks,
+       CAST(((count(*) - count(DISTINCT ('0x' || substr(md5('chunk#' ||
+              chunk), 1, 15))::BIGINT)) * 1000000) // count(*) AS BIGINT)
+         AS dup_ppm,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST((sum(n_toks) * 1000) // count(*) AS BIGINT)
+         AS avg_chunk_tokens_milli
+FROM chunks GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q194: position-bias COEC (clicks over expected clicks)
+# ---------------------------------------------------------------------------
+
+_Q194_POSITIONS = 10
+_Q194_MIN_IMPR = 5
+
+
+def q194_position_bias_coec(spark, sf_dir):
+    """Position-bias-corrected engagement (COEC — clicks over expected
+    clicks): raw CTR rewards items shown at position 1; COEC divides
+    each item's clicks by the clicks EXPECTED from the positions it
+    was actually shown at (sum of per-position baseline CTR over its
+    impressions), so a coec_ppm above 1e6 means the item out-performs
+    its slots — the de-biased relevance signal ranking evals feed on.
+    Impression position is the deterministic event_id % {_Q194_POSITIONS}
+    + 1 slot.  Everything stays integer: baseline CTR in ppm, expected
+    clicks as a ppm SUM, COEC as clicks*1e12 // expected_ppm.  q187
+    reads rates adversarially, q176 rank-normalizes scores; neither
+    corrects for exposure position.
+
+    Scale shape: the position baseline is a {_Q194_POSITIONS}-row agg
+    broadcast back; one per-item hash agg after a map-side join —
+    two linear passes, no windows."""
+    ev = _t(spark, sf_dir, "events")
+    impr = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .select(
+            (F.col("event_id") % _Q194_POSITIONS + 1).alias("pos"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+            F.when(F.col("event_type") == "click", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_click"),
+        )
+        .where(F.col("item").isNotNull())
+    )
+    base = (
+        impr.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("imps"),
+            F.sum("is_click").alias("clicks"),
+        )
+        .select(
+            "pos",
+            F.expr("CAST((clicks * 1000000) div imps AS BIGINT)").alias(
+                "ctr_ppm"
+            ),
+        )
+    )
+    return (
+        impr.join(F.broadcast(base), "pos")
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).alias("n_impr"),
+            F.sum("is_click").alias("n_clicks"),
+            F.sum("ctr_ppm").alias("expected_clicks_ppm"),
+        )
+        .where(F.col("n_impr") >= _Q194_MIN_IMPR)
+        .select(
+            "item",
+            F.col("n_impr").cast("bigint").alias("n_impr"),
+            F.col("n_clicks").cast("bigint").alias("n_clicks"),
+            F.col("expected_clicks_ppm")
+            .cast("bigint")
+            .alias("expected_clicks_ppm"),
+            F.expr(
+                "CAST(CASE WHEN expected_clicks_ppm = 0 THEN NULL"
+                " ELSE (n_clicks * 1000000000000) div expected_clicks_ppm"
+                " END AS BIGINT)"
+            ).alias("coec_ppm"),
+        )
+    )
+
+
+ORACLE_Q194 = f"""
+WITH impr AS (
+  SELECT (event_id % {_Q194_POSITIONS}) + 1 AS pos,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+  FROM events
+  WHERE event_type IN ('view', 'click')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+base AS (
+  SELECT pos, (sum(is_click) * 1000000) // count(*) AS ctr_ppm
+  FROM impr GROUP BY 1
+),
+agg AS (
+  SELECT i.item, count(*) AS n_impr, sum(i.is_click) AS n_clicks,
+         sum(b.ctr_ppm) AS expected_clicks_ppm
+  FROM impr i JOIN base b USING (pos)
+  GROUP BY 1 HAVING count(*) >= {_Q194_MIN_IMPR}
+)
+SELECT item, CAST(n_impr AS BIGINT) AS n_impr,
+       CAST(n_clicks AS BIGINT) AS n_clicks,
+       CAST(expected_clicks_ppm AS BIGINT) AS expected_clicks_ppm,
+       CAST(CASE WHEN expected_clicks_ppm = 0 THEN NULL
+            ELSE (n_clicks * 1000000000000) // expected_clicks_ppm END
+            AS BIGINT) AS coec_ppm
+FROM agg
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -13939,6 +14368,9 @@ FROM co c JOIN n na ON na.item = c.item_a JOIN n nb ON nb.item = c.item_b
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q192_streaming_minhash_feed_similarity": q192_streaming_minhash_feed_similarity,
+    "q193_cdc_chunking": q193_cdc_chunking,
+    "q194_position_bias_coec": q194_position_bias_coec,
     "q189_symspell_edit1_join": q189_symspell_edit1_join,
     "q190_shard_topk_audit": q190_shard_topk_audit,
     "q191_coclick_similarity": q191_coclick_similarity,
@@ -14138,6 +14570,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q192_streaming_minhash_feed_similarity": ORACLE_Q192,
+    "q193_cdc_chunking": ORACLE_Q193,
+    "q194_position_bias_coec": ORACLE_Q194,
     "q189_symspell_edit1_join": ORACLE_Q189,
     "q190_shard_topk_audit": ORACLE_Q190,
     "q191_coclick_similarity": ORACLE_Q191,
