@@ -545,6 +545,20 @@ def main() -> None:
             broadcast=True,
             forbid_node=("CartesianProduct", "SortMergeJoin"),
         ),
+        # lang-ID granularity: line explode -> hash agg -> windows on
+        # the grouped relation; the only join is doc-scale
+        "q195_langid_granularity_audit": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # retraction variance: two group-scale aggs + one full-outer
+        # merge + one audit join — all on (lang, source) keys
+        "q196_retraction_variance": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # aHash dedup: map-side HOF hashing, band equi-join candidates
+        "q197_ahash_media_dedup": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

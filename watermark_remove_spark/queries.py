@@ -14355,6 +14355,450 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# q195: language-ID granularity audit (doc-level vs per-line majority)
+# ---------------------------------------------------------------------------
+
+
+def q195_langid_granularity_audit(spark, sf_dir):
+    """Language-ID GRANULARITY audit (the CCNet question: classify the
+    document or its paragraphs?): per doc, the doc-level lang-ID
+    (q17's marker argmax over the whole text) is compared against the
+    MAJORITY VOTE of per-line lang-IDs, with the line-level mixture
+    (share of lines disagreeing with the majority, ppm) as the
+    code-switching / boilerplate-contamination signal — a doc whose
+    doc-level call disagrees with its line majority is exactly the doc
+    a coarse classifier mis-routes into the wrong training bucket.
+    q17 answers at ONE granularity and q124 scores predictions against
+    LABELS; this measures the granularity disagreement itself, no
+    labels involved.  Runs over the DERIVED PAGES (body + boilerplate
+    header/footer lines — the raw documents are single-line, and the
+    page form is exactly where granularity bites: boilerplate lines
+    vote 'und' against an 'en' body).
+
+    Scale shape: one line explode -> (doc, line_lang) hash agg ->
+    per-doc window on the grouped relation (never raw lines); the
+    doc-level lang is computed in the same scan."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    page_text = F.concat(
+        F.lit("wm-header "),
+        F.col("source"),
+        F.lit(" common header line\n"),
+        F.col("text"),
+        F.lit("\nwm-footer "),
+        F.col("source"),
+        F.lit(" shared footer line"),
+    )
+    # NOTE: lang_id_expr builds a named struct internally; Spark's
+    # generator rewrite strips struct field names when the expression
+    # shares a projection with explode(), so each lang-ID lives in its
+    # own stage.
+    lines = (
+        docs.withColumn("page_text", page_text)
+        .withColumn("doc_lang", lang_id_expr(F.col("page_text")))
+        .select(
+            "doc_id",
+            "doc_lang",
+            F.explode(F.split(F.col("page_text"), "\n", -1)).alias("line"),
+        )
+        .withColumn("line_lang", lang_id_expr(F.col("line")))
+    )
+    per = lines.groupBy("doc_id", "doc_lang", "line_lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("line_lang")
+    )
+    tot = per.groupBy("doc_id", "doc_lang").agg(F.sum("c").alias("n_lines"))
+    top = per.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return top.join(tot, ["doc_id", "doc_lang"]).select(
+        "doc_id",
+        "doc_lang",
+        F.col("line_lang").alias("majority_line_lang"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("c").cast("bigint").alias("n_majority_lines"),
+        F.expr(
+            "CAST(((n_lines - c) * 1000000) div n_lines AS BIGINT)"
+        ).alias("mixture_ppm"),
+        (F.col("doc_lang") == F.col("line_lang")).alias("granularity_agree"),
+    )
+
+
+def _duck_lang_case() -> str:
+    return """CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+            WHEN h_es >= h_fr THEN 'es'
+            ELSE 'fr' END"""
+
+
+ORACLE_Q195 = f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), dp AS (
+  SELECT doc_id, replace(' ' || lower(text) || ' ', chr(10), ' ') AS padded
+  FROM pages
+), dl AS (
+  SELECT doc_id, {_duck_lang_case()} AS doc_lang
+  FROM (SELECT doc_id, {_duck_hits('de')} AS h_de, {_duck_hits('en')} AS h_en,
+               {_duck_hits('es')} AS h_es, {_duck_hits('fr')} AS h_fr
+        FROM dp)
+), lp AS (
+  SELECT doc_id, replace(' ' || lower(line) || ' ', chr(10), ' ') AS padded
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM pages)
+), ll AS (
+  SELECT doc_id, {_duck_lang_case()} AS line_lang
+  FROM (SELECT doc_id, {_duck_hits('de')} AS h_de, {_duck_hits('en')} AS h_en,
+               {_duck_hits('es')} AS h_es, {_duck_hits('fr')} AS h_fr
+        FROM lp)
+), per AS (
+  SELECT doc_id, line_lang, count(*) AS c FROM ll GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(c) AS n_lines FROM per GROUP BY 1
+), top AS (
+  SELECT doc_id, line_lang, c FROM (
+    SELECT doc_id, line_lang, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, line_lang) AS rn
+    FROM per) WHERE rn = 1
+)
+SELECT d.doc_id, d.doc_lang, t.line_lang AS majority_line_lang,
+       CAST(n.n_lines AS BIGINT) AS n_lines,
+       CAST(t.c AS BIGINT) AS n_majority_lines,
+       CAST(((n.n_lines - t.c) * 1000000) // n.n_lines AS BIGINT)
+         AS mixture_ppm,
+       d.doc_lang = t.line_lang AS granularity_agree
+FROM dl d JOIN top t ON t.doc_id = d.doc_id JOIN tot n ON n.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q196: retraction-aware incremental second-moment maintenance
+# ---------------------------------------------------------------------------
+
+
+def q196_retraction_variance(spark, sf_dir):
+    """Incremental (n, sum, sum-of-squares) maintenance under a CDC
+    change stream WITH DELETIONS: the per-(lang, source) second-moment
+    state is refreshed by adding SIGNED contributions (+1 per insert,
+    -1 per retraction) to the stored base partials — count/sum/sumsq
+    form an abelian GROUP, so deletes are exact, which is precisely
+    what q74's monoid merge (min/max by least/greatest) cannot do: a
+    retracted max is unrecoverable without a rescan, a retracted
+    second moment is one subtraction.  The query carries its own
+    audit: the maintained state is compared against a from-scratch
+    recompute over the final membership, and the integer-exact scaled
+    second moment m2 = n*sumsq - sum^2 (= n^2 * variance) is derived
+    from exactly-agreed integers.  Split discipline follows q74: base
+    = hash-bucketed 80% minus ALL 'fr' rows, inserts = the complement
+    (so not-matched-insert is exercised), deletes = base rows with
+    hash bucket < 2 (so matched-retract is exercised; pytest asserts
+    both non-vacuous).
+
+    Scale shape: the scan reads only base + delta in production (here
+    both derive from one table); merge moves #groups rows through one
+    full-outer join; the audit recompute is the oracle's job, not a
+    production cost."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        (
+            md5_i64_expr(F.col("doc_id").cast("string"), salt="rv#") % 10
+        ).alias("h"),
+    )
+    is_base = (F.col("h") < 8) & (F.col("lang") != "fr")
+    base = docs.where(is_base)
+    state0 = base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("x").alias("s0"),
+        F.sum(F.col("x") * F.col("x")).alias("q0"),
+    )
+    changes = (
+        docs.where(~is_base)
+        .withColumn("sign", F.lit(1))
+        .unionByName(
+            docs.where(is_base & (F.col("h") < 2)).withColumn(
+                "sign", F.lit(-1)
+            )
+        )
+    )
+    delta = changes.groupBy("lang", "source").agg(
+        F.sum("sign").alias("dn"),
+        F.sum(F.col("sign") * F.col("x")).alias("ds"),
+        F.sum(F.col("sign") * F.col("x") * F.col("x")).alias("dq"),
+    )
+    merged = (
+        state0.join(delta, ["lang", "source"], "full_outer")
+        .select(
+            "lang",
+            "source",
+            (
+                F.coalesce(F.col("n0"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce(F.col("s0"), F.lit(0))
+                + F.coalesce(F.col("ds"), F.lit(0))
+            ).alias("sum_chars"),
+            (
+                F.coalesce(F.col("q0"), F.lit(0))
+                + F.coalesce(F.col("dq"), F.lit(0))
+            ).alias("sumsq_chars"),
+        )
+    )
+    final = (
+        docs.where((F.col("h") >= 2) | (F.col("lang") == "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("fn"),
+            F.sum("x").alias("fs"),
+            F.sum(F.col("x") * F.col("x")).alias("fq"),
+        )
+    )
+    return (
+        merged.join(final, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sum_chars").cast("bigint").alias("sum_chars"),
+            F.col("sumsq_chars").cast("bigint").alias("sumsq_chars"),
+            F.expr(
+                "CAST(n_docs * sumsq_chars - sum_chars * sum_chars"
+                " AS BIGINT)"
+            ).alias("m2"),
+            (
+                (F.col("n_docs") == F.coalesce(F.col("fn"), F.lit(0)))
+                & (F.col("sum_chars") == F.coalesce(F.col("fs"), F.lit(0)))
+                & (F.col("sumsq_chars") == F.coalesce(F.col("fq"), F.lit(0)))
+            ).alias("matches_recompute"),
+        )
+    )
+
+
+_Q196_HASH = duck_md5_i64("CAST(doc_id AS VARCHAR)", salt="rv#")
+
+ORACLE_Q196 = f"""
+WITH d AS (
+  SELECT lang, source, CAST(n_chars AS BIGINT) AS x,
+         {_Q196_HASH} % 10 AS h
+  FROM documents
+),
+state0 AS (
+  SELECT lang, source, count(*) AS n0, sum(x) AS s0, sum(x * x) AS q0
+  FROM d WHERE h < 8 AND lang <> 'fr' GROUP BY 1, 2
+),
+changes AS (
+  SELECT lang, source, x, 1 AS sign FROM d WHERE h >= 8 OR lang = 'fr'
+  UNION ALL
+  SELECT lang, source, x, -1 AS sign
+  FROM d WHERE h < 2 AND lang <> 'fr'
+),
+delta AS (
+  SELECT lang, source, sum(sign) AS dn, sum(sign * x) AS ds,
+         sum(sign * x * x) AS dq
+  FROM changes GROUP BY 1, 2
+),
+merged AS (
+  SELECT coalesce(s.lang, t.lang) AS lang,
+         coalesce(s.source, t.source) AS source,
+         coalesce(s.n0, 0) + coalesce(t.dn, 0) AS n_docs,
+         coalesce(s.s0, 0) + coalesce(t.ds, 0) AS sum_chars,
+         coalesce(s.q0, 0) + coalesce(t.dq, 0) AS sumsq_chars
+  FROM state0 s FULL OUTER JOIN delta t
+    ON s.lang = t.lang AND s.source = t.source
+),
+final AS (
+  SELECT lang, source, count(*) AS fn, sum(x) AS fs, sum(x * x) AS fq
+  FROM d WHERE h >= 2 OR lang = 'fr' GROUP BY 1, 2
+)
+SELECT m.lang, m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
+       CAST(m.sum_chars AS BIGINT) AS sum_chars,
+       CAST(m.sumsq_chars AS BIGINT) AS sumsq_chars,
+       CAST(m.n_docs * m.sumsq_chars - m.sum_chars * m.sum_chars AS BIGINT)
+         AS m2,
+       (m.n_docs = coalesce(f.fn, 0) AND m.sum_chars = coalesce(f.fs, 0)
+        AND m.sumsq_chars = coalesce(f.fq, 0)) AS matches_recompute
+FROM merged m LEFT JOIN final f
+  ON f.lang = m.lang AND f.source = m.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q197: perceptual average-hash (aHash) media near-dup detection
+# ---------------------------------------------------------------------------
+
+_Q197_PIX = 60      # pooled "pixels" (60 = portable-hash bigint width)
+_Q197_BANDS = 4     # 4 x 15-bit bands -> complete for hamming <= 3
+_Q197_HAM_MAX = _Q197_BANDS - 1
+
+
+def _q197_pix_spark(col: str) -> str:
+    L = f"length({col})"
+    P = _Q197_PIX
+    return (
+        f"transform(sequence(0, {P - 1}), j -> "
+        f"IF(((j+1) * {L}) div {P} <= (j * {L}) div {P}, 0L, "
+        f"aggregate(sequence((j * {L}) div {P} + 1, ((j+1) * {L}) div {P}),"
+        f" 0L, (s, i) -> s + ascii(substring({col}, CAST(i AS INT), 1)))"
+        f" div (((j+1) * {L}) div {P} - (j * {L}) div {P})))"
+    )
+
+
+def _q197_pix_duck(col: str) -> str:
+    L = f"length({col})"
+    P = _Q197_PIX
+    return (
+        f"list_transform(range(0, {P}), j -> "
+        f"CASE WHEN ((j+1) * {L}) // {P} <= (j * {L}) // {P} THEN 0 "
+        f"ELSE list_sum(list_transform("
+        f"range((j * {L}) // {P} + 1, ((j+1) * {L}) // {P} + 1),"
+        f" i -> ord(substr({col}, CAST(i AS INT), 1))))"
+        f" // (((j+1) * {L}) // {P} - (j * {L}) // {P}) END)"
+    )
+
+
+def q197_ahash_media_dedup(spark, sf_dir):
+    """Perceptual average-hash (aHash) media near-duplicate detection —
+    the image-dedup pipeline stage, with the DECODE step replaced by a
+    deterministic byte-pooling stand-in (real decoders are stubbed,
+    Pillow absent — operators/multimodal.py documents the seam; the
+    hashing, banding and verification below are the production
+    plumbing unchanged): payloads pool into {_Q197_PIX} "pixels"
+    (integer mean of byte values per equal segment), a bit is set
+    where pixel*{_Q197_PIX} > sum(pixels) (the aHash
+    brighter-than-mean rule, integer-exact), and near-dup candidates
+    come from a {_Q197_BANDS}x15-bit BAND equi-join — pigeonhole-
+    COMPLETE for hamming <= {_Q197_HAM_MAX} — then exact
+    bit_count(XOR) verifies.  The fixture plants same-length tail
+    substitutions (hamming 0-1, found) AND tail APPENDS (every pool
+    boundary shifts, hamming 14+, correctly rejected — aHash is
+    robust to local edits, not to geometry changes, exactly like the
+    real thing).  q23 simhashes TOKEN sets; this hashes raw payload
+    bytes — the modality where no tokens exist.
+
+    Scale shape: hashing is per-row map-side HOF work; candidates are
+    a fixed-width band equi-join (never all-pairs); the XOR verify
+    runs on candidates only."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    media = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").alias("payload"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 100000).alias("media_id"),
+                F.concat(
+                    F.expr("substring(text, 1, length(text) - 3)"),
+                    F.lit(" zz"),
+                ).alias("payload"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 200000).alias("media_id"),
+                F.concat(F.col("text"), F.lit(" zz")).alias("payload"),
+            )
+        )
+    )
+    hashed = (
+        media.withColumn("pix", F.expr(_q197_pix_spark("payload")))
+        .withColumn("ptot", F.expr("aggregate(pix, 0L, (a, x) -> a + x)"))
+        .select(
+            "media_id",
+            F.expr(
+                f"aggregate(sequence(0, {_Q197_PIX - 1}), 0L, (s, j) -> s +"
+                f" IF(element_at(pix, CAST(j+1 AS INT)) * {_Q197_PIX} > ptot,"
+                " shiftleft(1L, CAST(j AS INT)), 0L))"
+            ).alias("ahash"),
+        )
+    )
+    bands = hashed.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_Q197_BANDS - 1}), b ->"
+                " named_struct('b', b,"
+                " 'v', shiftrightunsigned(ahash, CAST(b * 15 AS INT))"
+                " % 32768))"
+            )
+        ).alias("bd"),
+    ).select(
+        "media_id", "ahash", F.col("bd.b").alias("b"), F.col("bd.v").alias("v")
+    )
+    left = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("ahash").alias("ahash_a"),
+        "b",
+        "v",
+    )
+    right = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("ahash").alias("ahash_b"),
+        "b",
+        "v",
+    )
+    pairs = (
+        left.join(right, ["b", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ahash_a", "ahash_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(bit_count(ahash_a ^ ahash_b) AS BIGINT)").alias(
+            "hamming"
+        ),
+    ).where(F.col("hamming") <= _Q197_HAM_MAX)
+
+
+def _oracle_q197() -> str:
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text AS payload FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         substr(text, 1, length(text) - 3) || ' zz'
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz'
+  FROM documents WHERE doc_id % 50 = 0
+),
+pixed AS (
+  SELECT media_id, {_q197_pix_duck('payload')} AS pix FROM media
+),
+hashed AS (
+  SELECT media_id,
+         list_sum(list_transform(range(0, {_Q197_PIX}), j ->
+           CASE WHEN pix[j+1] * {_Q197_PIX} > list_sum(pix)
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS ahash
+  FROM pixed
+),
+bands AS (
+  SELECT media_id, ahash, b, (ahash >> (b * 15)) % 32768 AS v
+  FROM hashed, (SELECT unnest(range(0, {_Q197_BANDS})) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.ahash AS ahash_a, b.ahash AS ahash_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.v = b.v AND a.media_id < b.media_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ahash_a, ahash_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(ahash_a, ahash_b)) <= {_Q197_HAM_MAX}
+"""
+
+
+ORACLE_Q197 = _oracle_q197()
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -14368,6 +14812,9 @@ FROM agg
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q195_langid_granularity_audit": q195_langid_granularity_audit,
+    "q196_retraction_variance": q196_retraction_variance,
+    "q197_ahash_media_dedup": q197_ahash_media_dedup,
     "q192_streaming_minhash_feed_similarity": q192_streaming_minhash_feed_similarity,
     "q193_cdc_chunking": q193_cdc_chunking,
     "q194_position_bias_coec": q194_position_bias_coec,
@@ -14570,6 +15017,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q195_langid_granularity_audit": ORACLE_Q195,
+    "q196_retraction_variance": ORACLE_Q196,
+    "q197_ahash_media_dedup": ORACLE_Q197,
     "q192_streaming_minhash_feed_similarity": ORACLE_Q192,
     "q193_cdc_chunking": ORACLE_Q193,
     "q194_position_bias_coec": ORACLE_Q194,
