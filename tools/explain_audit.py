@@ -559,6 +559,20 @@ def main() -> None:
         "q197_ahash_media_dedup": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # TPC-H Q7: dims broadcast (nation twice), fact scanned once
+        "q198_cross_nation_volume": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        ),
+        # HITS: alternating u/v-keyed equi-join + hash-agg rounds
+        "q199_user_hits": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # novelty curve: gram hash aggs + batch-scale joins; running
+        # total windows over the tiny per-batch relation
+        "q200_novelty_decay": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

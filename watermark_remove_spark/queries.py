@@ -14799,6 +14799,216 @@ WHERE bit_count(xor(ahash_a, ahash_b)) <= {_Q197_HAM_MAX}
 ORACLE_Q197 = _oracle_q197()
 
 
+# ---------------------------------------------------------------------------
+# q198: TPC-H Q7-shaped cross-nation shipping volume
+# ---------------------------------------------------------------------------
+
+
+def q198_cross_nation_volume(spark, sf_dir):
+    """TPC-H Q7-shaped cross-nation volume: revenue shipped between
+    every DISTINCT (supplier nation, customer nation) pair by ship
+    year, date-bounded.  q138 covers the Q5 shape (same-nation
+    colocation through a region filter); Q7's twist is the DOUBLE
+    nation dimension — the same tiny table joined twice under two
+    roles with an inequality between the roles — plus a year
+    extraction on the fact side.  (The classic two-nation literal
+    filter is dropped: at test SF it selects zero rows; the full pair
+    matrix keeps the aggregate non-vacuous and strictly harder.)
+
+    Scale shape: supplier/customer/nation are dimension-scale and
+    broadcast — nation twice under different roles; lineitem is
+    touched once with the ship-date filter pushed to the scan; one
+    hash agg on (supp_nation, cust_nation, year); revenue sums in
+    DECIMAL — shuffle-order-exact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("decimal(18,4)")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+ORACLE_Q198 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(
+         CAST(l_extendedprice AS DECIMAL(18,2)) *
+         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q199: HITS hubs & authorities (integer, fixed-iteration)
+# ---------------------------------------------------------------------------
+
+
+def q199_user_hits(spark, sf_dir):
+    """Fixed-iteration (3) integer HITS over the q63 user transition
+    graph: hubs point at good authorities, authorities are pointed at
+    by good hubs — the mutual-reinforcement fixpoint, versus
+    PageRank's damped random walk (one score + teleport).  HITS needs
+    NO division at all: pure BIGINT sums every iteration, parallel
+    edges acting as weights, so all 3 unrolled iterations sit
+    bit-exact on the oracle (operators/graph.py:hits_integer /
+    duck_hits_sql).  The delta vs q63 is the algorithm, not the
+    fixture: different fixpoint, different join pattern (alternating
+    u-keyed and v-keyed aggregations), and the hub/authority SPLIT
+    itself — a crawl-frontier ranker wants authorities, a seed-list
+    builder wants hubs.
+
+    Scale shape: two fixed-width equi-join + hash-agg shuffles per
+    iteration over the edge relation; node/edge relations
+    localCheckpoint'd once (the q62/q63 iterative-lineage
+    discipline)."""
+    from .operators.graph import hits_integer
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
+        .where(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.col("user_id").alias("src"), F.col("next_user").alias("dst")
+        )
+    )
+    return hits_integer(edges, iterations=3).select(
+        F.col("node").alias("user_id"), "hub_score", "auth_score"
+    )
+
+
+def _oracle_q199() -> str:
+    from .operators.graph import duck_hits_sql
+
+    edges_cte = """edges AS (
+  SELECT src, dst FROM (
+    SELECT user_id AS src,
+           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL AND dst <> src
+)"""
+    sql = duck_hits_sql(edges_cte, iterations=3)
+    return sql.replace("SELECT n.node,", "SELECT n.node AS user_id,", 1)
+
+
+ORACLE_Q199 = _oracle_q199()
+
+
+# ---------------------------------------------------------------------------
+# q200: crawl novelty-decay curve (Heaps-law telemetry)
+# ---------------------------------------------------------------------------
+
+_Q200_BATCH = 50  # docs per crawl batch
+
+
+def q200_novelty_decay(spark, sf_dir):
+    """Crawl novelty-decay curve (Heaps-law telemetry): the corpus is
+    read as a sequence of crawl batches (doc_id div {_Q200_BATCH}) and
+    each batch is scored by how much of its shingle vocabulary is NEW
+    — first seen in that batch — plus the cumulative distinct-shingle
+    count: the curve whose flattening says "this crawl has dried up,
+    stop paying for it".  q88 ranks the vocabulary by FREQUENCY (the
+    tokenizer-sizing curve); q119 diffs exactly TWO snapshots; this
+    profiles first-occurrence mass across the whole crawl TIMELINE.
+
+    Scale shape: one (shingle -> min batch) hash agg over the
+    exploded distinct grams, one (gram, batch) distinct, two
+    batch-scale joins; the running total windows over the tiny
+    per-batch relation, never raw grams."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    grams = docs.select(
+        (F.col("doc_id") / _Q200_BATCH).cast("bigint").alias("batch"),
+        F.explode(
+            F.array_distinct(doc_shingles_expr(F.col("text")))
+        ).alias("gram"),
+    )
+    gb = grams.distinct()
+    first = gb.groupBy("gram").agg(F.min("batch").alias("first_batch"))
+    per_batch = gb.groupBy("batch").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = first.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_batch.join(novel, "batch", "left")
+        .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)))
+        .select(
+            F.col("batch").cast("bigint").alias("batch"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST((n_novel * 1000000) div n_grams AS BIGINT)"
+            ).alias("novelty_ppm"),
+            F.sum("n_novel").over(w).cast("bigint").alias("cum_vocab"),
+        )
+    )
+
+
+ORACLE_Q200 = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id // {_Q200_BATCH} AS batch, gram FROM (
+    SELECT doc_id,
+           unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS gram
+    FROM documents)
+),
+first AS (SELECT gram, min(batch) AS first_batch FROM grams GROUP BY 1),
+per_batch AS (SELECT batch, count(*) AS n_grams FROM grams GROUP BY 1),
+novel AS (
+  SELECT first_batch AS batch, count(*) AS n_novel FROM first GROUP BY 1
+)
+SELECT CAST(p.batch AS BIGINT) AS batch,
+       CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(v.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST((coalesce(v.n_novel, 0) * 1000000) // p.n_grams AS BIGINT)
+         AS novelty_ppm,
+       CAST(sum(coalesce(v.n_novel, 0))
+              OVER (ORDER BY p.batch
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_vocab
+FROM per_batch p LEFT JOIN novel v ON v.batch = p.batch
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -14812,6 +15022,9 @@ ORACLE_Q197 = _oracle_q197()
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q198_cross_nation_volume": q198_cross_nation_volume,
+    "q199_user_hits": q199_user_hits,
+    "q200_novelty_decay": q200_novelty_decay,
     "q195_langid_granularity_audit": q195_langid_granularity_audit,
     "q196_retraction_variance": q196_retraction_variance,
     "q197_ahash_media_dedup": q197_ahash_media_dedup,
@@ -15017,6 +15230,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q198_cross_nation_volume": ORACLE_Q198,
+    "q199_user_hits": ORACLE_Q199,
+    "q200_novelty_decay": ORACLE_Q200,
     "q195_langid_granularity_audit": ORACLE_Q195,
     "q196_retraction_variance": ORACLE_Q196,
     "q197_ahash_media_dedup": ORACLE_Q197,
