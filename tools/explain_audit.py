@@ -573,6 +573,32 @@ def main() -> None:
         "q200_novelty_decay": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # butterfly census: one user-keyed wedge equi-join, pair hash
+        # aggs, broadcast degree joins
+        "q201_butterfly_cohesion": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        ),
+        # landing/exit: one user-keyed window shuffle shared by
+        # lag/first/last; TYPE^2 aggregations after — no joins at all
+        "q202_landing_exit_analytics": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+            )
+        ),
+        # autocomplete: rank over the AGGREGATED vocab relation; the
+        # prefix explode never touches raw tokens; no joins
+        "q203_autocomplete_topk": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+            )
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

@@ -15009,6 +15009,331 @@ FROM per_batch p LEFT JOIN novel v ON v.batch = p.batch
 """
 
 
+# ---------------------------------------------------------------------------
+# q201: bipartite butterfly (4-cycle) cohesion census
+# ---------------------------------------------------------------------------
+
+
+def q201_butterfly_cohesion(spark, sf_dir):
+    """Bipartite butterfly (4-cycle) census over the user x item
+    two-mode graph (item = props.k): for every item pair, the number
+    of co-visiting users (wedges w), the exact butterfly count
+    C(w, 2) — two users both touching both items, the smallest
+    bipartite cohesion motif — and a normalised cohesion_ppm =
+    butterflies / C(min(deg_i, deg_j), 2), the achieved share of the
+    maximum motifs the sparser endpoint allows.  The delta vs q191
+    (capped co-click cosine): q191 SCORES pairs for recommendation
+    with a sampled/capped generator; this is the exact MOTIF CENSUS —
+    the bipartite analog of q68/q165's triangle counting (3-cycles
+    don't exist in bipartite graphs; butterflies are the clustering
+    primitive there, Sanei-Mehri et al., KDD'18) — used to audit
+    co-visitation density / collusion rings, where a sampled cap
+    would bias the count itself.
+
+    Scale shape: wedges are generated from the USER side (item pairs
+    per user) because the item catalog is the bounded side of a web
+    two-mode graph (users ~10^9, items/templates ~10^5) — per-user
+    pair fan-out is C(catalog, 2) worst-case, and production
+    butterfly counting picks the wedge side by the smaller sum of
+    squared degrees (the q191 cap is the SCORING answer; the census
+    answer is side selection).  After the one user-keyed equi-join,
+    everything is (item, item)-pair hash aggs + a broadcast-size
+    degree join; butterflies come from wedge COUNTS, never enumerated
+    4-tuples."""
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    deg = edges.groupBy("item").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = edges.select("user_id", F.col("item").alias("item_i"))
+    e2 = edges.select("user_id", F.col("item").alias("item_j"))
+    wedges = (
+        e1.join(e2, "user_id")
+        .where(F.col("item_i") < F.col("item_j"))
+        .groupBy("item_i", "item_j")
+        .agg(F.count(F.lit(1)).alias("wedges"))
+        .where(F.col("wedges") >= 2)
+    )
+    di = F.broadcast(deg.select(F.col("item").alias("item_i"), F.col("deg").alias("deg_i")))
+    dj = F.broadcast(deg.select(F.col("item").alias("item_j"), F.col("deg").alias("deg_j")))
+    return (
+        wedges.join(di, "item_i")
+        .join(dj, "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            F.col("deg_i").cast("bigint").alias("deg_i"),
+            F.col("deg_j").cast("bigint").alias("deg_j"),
+            F.col("wedges").cast("bigint").alias("wedges"),
+            F.expr("CAST((wedges * (wedges - 1)) div 2 AS BIGINT)").alias(
+                "butterflies"
+            ),
+            F.expr(
+                "CAST(((wedges * (wedges - 1)) div 2) * 1000000 div "
+                "((least(deg_i, deg_j) * (least(deg_i, deg_j) - 1)) div 2) "
+                "AS BIGINT)"
+            ).alias("cohesion_ppm"),
+        )
+    )
+
+
+ORACLE_Q201 = """
+WITH edges AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+deg AS (SELECT item, count(*) AS deg FROM edges GROUP BY 1),
+wedges AS (
+  SELECT e1.item AS item_i, e2.item AS item_j, count(*) AS wedges
+  FROM edges e1 JOIN edges e2
+    ON e1.user_id = e2.user_id AND e1.item < e2.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT w.item_i, w.item_j,
+       CAST(di.deg AS BIGINT) AS deg_i,
+       CAST(dj.deg AS BIGINT) AS deg_j,
+       CAST(w.wedges AS BIGINT) AS wedges,
+       CAST((w.wedges * (w.wedges - 1)) // 2 AS BIGINT) AS butterflies,
+       CAST(((w.wedges * (w.wedges - 1)) // 2) * 1000000 //
+            ((least(di.deg, dj.deg) * (least(di.deg, dj.deg) - 1)) // 2)
+            AS BIGINT) AS cohesion_ppm
+FROM wedges w
+JOIN deg di ON di.item = w.item_i
+JOIN deg dj ON dj.item = w.item_j
+"""
+
+
+# ---------------------------------------------------------------------------
+# q202: session landing/exit-page analytics with bounce rate
+# ---------------------------------------------------------------------------
+
+
+def q202_landing_exit_analytics(spark, sf_dir):
+    """Session landing/exit analytics (the web-analytics entry-page
+    report): events are sessionized per user with the q11 5-minute
+    gap rule under deterministic (ts, event_id) ordering, each
+    session is labelled with its LANDING (first) and EXIT (last)
+    event type, and per landing type the report emits session count,
+    single-event bounce count, bounce_ppm, and the modal exit type
+    (most sessions; ties broken alphabetically).  q11 emits the
+    session extents, q65/q135 match fixed in-session patterns,
+    q184 profiles transition timing — none attribute sessions to
+    their ENTRY point, which is what landing-page quality / crawl
+    entry-point analysis consumes.
+
+    Scale shape: one user-keyed window shuffle (lag + cumsum + the
+    first/last window all share the user partitioning), one
+    session-scale distinct, then TYPE²-bounded aggregations — the
+    raw event relation is touched by exactly one Exchange."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wo)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            prev.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 300),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    wall = ws.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sessions = numbered.select(
+        "user_id",
+        "session_id",
+        F.first("event_type").over(ws).alias("landing"),
+        F.last("event_type").over(wall).alias("exit"),
+        F.count(F.lit(1)).over(wall).alias("n_events"),
+    ).distinct()
+    per_le = sessions.groupBy("landing", "exit").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "n_bounces"
+        ),
+    )
+    wr = Window.partitionBy("landing").orderBy(
+        F.col("n_sessions").desc(), F.col("exit").asc()
+    )
+    return (
+        per_le.withColumn("rnk", F.row_number().over(wr))
+        .groupBy("landing")
+        .agg(
+            F.sum("n_sessions").cast("bigint").alias("n_sessions"),
+            F.sum("n_bounces").cast("bigint").alias("n_bounces"),
+            F.max(F.when(F.col("rnk") == 1, F.col("exit"))).alias(
+                "top_exit"
+            ),
+            F.max(F.when(F.col("rnk") == 1, F.col("n_sessions")))
+            .cast("bigint")
+            .alias("top_exit_sessions"),
+        )
+        .withColumn(
+            "bounce_ppm",
+            F.expr("CAST(n_bounces * 1000000 div n_sessions AS BIGINT)"),
+        )
+        .select(
+            "landing",
+            "n_sessions",
+            "n_bounces",
+            "bounce_ppm",
+            "top_exit",
+            "top_exit_sessions",
+        )
+    )
+
+
+ORACLE_Q202 = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 5 minutes
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT DISTINCT user_id, session_id,
+         first_value(event_type) OVER ws AS landing,
+         last_value(event_type) OVER
+           (PARTITION BY user_id, session_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS exit,
+         count(*) OVER
+           (PARTITION BY user_id, session_id) AS n_events
+  FROM numbered
+  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+), per_le AS (
+  SELECT landing, exit, count(*) AS n_sessions,
+         sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces
+  FROM sessions GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY landing
+                               ORDER BY n_sessions DESC, exit) AS rnk
+  FROM per_le
+)
+SELECT landing,
+       CAST(sum(n_sessions) AS BIGINT) AS n_sessions,
+       CAST(sum(n_bounces) AS BIGINT) AS n_bounces,
+       CAST(sum(n_bounces) * 1000000 // sum(n_sessions) AS BIGINT) AS bounce_ppm,
+       max(CASE WHEN rnk = 1 THEN exit END) AS top_exit,
+       CAST(max(CASE WHEN rnk = 1 THEN n_sessions END) AS BIGINT)
+         AS top_exit_sessions
+FROM ranked GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q203: autocomplete prefix top-k completion table
+# ---------------------------------------------------------------------------
+
+_Q203_MAXP = 5  # longest indexed prefix
+_Q203_TOPK = 3  # completions kept per prefix
+
+
+def q203_autocomplete_topk(spark, sf_dir):
+    """Type-ahead completion table (the search-box autocomplete
+    primitive): the corpus vocabulary is aggregated once (token ->
+    corpus frequency), every distinct term is exploded into its
+    prefixes of length 1..{_Q203_MAXP}, and per prefix the top
+    {_Q203_TOPK} completions by (frequency DESC, token ASC) are kept
+    — the table a serving tier loads verbatim.  q101/q140 do
+    longest-prefix ROUTING of a URL against a small rule set; this
+    builds the inverse artifact — a ranked completion index over the
+    whole vocabulary — and q51's trending ranks tokens per window,
+    not per prefix.
+
+    Scale shape: the explosion happens on the AGGREGATED vocab
+    relation (Heaps-law bounded, ~10^7 terms at 100 TB), never the
+    10^12-token raw stream — one token hash agg, then a <=
+    {_Q203_MAXP}x vocab-scale explode and a rank over (prefix) groups
+    of the pre-aggregated counts (the q51 discipline)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), "[ \n]+"), lambda t: t != F.lit("")
+            )
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    pref = vocab.select(
+        "token",
+        "freq",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.length("token"), F.lit(_Q203_MAXP))
+            )
+        ).alias("plen"),
+    ).select(
+        F.expr("substring(token, 1, plen)").alias("prefix"),
+        F.col("token").alias("completion"),
+        "freq",
+    )
+    wr = Window.partitionBy("prefix").orderBy(
+        F.col("freq").desc(), F.col("completion").asc()
+    )
+    return (
+        pref.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _Q203_TOPK)
+        .select(
+            "prefix",
+            F.col("rank").cast("int").alias("rank"),
+            "completion",
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+    )
+
+
+ORACLE_Q203 = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \n]+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+pref AS (
+  SELECT substring(token, 1, plen) AS prefix, token AS completion, freq
+  FROM (SELECT token, freq,
+               unnest(range(1, least(length(token), {_Q203_MAXP}) + 1))
+                 AS plen
+        FROM vocab)
+),
+ranked AS (
+  SELECT prefix, completion, freq,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY freq DESC, completion) AS rnk
+  FROM pref
+)
+SELECT prefix, CAST(rnk AS INTEGER) AS rank, completion,
+       CAST(freq AS BIGINT) AS freq
+FROM ranked WHERE rnk <= {_Q203_TOPK}
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -15022,6 +15347,9 @@ FROM per_batch p LEFT JOIN novel v ON v.batch = p.batch
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q201_butterfly_cohesion": q201_butterfly_cohesion,
+    "q202_landing_exit_analytics": q202_landing_exit_analytics,
+    "q203_autocomplete_topk": q203_autocomplete_topk,
     "q198_cross_nation_volume": q198_cross_nation_volume,
     "q199_user_hits": q199_user_hits,
     "q200_novelty_decay": q200_novelty_decay,
@@ -15230,6 +15558,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q201_butterfly_cohesion": ORACLE_Q201,
+    "q202_landing_exit_analytics": ORACLE_Q202,
+    "q203_autocomplete_topk": ORACLE_Q203,
     "q198_cross_nation_volume": ORACLE_Q198,
     "q199_user_hits": ORACLE_Q199,
     "q200_novelty_decay": ORACLE_Q200,
