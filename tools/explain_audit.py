@@ -599,6 +599,33 @@ def main() -> None:
                 "BroadcastHashJoin",
             )
         ),
+        # calibration: map-side marker counting + one 10-group agg;
+        # no joins at all
+        "q204_langid_calibration": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+            )
+        ),
+        # CIDR LPM: bounded 5-way prefix explode equi-joined against
+        # the broadcast rule table; winner is one per-user window
+        "q205_cidr_lpm_join": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        ),
+        # TPC-H Q10: dims broadcast, both fact filters pushed down,
+        # top-20 via TakeOrderedAndProject
+        "q206_returned_item_revenue": dict(
+            broadcast=True,
+            require_node=("TakeOrderedAndProject",),
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+            ),
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

@@ -15334,6 +15334,286 @@ FROM ranked WHERE rnk <= {_Q203_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# q204: classifier calibration audit (reliability bins + gap)
+# ---------------------------------------------------------------------------
+
+
+def q204_langid_calibration(spark, sf_dir):
+    """Classifier calibration audit (reliability diagram + per-bin
+    ECE terms) for an en-stopword-DENSITY classifier: each doc's
+    CONFIDENCE that it is English is its en-marker hits per token,
+    scaled by 20 and capped (conf_ppm = least(1e6, hits*20*1e6 div
+    tokens) — a density of >= 1 marker per 20 tokens reads as
+    certainty); the ground-truth LABEL is the stored lang column.
+    Docs are bucketed into 10 confidence bins and each bin reports
+    count, mean confidence, observed accuracy and the |confidence -
+    accuracy| gap — the per-bin terms of Expected Calibration Error,
+    the go/no-go artifact before a classifier's scores are used as
+    sampling weights (a mis-calibrated quality scorer silently
+    reweights the corpus).  q124 builds the confusion MATRIX (hard
+    argmax errors); this audits the SCORES themselves — a classifier
+    can have fine accuracy and useless probabilities.
+
+    All integer-exact: bin = least(9, conf*10 div 1e6),
+    accuracy/mean in ppm by integer division — bit-identical in both
+    engines.
+
+    Scale shape: pure map-side marker counting (Catalyst string ops,
+    no UDF) + ONE 10-group hash agg; nothing but the scan touches
+    the 10^12-doc relation."""
+    from .functions.text import stopword_hits_expr, token_count_expr
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        stopword_hits_expr(F.col("text"), "en").alias("h_en"),
+        token_count_expr(F.col("text")).alias("toks"),
+    ).where(F.col("toks") > 0)
+    conf = F.expr(
+        "CAST(least(1000000, h_en * 20 * 1000000 div toks) AS BIGINT)"
+    )
+    binned = scored.select(
+        F.least(
+            F.lit(9), (conf * 10 / F.lit(1000000)).cast("bigint")
+        ).alias("bin"),
+        conf.alias("conf_ppm"),
+        "is_en",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("conf_ppm").alias("sum_conf"),
+            F.sum("is_en").alias("n_pos"),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.expr("CAST(sum_conf div n_docs AS BIGINT)").alias(
+                "mean_conf_ppm"
+            ),
+            F.expr("CAST(n_pos * 1000000 div n_docs AS BIGINT)").alias(
+                "acc_ppm"
+            ),
+            F.expr(
+                "CAST(abs(sum_conf div n_docs - "
+                "n_pos * 1000000 div n_docs) AS BIGINT)"
+            ).alias("gap_ppm"),
+        )
+    )
+
+
+def _oracle_q204() -> str:
+    return f"""
+WITH p AS (
+  SELECT lang, replace(' ' || lower(text) || ' ', chr(10), ' ') AS padded,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+  FROM documents
+), scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         {_duck_hits('en')} AS h_en, toks
+  FROM p
+), binned AS (
+  SELECT least(9, least(1000000, h_en * 20 * 1000000 // toks) * 10
+                  // 1000000) AS bin,
+         least(1000000, h_en * 20 * 1000000 // toks) AS conf_ppm, is_en
+  FROM scored WHERE toks > 0
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(conf_ppm) // count(*) AS BIGINT) AS mean_conf_ppm,
+       CAST(sum(is_en) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+       CAST(abs(sum(conf_ppm) // count(*) -
+                sum(is_en) * 1000000 // count(*)) AS BIGINT) AS gap_ppm
+FROM binned GROUP BY 1
+"""
+
+
+ORACLE_Q204 = _oracle_q204()
+
+
+# ---------------------------------------------------------------------------
+# q205: CIDR longest-prefix-match policy join
+# ---------------------------------------------------------------------------
+
+# prefix lengths the synthetic rule table uses; the LPM join explodes
+# each address into exactly these len(.)-many candidate prefixes
+_Q205_PLENS = [8, 12, 16, 20, 24]
+_Q205_KNUTH = 2654435761  # Knuth multiplicative-hash constant
+_Q205_SPACE = 4294967296  # 2^32
+
+
+def q205_cidr_lpm_join(spark, sf_dir):
+    """CIDR longest-prefix-match policy join (IP geolocation /
+    blocklist routing): every client address is attributed to the
+    MOST SPECIFIC matching network rule, /24 beating /16 beating /8 —
+    the classic router-FIB semantics a crawl pipeline runs to tag
+    fetches with network owner / geo / block status.  Addresses are
+    derived deterministically from user_id (Knuth multiplicative hash
+    into the 2^32 space) and the rule table from the nation dimension
+    (nationkey-seeded base, prefix length cycling /8../24), so both
+    engines rebuild identical inputs with pure integer arithmetic.
+    q101 routes URL PATHS by string-prefix depth over '/'-segments;
+    this is the numeric-interval twin: bit-prefix containment over an
+    address space, where the candidate set is built by integer
+    division (ip div 2^(32-plen)) — no string ops at all.
+
+    Scale shape: the rule table is metadata-scale (broadcast); each
+    address explodes into exactly len(_Q205_PLENS)=5 candidate
+    prefixes joined equi on (plen, prefix) — bounded fan-out like
+    q101's depth-3 chain; the winner is one row_number over the
+    per-address candidate group (plen DESC, action ASC for
+    collision determinism); unmatched addresses fall to 'default'
+    via a left join from the address relation."""
+    ev = _t(spark, sf_dir, "events")
+    ips = ev.select("user_id").distinct().select(
+        "user_id",
+        F.expr(
+            f"CAST(pmod(user_id * {_Q205_KNUTH}, {_Q205_SPACE}) AS BIGINT)"
+        ).alias("ip"),
+    )
+    nat = _t(spark, sf_dir, "nation")
+    rules = nat.select(
+        F.expr(f"CAST(8 + (n_nationkey % 5) * 4 AS BIGINT)").alias("plen"),
+        F.expr(
+            f"CAST(pmod(n_nationkey * {_Q205_KNUTH}, {_Q205_SPACE}) div "
+            f"shiftleft(CAST(1 AS BIGINT), 32 - (8 + (n_nationkey % 5) * 4)) "
+            f"AS BIGINT)"
+        ).alias("prefix"),
+        F.col("n_name").alias("action"),
+    )
+    cand = ips.select(
+        "user_id",
+        "ip",
+        F.explode(
+            F.array(*[F.lit(p) for p in _Q205_PLENS])
+        ).alias("plen"),
+    ).withColumn(
+        "ip_pref",
+        F.expr("CAST(ip div shiftleft(CAST(1 AS BIGINT), 32 - plen) AS BIGINT)"),
+    )
+    matched = cand.join(
+        F.broadcast(rules),
+        (cand["plen"] == rules["plen"]) & (cand["ip_pref"] == rules["prefix"]),
+    ).select("user_id", cand["plen"].alias("mplen"), "action")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("mplen").desc(), F.col("action").asc()
+    )
+    best = (
+        matched.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") == 1)
+        .select("user_id", F.col("mplen").alias("matched_plen"), "action")
+    )
+    return (
+        ips.join(best, "user_id", "left")
+        .select(
+            "user_id",
+            "ip",
+            F.coalesce(F.col("matched_plen"), F.lit(0))
+            .cast("bigint")
+            .alias("matched_plen"),
+            F.coalesce(F.col("action"), F.lit("default")).alias("action"),
+        )
+    )
+
+
+ORACLE_Q205 = f"""
+WITH ips AS (
+  SELECT user_id, (user_id * {_Q205_KNUTH}) % {_Q205_SPACE} AS ip
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+rules AS (
+  SELECT 8 + (n_nationkey % 5) * 4 AS plen,
+         ((n_nationkey * {_Q205_KNUTH}) % {_Q205_SPACE})
+           // (1::BIGINT << (32 - (8 + (n_nationkey % 5) * 4))) AS prefix,
+         n_name AS action
+  FROM nation
+),
+cand AS (
+  SELECT user_id, ip, plen,
+         ip // (1::BIGINT << (32 - plen)) AS ip_pref
+  FROM ips, (SELECT unnest({_Q205_PLENS}) AS plen)
+),
+matched AS (
+  SELECT c.user_id, c.plen AS mplen, r.action,
+         row_number() OVER (PARTITION BY c.user_id
+                            ORDER BY c.plen DESC, r.action ASC) AS rnk
+  FROM cand c JOIN rules r ON c.plen = r.plen AND c.ip_pref = r.prefix
+)
+SELECT i.user_id, CAST(i.ip AS BIGINT) AS ip,
+       CAST(coalesce(m.mplen, 0) AS BIGINT) AS matched_plen,
+       coalesce(m.action, 'default') AS action
+FROM ips i LEFT JOIN (SELECT * FROM matched WHERE rnk = 1) m
+  ON m.user_id = i.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q206: TPC-H Q10 returned-item revenue top-20
+# ---------------------------------------------------------------------------
+
+
+def q206_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 (returned-item revenue): customers who returned the
+    most revenue in a quarter — orders in [1995-10-01, 1996-01-01)
+    joined to their RETURNED lineitems (l_returnflag='R'), revenue
+    summed DECIMAL-exact per customer, top 20 by (revenue DESC,
+    custkey ASC).  Completes the TPC-H join-shape family: q01=Q1
+    (scan agg), q138=Q5 (star), q198=Q7 (two-role dim); Q10's twist
+    is the selective FACT-side filter on BOTH fact tables (date on
+    orders, returnflag on lineitem) feeding a top-k — the "worst
+    customers" report.
+
+    Scale shape: both fact filters pushed to the scans, customer /
+    nation dims broadcast, ONE hash agg on custkey, and the top-20 is
+    a TakeOrderedAndProject (no global sort materialisation).
+    Deterministic: DECIMAL sums + custkey tiebreak."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_Q206 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(
+         CAST(l_extendedprice AS DECIMAL(18,2)) *
+         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -15347,6 +15627,9 @@ FROM ranked WHERE rnk <= {_Q203_TOPK}
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q204_langid_calibration": q204_langid_calibration,
+    "q205_cidr_lpm_join": q205_cidr_lpm_join,
+    "q206_returned_item_revenue": q206_returned_item_revenue,
     "q201_butterfly_cohesion": q201_butterfly_cohesion,
     "q202_landing_exit_analytics": q202_landing_exit_analytics,
     "q203_autocomplete_topk": q203_autocomplete_topk,
@@ -15558,6 +15841,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q204_langid_calibration": ORACLE_Q204,
+    "q205_cidr_lpm_join": ORACLE_Q205,
+    "q206_returned_item_revenue": ORACLE_Q206,
     "q201_butterfly_cohesion": ORACLE_Q201,
     "q202_landing_exit_analytics": ORACLE_Q202,
     "q203_autocomplete_topk": ORACLE_Q203,
