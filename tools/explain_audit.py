@@ -626,6 +626,17 @@ def main() -> None:
                 "SortMergeJoin",
             ),
         ),
+        # k-fold contamination: gram-keyed self-join (fan-out <= K per
+        # gram), broadcast 5-row fold stats
+        "q208_kfold_contamination": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        ),
+        # churn training set: pushed time filters, one user-keyed agg,
+        # label left join on user_id
+        "q209_churn_training_set": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

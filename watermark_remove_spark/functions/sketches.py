@@ -396,3 +396,56 @@ def mincount_lc_estimate(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "estimate", F.when(full, F.lit(None).cast("double")).otherwise(lc)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed bottom-k distinct sample (Gibbons-style distinct
+# sampling in bucket-min form).  Two chained stateful aggregations:
+# stage 1 pins, per (window, group, h % SMP_BUCKETS), the smallest
+# (hash, value) struct — idempotent (a replayed row cannot move a
+# min) and merge-associative — so state is bounded at SMP_BUCKETS
+# rows per (window, group) on an unbounded stream; stage 2 sorts the
+# <= SMP_BUCKETS bucket-mins and keeps the SMP_K smallest as the
+# window's uniform sample over DISTINCT values (duplicates cannot
+# bias it: the min is a set function).  Every kept element is a pure
+# function of the input SET, so a batch oracle recomputes the same k
+# rows bit-for-bit — unlike rand()-based sampling.
+# ---------------------------------------------------------------------------
+
+SMP_BUCKETS = 64
+SMP_K = 8
+
+
+def bottomk_windowed_stream(
+    stream: DataFrame,
+    value_col: str,
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("lang",),
+    ts_col: str = "warc_ts",
+    salt: str = "smp#",
+    k: int = SMP_K,
+    buckets: int = SMP_BUCKETS,
+) -> DataFrame:
+    """Per (window, group): array of the k lexicographically smallest
+    (hash, value) bucket-min structs — a deterministic uniform sample
+    of the window's distinct values with state bounded at `buckets`
+    rows per group."""
+    v = F.col(value_col).cast("string")
+    h = mc_hash_expr(v, salt)
+    regs = (
+        stream.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            *group_cols,
+            (h % buckets).alias("__b"),
+        )
+        .agg(F.min(F.struct(h.alias("h"), v.alias("v"))).alias("__mn"))
+    )
+    agg = regs.groupBy(F.window(F.col("w"), window).alias("w2"), *group_cols).agg(
+        F.slice(F.array_sort(F.collect_list("__mn")), 1, k).alias("sample")
+    )
+    return agg.select(
+        F.col("w2.start").alias("window_start"), *group_cols, "sample"
+    )

@@ -15614,6 +15614,314 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# q207: STREAMING windowed bottom-k distinct sample
+# ---------------------------------------------------------------------------
+
+
+def q207_streaming_windowed_sample(spark, sf_dir):
+    """STREAMING windowed bottom-k distinct sample — the missing
+    streaming member of the sampling family (q47/q76/q148/q154 are
+    all batch): per (10-min window, lang), a deterministic uniform
+    sample of k=8 distinct urls kept as the k smallest of 64
+    bucket-min (hash, url) structs (Gibbons' distinct-sampling
+    discipline — `functions/sketches.py:bottomk_windowed_stream`).
+    Both stages are idempotent/merge-associative min-folds, so state
+    is BOUNDED at 64 rows per (window, lang) on an unbounded stream
+    and replays cannot move any kept element; q149 folds the same
+    bucket-mins into a COUNT (distinct sketch), this keeps the
+    PAYLOADS (the "show me 8 example pages per window per lang" that
+    every monitoring dashboard and labeling queue runs).  Unlike
+    rand()-sampling, every kept row is a pure function of the input
+    SET — bit-reproducible on the oracle.
+
+    Scale shape: two chained stateful hash aggs (the q53/q149
+    pattern); the sample array rides the exactly-once sink and is
+    exploded AFTER the drain on the committed, window-closed rows.
+    Same sentinel-pinned derived stream as q53/q149."""
+    from .functions.sketches import bottomk_windowed_stream
+    from .sources.pages import stream_pages_files
+
+    src, _ = _derived_stream_fixture(spark, sf_dir)
+    stream = stream_pages_files(spark, src, 1)
+    out = _drain(bottomk_windowed_stream(stream, "url"), spark)
+    return (
+        out.where(
+            F.col("window_start") < F.lit("2027-01-01").cast("timestamp")
+        )
+        .select(
+            F.unix_timestamp("window_start")
+            .cast("bigint")
+            .alias("window_start_epoch"),
+            "lang",
+            F.posexplode("sample").alias("pos", "s"),
+        )
+        .select(
+            "window_start_epoch",
+            "lang",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.h").cast("bigint").alias("sample_hash"),
+            F.col("s.v").alias("url"),
+        )
+    )
+
+
+def _oracle_q207() -> str:
+    from .functions.sketches import MC_HEX, SMP_BUCKETS, SMP_K
+
+    hv = f"(('0x' || substr(md5('smp#' || url), 1, {MC_HEX}))::BIGINT)"
+    return f"""
+WITH pages AS (
+{_DUCK_DERIVED_PAGES}
+), br AS (
+  SELECT CAST(floor(epoch(warc_ts) / 600) AS BIGINT) * 600 AS ws, lang,
+         {hv} % {SMP_BUCKETS} AS b, {hv} AS h, url
+  FROM pages
+  WHERE url IS NOT NULL
+), regs AS (
+  SELECT ws, lang, b, h, url,
+         row_number() OVER (PARTITION BY ws, lang, b
+                            ORDER BY h, url) AS rb
+  FROM br
+), topk AS (
+  SELECT ws, lang, h, url,
+         row_number() OVER (PARTITION BY ws, lang ORDER BY h, url) AS rk
+  FROM regs WHERE rb = 1
+)
+SELECT ws AS window_start_epoch, lang, CAST(rk AS INTEGER) AS rank,
+       CAST(h AS BIGINT) AS sample_hash, url
+FROM topk WHERE rk <= {SMP_K}
+"""
+
+
+ORACLE_Q207 = _oracle_q207()
+
+
+# ---------------------------------------------------------------------------
+# q208: group-atomic k-fold construction + cross-fold contamination
+# ---------------------------------------------------------------------------
+
+_Q208_K = 5  # folds
+
+
+def q208_kfold_contamination(spark, sf_dir):
+    """Group-atomic k-fold construction with a cross-fold CONTENT
+    contamination matrix: folds are assigned by a portable hash of
+    the GROUP key (source) — layout-independent, so re-partitioning
+    a 100-TB corpus never reshuffles the folds and no source ever
+    straddles folds — and then the thing q103 does NOT check is
+    audited: text shared BETWEEN groups still leaks across
+    group-atomic folds, so per fold pair the report counts distinct
+    shingles present on both sides plus the shingle-Jaccard in ppm —
+    the dedup-aware CV audit ("fold 2 shares 4% of its vocabulary
+    with fold 0, cross-validation scores are optimistic by
+    construction").  q103 audits group-straddling of one 3-way
+    split; this builds K folds and measures CONTENT leakage between
+    every pair.
+
+    Scale shape: fold assignment is map-side; the contamination
+    matrix needs ONE distinct (gram, fold) relation (grams explode
+    from docs once) and a gram-keyed self-join whose fan-out is
+    bounded by K=5 folds per gram — K(K-1)/2 output rows total; the
+    5-row per-fold stats broadcast back onto the 10-row matrix."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    fold = (md5_i64_expr(F.col("source"), salt="fold#") % _Q208_K).alias(
+        "fold"
+    )
+    gf = (
+        docs.select(
+            fold,
+            F.explode(
+                F.array_distinct(doc_shingles_expr(F.col("text")))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    fold_stats = gf.groupBy("fold").agg(F.count(F.lit(1)).alias("n_grams"))
+    doc_stats = docs.select(fold).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    a = gf.select(F.col("fold").alias("fold_a"), "gram")
+    b = gf.select(F.col("fold").alias("fold_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .where(F.col("fold_a") < F.col("fold_b"))
+        .groupBy("fold_a", "fold_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    sa = F.broadcast(
+        fold_stats.join(doc_stats, "fold").select(
+            F.col("fold").alias("fold_a"),
+            F.col("n_docs").alias("n_docs_a"),
+            F.col("n_grams").alias("n_grams_a"),
+        )
+    )
+    sb = F.broadcast(
+        fold_stats.join(doc_stats, "fold").select(
+            F.col("fold").alias("fold_b"),
+            F.col("n_docs").alias("n_docs_b"),
+            F.col("n_grams").alias("n_grams_b"),
+        )
+    )
+    return (
+        shared.join(sa, "fold_a")
+        .join(sb, "fold_b")
+        .select(
+            F.col("fold_a").cast("bigint").alias("fold_a"),
+            F.col("fold_b").cast("bigint").alias("fold_b"),
+            F.col("n_docs_a").cast("bigint").alias("n_docs_a"),
+            F.col("n_docs_b").cast("bigint").alias("n_docs_b"),
+            F.col("n_grams_a").cast("bigint").alias("n_grams_a"),
+            F.col("n_grams_b").cast("bigint").alias("n_grams_b"),
+            F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"),
+            F.expr(
+                "CAST(n_shared_grams * 1000000 div "
+                "(n_grams_a + n_grams_b - n_shared_grams) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def _oracle_q208() -> str:
+    fold = f"({duck_md5_i64('source', 'fold#')}) % {_Q208_K}"
+    return f"""
+WITH gf AS (
+  SELECT DISTINCT {fold} AS fold,
+         unnest(list_distinct({_DUCK_SHINGLES.format(col='text')})) AS gram
+  FROM documents
+),
+fold_stats AS (SELECT fold, count(*) AS n_grams FROM gf GROUP BY 1),
+doc_stats AS (
+  SELECT {fold} AS fold, count(*) AS n_docs FROM documents GROUP BY 1
+),
+shared AS (
+  SELECT a.fold AS fold_a, b.fold AS fold_b, count(*) AS n_shared_grams
+  FROM gf a JOIN gf b ON a.gram = b.gram AND a.fold < b.fold
+  GROUP BY 1, 2
+)
+SELECT CAST(s.fold_a AS BIGINT) AS fold_a,
+       CAST(s.fold_b AS BIGINT) AS fold_b,
+       CAST(da.n_docs AS BIGINT) AS n_docs_a,
+       CAST(db.n_docs AS BIGINT) AS n_docs_b,
+       CAST(fa.n_grams AS BIGINT) AS n_grams_a,
+       CAST(fb.n_grams AS BIGINT) AS n_grams_b,
+       CAST(s.n_shared_grams AS BIGINT) AS n_shared_grams,
+       CAST(s.n_shared_grams * 1000000 //
+            (fa.n_grams + fb.n_grams - s.n_shared_grams) AS BIGINT)
+         AS jaccard_ppm
+FROM shared s
+JOIN fold_stats fa ON fa.fold = s.fold_a
+JOIN fold_stats fb ON fb.fold = s.fold_b
+JOIN doc_stats da ON da.fold = s.fold_a
+JOIN doc_stats db ON db.fold = s.fold_b
+"""
+
+
+ORACLE_Q208 = _oracle_q208()
+
+
+# ---------------------------------------------------------------------------
+# q209: leakage-safe supervised label construction (churn)
+# ---------------------------------------------------------------------------
+
+# cutoff sits on the LAST observed day of the fixture (events span
+# 2024-01-01..01-30) with a 1-day label horizon: the synthetic users
+# are too uniformly active (max inter-event gap ~4 days) for a longer
+# horizon to ever label anyone churned.  Real deployments must also
+# respect right-censoring — the horizon may not extend past observed
+# data, exactly the constraint that forces this cutoff.
+_Q209_CUTOFF = "2024-01-30 00:00:00"
+_Q209_FEAT_DAYS = 7
+_Q209_HORIZON_DAYS = 1
+
+
+def q209_churn_training_set(spark, sf_dir):
+    """Supervised training-set CONSTRUCTION with leakage-safe
+    temporal boundaries (the label-engineering step upstream of every
+    churn/abandonment model): features are aggregated STRICTLY from
+    the 7 days before the cutoff, the churn label ("no activity in
+    the 10 days from the cutoff") STRICTLY from after it, and the
+    population is exactly the users active in the feature window —
+    the three clauses whose violation is the classic target-leakage
+    bug.  q103 AUDITS a split; q127 reports cohort retention
+    aggregates; this EMITS the per-user (features, label) relation a
+    trainer consumes.  Features: event count, distinct types,
+    DECIMAL-exact value sum, recency minutes (integer) — every
+    column deterministic.
+
+    Scale shape: both time filters push to the scan; one user-keyed
+    hash agg for features; the label is a left join against the
+    distinct post-cutoff actives (semi-join sized); no window
+    functions, no UDFs."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_Q209_CUTOFF).cast("timestamp")
+    feat_lo = cut - F.expr(f"INTERVAL {_Q209_FEAT_DAYS} DAYS")
+    lab_hi = cut + F.expr(f"INTERVAL {_Q209_HORIZON_DAYS} DAYS")
+    feats = (
+        ev.where((F.col("ts") >= feat_lo) & (F.col("ts") < cut))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max(F.unix_timestamp("ts")).alias("last_epoch"),
+        )
+        .withColumn(
+            "recency_min",
+            F.expr(
+                f"CAST((unix_timestamp(TIMESTAMP '{_Q209_CUTOFF}') "
+                f"- last_epoch) div 60 AS BIGINT)"
+            ),
+        )
+        .drop("last_epoch")
+    )
+    alive = (
+        ev.where((F.col("ts") >= cut) & (F.col("ts") < lab_hi))
+        .select("user_id")
+        .distinct()
+        .withColumn("__alive", F.lit(1))
+    )
+    return feats.join(alive, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "sum_value",
+        "recency_min",
+        F.when(F.col("__alive").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("churned"),
+    )
+
+
+ORACLE_Q209 = f"""
+WITH feats AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         CAST((epoch(TIMESTAMP '{_Q209_CUTOFF}')::BIGINT
+               - floor(epoch(max(ts)))::BIGINT) // 60 AS BIGINT)
+           AS recency_min
+  FROM events
+  WHERE ts >= TIMESTAMP '{_Q209_CUTOFF}' - INTERVAL {_Q209_FEAT_DAYS} DAYS
+    AND ts <  TIMESTAMP '{_Q209_CUTOFF}'
+  GROUP BY 1
+),
+alive AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '{_Q209_CUTOFF}'
+    AND ts <  TIMESTAMP '{_Q209_CUTOFF}' + INTERVAL {_Q209_HORIZON_DAYS} DAYS
+)
+SELECT f.user_id, f.n_events, f.n_types, f.sum_value, f.recency_min,
+       CAST(CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS churned
+FROM feats f LEFT JOIN alive a ON a.user_id = f.user_id
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -15627,6 +15935,9 @@ LIMIT 20
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q207_streaming_windowed_sample": q207_streaming_windowed_sample,
+    "q208_kfold_contamination": q208_kfold_contamination,
+    "q209_churn_training_set": q209_churn_training_set,
     "q204_langid_calibration": q204_langid_calibration,
     "q205_cidr_lpm_join": q205_cidr_lpm_join,
     "q206_returned_item_revenue": q206_returned_item_revenue,
@@ -15841,6 +16152,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q207_streaming_windowed_sample": ORACLE_Q207,
+    "q208_kfold_contamination": ORACLE_Q208,
+    "q209_churn_training_set": ORACLE_Q209,
     "q204_langid_calibration": ORACLE_Q204,
     "q205_cidr_lpm_join": ORACLE_Q205,
     "q206_returned_item_revenue": ORACLE_Q206,
