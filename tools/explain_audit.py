@@ -637,6 +637,27 @@ def main() -> None:
         "q209_churn_training_set": dict(
             forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
         ),
+        # grid epsilon join: bounded 9x explode + (cell,cell)
+        # equi-join with the distance residual — the exact radius
+        # join must never degrade to an NLJ
+        "q210_grid_epsilon_join": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # interval overlap join: chunk equi-join with overlap +
+        # meet-once residuals
+        "q211_session_incident_overlap": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # periodicity: one user-keyed lag window, (user,bin) agg,
+        # rank over the histogram relation — no joins
+        "q212_periodicity_detection": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+            )
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

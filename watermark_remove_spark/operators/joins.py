@@ -224,6 +224,81 @@ def range_join_bucketed(
     return joined.drop("__chunk", "__r_chunk", *[f"__r_{k}" for k in keys])
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 900,
+) -> DataFrame:
+    """Interval x interval OVERLAP join that stays an EQUI-join.
+
+    Matches every (left, right) pair whose half-open intervals
+    overlap: ``l_start < r_end AND r_start < l_end`` (plus equal
+    ``keys`` if given).  The sibling of :func:`range_join_bucketed`
+    (point-in-interval): here BOTH sides are intervals, so both sides
+    chunk-explode and a pair would meet once per SHARED chunk — the
+    dedup discipline is to emit the pair only in the chunk containing
+    the overlap's first instant, ``floor(max(l_start, r_start) /
+    bucket)``, which both sides can compute inside the join
+    condition, so each overlapping pair meets EXACTLY once and no
+    post-join distinct is needed.  Inner join only (outer semantics
+    over replicated chunks would need the two-pass form documented on
+    range_join_bucketed).
+
+    Same scale shape as range_join_bucketed: replication per row is
+    ~(interval_len / bucket + 1), the join itself is a plain
+    (keys..., chunk) equi-join with the exact overlap predicate as a
+    residual — never a BroadcastNestedLoopJoin."""
+    keys = keys or []
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def us(side, col):
+        return F.unix_micros(side[col].cast("timestamp"))
+
+    def chunked(df, start, end, prefix):
+        return df.withColumn(
+            f"__{prefix}chunk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(start).cast("timestamp")) / w_us),
+                    F.floor(
+                        (F.unix_micros(F.col(end).cast("timestamp")) - 1) / w_us
+                    ),
+                )
+            ),
+        )
+
+    lf = chunked(left, l_start, l_end, "l")
+    rf = chunked(right, r_start, r_end, "r")
+    for k in keys:
+        rf = rf.withColumnRenamed(k, f"__r_{k}")
+    cond = F.col("__lchunk") == F.col("__rchunk")
+    for k in keys:
+        cond = cond & (lf[k] == F.col(f"__r_{k}"))
+    cond = (
+        cond
+        & (us(lf, l_start) < us(rf, r_end))
+        & (us(rf, r_start) < us(lf, l_end))
+        # meet-once discipline: only the chunk holding the overlap's
+        # first instant emits the pair
+        & (
+            F.floor(
+                F.greatest(us(lf, l_start), us(rf, r_start)) / w_us
+            )
+            == F.col("__lchunk")
+        )
+    )
+    joined = lf.join(rf, cond, "inner")
+    out = joined.drop("__lchunk", "__rchunk")
+    for k in keys:
+        out = out.drop(f"__r_{k}")
+    return out
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

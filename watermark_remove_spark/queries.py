@@ -15922,6 +15922,292 @@ FROM feats f LEFT JOIN alive a ON a.user_id = f.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q210: grid-bucketed epsilon-neighborhood (spatial) join
+# ---------------------------------------------------------------------------
+
+_Q210_EPS = 0.05
+
+
+def q210_grid_epsilon_join(spark, sf_dir):
+    """Grid-bucketed epsilon-neighborhood join — the SPATIAL-join
+    primitive (all pairs within euclidean distance eps in the
+    embedding's first-2-dim projection): each point gets a grid cell
+    of side eps, ONE side explodes into its 3x3 neighborhood, and
+    the candidate join is pure (cell_x, cell_y) EQUALITY with the
+    exact distance predicate as a residual — the eps-ball can never
+    straddle past an adjacent cell, so recall is exact, and because
+    the un-exploded side stays in its own cell each pair meets
+    EXACTLY once (no post-join distinct).  This is the geo/DBSCAN-
+    neighborhood workhorse q24/q31/q34 (LSH/IVF, approximate by
+    design) don't provide: an EXACT radius join that still never
+    goes near a CartesianProduct.
+
+    Scale shape: bounded 9x explode on one side, fixed-width
+    (cell, cell) equi-join, distance residual in the join condition;
+    fan-out per cell is density-bounded (eps sized to the data —
+    points per cell ~ n*eps^2/area).  Floats stay deterministic:
+    the predicate is the same IEEE double expression in both
+    engines and the emitted distance is rounded (q20 discipline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    eps = _Q210_EPS
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    a = (
+        pts.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+        )
+        .withColumn("__dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("__dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "id_a",
+            "xa",
+            "ya",
+            (F.floor(F.col("xa") / eps) + F.col("__dx")).alias("cx"),
+            (F.floor(F.col("ya") / eps) + F.col("__dy")).alias("cy"),
+        )
+    )
+    b = pts.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / eps).alias("cx"),
+        F.floor(F.col("y") / eps).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .where((F.col("id_a") < F.col("id_b")) & (d2 <= F.lit(eps * eps)))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+    )
+
+
+ORACLE_Q210 = f"""
+WITH pts AS (
+  SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id AS id_a, x AS xa, y AS ya,
+         floor(x / {_Q210_EPS}) + dx.dx AS cx,
+         floor(y / {_Q210_EPS}) + dy.dy AS cy
+  FROM pts, (SELECT unnest([-1, 0, 1]) AS dx) dx,
+            (SELECT unnest([-1, 0, 1]) AS dy) dy
+),
+b AS (
+  SELECT vec_id AS id_b, x AS xb, y AS yb,
+         floor(x / {_Q210_EPS}) AS cx, floor(y / {_Q210_EPS}) AS cy
+  FROM pts
+)
+SELECT id_a, id_b,
+       round(sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)), 6) AS dist
+FROM a JOIN b USING (cx, cy)
+WHERE id_a < id_b
+  AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      <= {_Q210_EPS} * {_Q210_EPS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q211: interval-interval overlap join (sessions x incidents)
+# ---------------------------------------------------------------------------
+
+
+def q211_session_incident_overlap(spark, sf_dir):
+    """Interval x interval OVERLAP join with overlap-duration
+    accounting: user sessions (q11's 5-min-gap windows) joined to a
+    deterministic incident calendar (incident j = [T0 + j*28h, +5h),
+    one per nation row) wherever the two intervals overlap, emitting
+    the overlap in integer seconds — the "which sessions were
+    degraded, and for how long" attribution every incident
+    post-mortem runs.  q43's range join matches POINTS to intervals;
+    here BOTH sides are intervals, which breaks the each-fact-in-one-
+    chunk dedup guarantee — `operators/joins.py:interval_overlap_join`
+    restores meet-exactly-once by emitting a pair only in the chunk
+    holding the overlap's FIRST instant (computable inside the join
+    condition by both sides), still a pure chunk equi-join.
+
+    Scale shape: sessions replicate ~(len/900s + 1) ~ 1-2 chunks,
+    the 25-row incident side ~20 chunks each; the join is
+    (chunk)-equality with the overlap + meet-once residuals; overlap
+    math is integer microseconds — bit-exact."""
+    from .operators.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+        )
+    )
+    incidents = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("incident_id"),
+        F.expr(
+            "CAST(TIMESTAMP '2024-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, n_nationkey * 28, 0, 0) AS TIMESTAMP)"
+        ).alias("i_start"),
+        F.expr(
+            "CAST(TIMESTAMP '2024-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, n_nationkey * 28 + 5, 0, 0) AS TIMESTAMP)"
+        ).alias("i_end"),
+    )
+    joined = interval_overlap_join(
+        sessions, incidents, "s_start", "s_end", "i_start", "i_end"
+    )
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("s_start").cast("bigint").alias("session_start_epoch"),
+        "incident_id",
+        F.expr(
+            "CAST((least(unix_micros(CAST(s_end AS TIMESTAMP)), "
+            "unix_micros(CAST(i_end AS TIMESTAMP))) "
+            "- greatest(unix_micros(CAST(s_start AS TIMESTAMP)), "
+            "unix_micros(CAST(i_start AS TIMESTAMP)))) "
+            "div 1000000 AS BIGINT)"
+        ).alias("overlap_seconds"),
+    )
+
+
+ORACLE_Q211 = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 5 minutes
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 5 minutes AS s_end
+  FROM numbered GROUP BY user_id, session_id
+), incidents AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS incident_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + n_nationkey * INTERVAL 28 hours AS i_start,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (n_nationkey * 28 + 5) * INTERVAL 1 hour AS i_end
+  FROM nation
+)
+SELECT s.user_id,
+       CAST(floor(epoch(s.s_start)) AS BIGINT) AS session_start_epoch,
+       i.incident_id,
+       CAST((least(epoch_us(s.s_end), epoch_us(i.i_end))
+             - greatest(epoch_us(s.s_start), epoch_us(i.i_start)))
+            // 1000000 AS BIGINT) AS overlap_seconds
+FROM sessions s JOIN incidents i
+  ON s.s_start < i.i_end AND i.i_start < s.s_end
+"""
+
+
+# ---------------------------------------------------------------------------
+# q212: per-entity periodicity detection (cron/bot rhythm)
+# ---------------------------------------------------------------------------
+
+_Q212_BIN_S = 1800  # 30-min inter-arrival bins
+
+
+def q212_periodicity_detection(spark, sf_dir):
+    """Per-entity PERIODICITY detection: each user's inter-event gaps
+    are binned to 30 minutes and the modal bin's share of all gaps
+    (periodicity_ppm) is the rhythm score — a cron job or scripted
+    crawler fires at a near-constant interval (one bin holds almost
+    all its gaps) while organic users spread across bins.  q187
+    flags RATE (too many events); this flags REGULARITY, which
+    catches slow bots q187's thresholds never see, and q184 profiles
+    transition TIMING between event types, not per-entity rhythm.
+
+    Scale shape: ONE user-keyed window shuffle for the lag, then a
+    (user, bin) hash agg, then per-user aggs/rank over the
+    gap-HISTOGRAM relation (bins per user <= observed spread, never
+    the raw event relation) — the q143/q184 grouped-percentile
+    discipline.  All integer: gaps in microseconds div binned."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(
+                        F.lag(F.col("ts").cast("timestamp")).over(wo)
+                    )
+                )
+                / F.lit(_Q212_BIN_S * 1_000_000)
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .where(F.col("bin").isNotNull())
+    )
+    hist = gaps.groupBy("user_id", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("bin").asc()
+    )
+    return (
+        hist.withColumn("rnk", F.row_number().over(wr))
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_gaps"),
+            F.max(F.when(F.col("rnk") == 1, F.col("bin")))
+            .cast("bigint")
+            .alias("modal_bin"),
+            F.max(F.when(F.col("rnk") == 1, F.col("cnt")))
+            .cast("bigint")
+            .alias("modal_count"),
+        )
+        .withColumn(
+            "periodicity_ppm",
+            F.expr("CAST(modal_count * 1000000 div n_gaps AS BIGINT)"),
+        )
+    )
+
+
+ORACLE_Q212 = f"""
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)))
+           // {_Q212_BIN_S * 1_000_000} AS bin
+  FROM events
+), hist AS (
+  SELECT user_id, bin, count(*) AS cnt
+  FROM gaps WHERE bin IS NOT NULL GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY cnt DESC, bin ASC) AS rnk
+  FROM hist
+)
+SELECT user_id,
+       CAST(sum(cnt) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rnk = 1 THEN bin END) AS BIGINT) AS modal_bin,
+       CAST(max(CASE WHEN rnk = 1 THEN cnt END) AS BIGINT) AS modal_count,
+       CAST(max(CASE WHEN rnk = 1 THEN cnt END) * 1000000
+            // sum(cnt) AS BIGINT) AS periodicity_ppm
+FROM ranked GROUP BY 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -15935,6 +16221,9 @@ FROM feats f LEFT JOIN alive a ON a.user_id = f.user_id
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q210_grid_epsilon_join": q210_grid_epsilon_join,
+    "q211_session_incident_overlap": q211_session_incident_overlap,
+    "q212_periodicity_detection": q212_periodicity_detection,
     "q207_streaming_windowed_sample": q207_streaming_windowed_sample,
     "q208_kfold_contamination": q208_kfold_contamination,
     "q209_churn_training_set": q209_churn_training_set,
@@ -16152,6 +16441,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q210_grid_epsilon_join": ORACLE_Q210,
+    "q211_session_incident_overlap": ORACLE_Q211,
+    "q212_periodicity_detection": ORACLE_Q212,
     "q207_streaming_windowed_sample": ORACLE_Q207,
     "q208_kfold_contamination": ORACLE_Q208,
     "q209_churn_training_set": ORACLE_Q209,
