@@ -658,6 +658,26 @@ def main() -> None:
                 "BroadcastHashJoin",
             )
         ),
+        # MAD gate: two per-lang window sorts, lang-keyed broadcast
+        # joins of one-row-per-lang relations
+        "q213_mad_outlier_gate": dict(
+            broadcast=True,
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        ),
+        # redirect resolution: pointer-key self-equi-joins per
+        # doubling round (post-checkpoint plan, like q62)
+        "q214_redirect_resolution": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # KWIC: pure map-side HOFs over the scan — joinless
+        "q215_kwic_concordance": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+            )
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

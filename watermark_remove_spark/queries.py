@@ -16208,6 +16208,338 @@ FROM ranked GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q213: MAD robust outlier gate
+# ---------------------------------------------------------------------------
+
+
+def q213_mad_outlier_gate(spark, sf_dir):
+    """Robust outlier gate via MAD (median absolute deviation): per
+    lang, the exact nearest-rank median of doc token counts, then the
+    exact median of |x - median| — the robust dispersion that
+    survives the heavy-tailed doc-length distributions where stddev
+    is dominated by the very outliers it should flag, and docs with
+    |x - med| > 3*MAD are counted as outliers (the robust analog of
+    the 3-sigma rule).  q104 CLIPS at fixed percentiles (p05/p95 —
+    always marks 10% regardless of shape); MAD flags by DISTANCE
+    from center, so a clean lang flags ~nothing and a contaminated
+    one flags its true tail — and it chains TWO dependent exact
+    medians, a composition no other query exercises.
+
+    Exactness: both medians are nearest-rank (value at row_number
+    (n+1) div 2 in value order — q104's discipline), the gate is
+    pure integer comparison; every output column is an integer.
+
+    Scale shape: two per-lang window sorts (the per-key sort a
+    100-TB corpus can afford, never a global ORDER BY), each
+    reduced to a one-row-per-lang relation broadcast back."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", token_count_expr(F.col("text")).cast("bigint").alias("x")
+    )
+    w1 = Window.partitionBy("lang").orderBy("x")
+    med = (
+        d.select(
+            "lang",
+            "x",
+            F.row_number().over(w1).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("x"))
+            ).alias("median_tokens")
+        )
+    )
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang",
+        "x",
+        "median_tokens",
+        F.abs(F.col("x") - F.col("median_tokens")).alias("dev"),
+    )
+    w2 = Window.partitionBy("lang").orderBy("dev")
+    mad = (
+        dev.select(
+            "lang",
+            "dev",
+            F.row_number().over(w2).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("dev"))
+            ).alias("mad_tokens")
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang", "median_tokens", "mad_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("dev") > 3 * F.col("mad_tokens")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_ppm",
+            F.expr("CAST(n_outliers * 1000000 div n_docs AS BIGINT)"),
+        )
+    )
+
+
+ORACLE_Q213 = """
+WITH d AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS x
+  FROM documents
+), r1 AS (
+  SELECT lang, x,
+         row_number() OVER (PARTITION BY lang ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM d
+), med AS (
+  SELECT lang, max(CASE WHEN rn = (cnt + 1) // 2 THEN x END)
+           AS median_tokens
+  FROM r1 GROUP BY 1
+), dev AS (
+  SELECT d.lang, d.x, m.median_tokens,
+         abs(d.x - m.median_tokens) AS dev
+  FROM d JOIN med m ON m.lang = d.lang
+), r2 AS (
+  SELECT lang, dev,
+         row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM dev
+), mad AS (
+  SELECT lang, max(CASE WHEN rn = (cnt + 1) // 2 THEN dev END)
+           AS mad_tokens
+  FROM r2 GROUP BY 1
+)
+SELECT v.lang, v.median_tokens, a.mad_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN v.dev > 3 * a.mad_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN v.dev > 3 * a.mad_tokens THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+FROM dev v JOIN mad a ON a.lang = v.lang
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q214: redirect-chain resolution via pointer doubling
+# ---------------------------------------------------------------------------
+
+_Q214_ROUNDS = 3  # pointer doublings: resolves chains up to 2^3 hops
+
+
+def q214_redirect_resolution(spark, sf_dir):
+    """Redirect/alias-chain resolution over a FUNCTIONAL graph
+    (every url has at most ONE redirect target) with pointer
+    DOUBLING: p := p(p) for {_Q214_ROUNDS} rounds resolves chains up
+    to 2^{_Q214_ROUNDS} hops in O(log chain) shuffles while carrying
+    the EXACT hop count (d := d + d[p]), and nodes whose final
+    pointer is not a terminal are flagged as members of a redirect
+    CYCLE (the crawl-trap case).  q62's components are UNDIRECTED
+    fixpoint labels; this is the directed functional-graph terminal
+    map — the url -> canonical-url table a crawler consults before
+    every fetch, where "how many hops" and "is it a loop" are the
+    operational outputs.
+
+    Fixture: deterministic redirects derived from doc_id — chains
+    u -> u-1 for u % 10 in {{1,2,3}} (terminals at u % 10 == 0) and a
+    deliberate 2-cycle per hundred block (u%100==97 <-> 98), so
+    multi-hop chains AND cycles exist at every SF; both engines
+    rebuild the identical edge set with pure arithmetic.
+
+    Scale shape: each round is ONE self-equi-join on the pointer key
+    + localCheckpoint (the q62/q63 iterative-lineage discipline);
+    state per node is (pointer, dist) — fixed width."""
+    docs = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    r = (
+        F.when(
+            F.col("doc_id") % 100 == 97, F.col("doc_id") + 1
+        )
+        .when(F.col("doc_id") % 100 == 98, F.col("doc_id") - 1)
+        .when(F.col("doc_id") % 10 == 1, F.col("doc_id") - 1)
+        .when(F.col("doc_id") % 10 == 2, F.col("doc_id") - 1)
+        .when(F.col("doc_id") % 10 == 3, F.col("doc_id") - 1)
+    )
+    nodes = docs.select(
+        F.col("doc_id").alias("u"),
+        F.coalesce(r, F.col("doc_id")).alias("p"),
+        F.when(r.isNull(), 0).otherwise(1).cast("bigint").alias("d"),
+    ).localCheckpoint()
+    cur = nodes
+    for _ in range(_Q214_ROUNDS):
+        nxt = cur.select(
+            F.col("u").alias("pu"),
+            F.col("p").alias("pp"),
+            F.col("d").alias("pd"),
+        )
+        cur = (
+            cur.join(nxt, cur["p"] == nxt["pu"])
+            .select(
+                "u",
+                F.col("pp").alias("p"),
+                (F.col("d") + F.col("pd")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    term = nodes.select(
+        F.col("u").alias("p"), (F.col("d") == 0).alias("p_is_term")
+    )
+    return (
+        cur.join(term, "p")
+        .select(
+            F.col("u").alias("url_id"),
+            F.when(F.col("p_is_term"), F.col("p"))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("terminal_id"),
+            F.when(F.col("p_is_term"), F.col("d"))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("hops"),
+            (~F.col("p_is_term")).cast("int").alias("is_cycle"),
+        )
+    )
+
+
+ORACLE_Q214 = f"""
+WITH nodes AS (
+  SELECT doc_id AS u,
+         CASE WHEN doc_id % 100 = 97 THEN doc_id + 1
+              WHEN doc_id % 100 = 98 THEN doc_id - 1
+              WHEN doc_id % 10 IN (1, 2, 3) THEN doc_id - 1
+              ELSE doc_id END AS p,
+         CASE WHEN doc_id % 100 IN (97, 98) OR doc_id % 10 IN (1, 2, 3)
+              THEN 1 ELSE 0 END AS d
+  FROM documents
+),
+-- unrolled pointer doubling, {_Q214_ROUNDS} rounds (chains <= 2^{_Q214_ROUNDS})
+r1 AS (
+  SELECT a.u, b.p, a.d + b.d AS d FROM nodes a JOIN nodes b ON a.p = b.u
+),
+r2 AS (
+  SELECT a.u, b.p, a.d + b.d AS d FROM r1 a JOIN r1 b ON a.p = b.u
+),
+r3 AS (
+  SELECT a.u, b.p, a.d + b.d AS d FROM r2 a JOIN r2 b ON a.p = b.u
+)
+SELECT r.u AS url_id,
+       CAST(CASE WHEN t.d = 0 THEN r.p ELSE -1 END AS BIGINT)
+         AS terminal_id,
+       CAST(CASE WHEN t.d = 0 THEN r.d ELSE -1 END AS BIGINT) AS hops,
+       CAST(CASE WHEN t.d = 0 THEN 0 ELSE 1 END AS INTEGER) AS is_cycle
+FROM r3 r JOIN nodes t ON t.u = r.p
+"""
+
+
+# ---------------------------------------------------------------------------
+# q215: keyword-in-context (KWIC) concordance extraction
+# ---------------------------------------------------------------------------
+
+_Q215_TERM = "data"
+_Q215_CTX = 2  # context tokens each side
+
+
+def q215_kwic_concordance(spark, sf_dir):
+    """Keyword-in-context (KWIC) concordance — the corpus-inspection
+    artifact behind every annotation UI and "show me how this term is
+    actually used" review: every occurrence of the target term is
+    emitted with its aligned +-{_Q215_CTX}-token context within its
+    line.  q96's phrase search returns DOCUMENTS; this returns
+    ALIGNED OCCURRENCES, the row shape a labeling queue consumes.
+
+    Scale shape: pure map-side higher-order functions — tokenize each
+    line, transform-with-index to find matches, slice the context
+    windows, one explode of the per-line match array; NO joins, NO
+    window functions, no UDFs — the whole operator is a single
+    narrow projection over the corpus scan (plan-asserted joinless
+    and exchange-free up to the driver collect)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    k = _Q215_CTX
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n", -1)).alias(
+            "line_no", "line"
+        ),
+    )
+    toks = F.filter(F.split(F.col("line"), " ", -1), lambda t: t != F.lit(""))
+    matches = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                t == F.lit(_Q215_TERM), i + 1
+            ).otherwise(F.lit(None).cast("int")),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    hits = lines.select(
+        "doc_id",
+        "line_no",
+        toks.alias("toks"),
+        F.explode(matches).alias("pos"),
+    )
+    left_start = F.greatest(F.lit(1), F.col("pos") - k)
+    return hits.select(
+        "doc_id",
+        F.col("line_no").cast("int").alias("line_no"),
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(
+            F.slice(F.col("toks"), left_start, F.col("pos") - left_start),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.col("pos") + 1,
+                F.least(F.lit(k), F.size("toks") - F.col("pos")),
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )
+
+
+ORACLE_Q215 = f"""
+WITH lines AS (
+  SELECT doc_id, ln - 1 AS line_no,
+         list_filter(string_split(line, ' '), t -> t <> '') AS toks
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           unnest(generate_series(1, len(string_split(text, chr(10)))))
+             AS ln
+    FROM documents
+  )
+), hits AS (
+  SELECT doc_id, line_no, toks, unnest(
+           list_filter(
+             list_transform(toks, (t, i) ->
+               CASE WHEN t = '{_Q215_TERM}' THEN i END),
+             p -> p IS NOT NULL)
+         ) AS pos
+  FROM lines
+)
+SELECT doc_id, CAST(line_no AS INTEGER) AS line_no,
+       CAST(pos AS INTEGER) AS pos,
+       coalesce(array_to_string(
+         list_slice(toks, greatest(1, pos - {_Q215_CTX}), pos - 1), ' '),
+         '') AS left_ctx,
+       coalesce(array_to_string(
+         list_slice(toks, pos + 1,
+                    least(len(toks), pos + {_Q215_CTX})), ' '),
+         '') AS right_ctx
+FROM hits
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -16221,6 +16553,9 @@ FROM ranked GROUP BY 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q213_mad_outlier_gate": q213_mad_outlier_gate,
+    "q214_redirect_resolution": q214_redirect_resolution,
+    "q215_kwic_concordance": q215_kwic_concordance,
     "q210_grid_epsilon_join": q210_grid_epsilon_join,
     "q211_session_incident_overlap": q211_session_incident_overlap,
     "q212_periodicity_detection": q212_periodicity_detection,
@@ -16441,6 +16776,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q213_mad_outlier_gate": ORACLE_Q213,
+    "q214_redirect_resolution": ORACLE_Q214,
+    "q215_kwic_concordance": ORACLE_Q215,
     "q210_grid_epsilon_join": ORACLE_Q210,
     "q211_session_incident_overlap": ORACLE_Q211,
     "q212_periodicity_detection": ORACLE_Q212,
