@@ -678,6 +678,21 @@ def main() -> None:
                 "BroadcastHashJoin",
             )
         ),
+        # mutual NN: grid-join candidates + id-keyed rank windows +
+        # one (id,id) equi-join for the reciprocal filter
+        "q216_mutual_nn_pairs": dict(
+            forbid_node=("CartesianProduct", "BroadcastNestedLoopJoin")
+        ),
+        # hazard table: one user agg, then windows over the <=30-row
+        # duration relation — joinless
+        "q217_discrete_hazard_table": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+            )
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

@@ -16540,6 +16540,301 @@ FROM hits
 """
 
 
+# ---------------------------------------------------------------------------
+# q216: mutual nearest-neighbor pairs (alignment mining)
+# ---------------------------------------------------------------------------
+
+
+def q216_mutual_nn_pairs(spark, sf_dir):
+    """Mutual nearest-neighbor pair mining — the alignment primitive
+    behind bitext/translation-pair extraction and cross-crawl page
+    matching: a pair survives only if each side is the OTHER's
+    nearest neighbor, the reciprocal filter that kills the hub
+    problem (one popular point being "nearest" to thousands it does
+    not match).  Candidates come from q210's exact grid radius join
+    (symmetrized), so the semantics are mutual eps-NN: a point whose
+    true NN lies beyond eps has no candidates and drops out —
+    exactly the behavior a threshold-gated aligner wants.  q20/q24
+    emit top-k LISTS; q172 audits recall; this emits the RECIPROCAL
+    matches, a different (and much smaller) artifact.
+
+    Scale shape: the grid join's bounded 9x explode + (cell, cell)
+    equi-join, then TWO rank windows over the candidate relation
+    keyed by source id — never the point relation squared; ranking
+    uses the rounded distance both engines share, ties broken by
+    id."""
+    cand = q210_grid_epsilon_join(spark, sf_dir)
+    sym = cand.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "dist"
+    ).unionByName(
+        cand.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "dist"
+        )
+    )
+    wr = Window.partitionBy("src").orderBy(
+        F.col("dist").asc(), F.col("dst").asc()
+    )
+    nn = (
+        sym.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("src", "dst", "dist")
+    )
+    a = nn.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "dist"
+    ).where(F.col("id_a") < F.col("id_b"))
+    b = nn.select(
+        F.col("dst").alias("id_a"), F.col("src").alias("id_b")
+    ).where(F.col("id_a") < F.col("id_b"))
+    return a.join(b, ["id_a", "id_b"]).select("id_a", "id_b", "dist")
+
+
+ORACLE_Q216 = f"""
+WITH cand AS (
+{ORACLE_Q210}
+), sym AS (
+  SELECT id_a AS src, id_b AS dst, dist FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, dist FROM cand
+), nn AS (
+  SELECT src, dst, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY dist ASC, dst ASC) AS rn
+    FROM sym
+  ) WHERE rn = 1
+)
+SELECT a.src AS id_a, a.dst AS id_b, a.dist
+FROM nn a JOIN nn b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# q217: discrete-time hazard table with right-censoring
+# ---------------------------------------------------------------------------
+
+_Q217_T0 = "2024-01-01"
+_Q217_END_DAY = 29  # last fully-observed day offset (2024-01-30)
+
+
+def q217_discrete_hazard_table(spark, sf_dir):
+    """Discrete-time survival hazard table with RIGHT-CENSORING — the
+    at-risk-conditional churn curve (life-table method): per user,
+    duration = span from first to last observed day (inclusive);
+    users still active on the study's final observed day are
+    CENSORED (their churn day is unknowable, they leave the risk set
+    without counting as churn — the accounting a naive "days until
+    last event" table silently gets wrong).  Per duration d:
+    n_at_risk (duration >= d), observed churns and censorings AT d,
+    and hazard_ppm = churned/at_risk — the conditional quantity;
+    q127's retention grid is the UNconditional complement and has no
+    censoring concept.
+
+    Scale shape: one user-keyed agg to (duration, censored), then
+    everything runs on the DURATION-grouped relation (<= 30 rows):
+    the at-risk denominators are one reverse running sum over that
+    tiny relation (q143/q184 grouped-relation discipline).  All
+    integer."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.min(F.col("ts").cast("date")), F.lit(_Q217_T0).cast("date"))
+        .alias("fd"),
+        F.datediff(F.max(F.col("ts").cast("date")), F.lit(_Q217_T0).cast("date"))
+        .alias("ld"),
+    )
+    durs = per_user.select(
+        (F.col("ld") - F.col("fd") + 1).cast("bigint").alias("d"),
+        (F.col("ld") >= _Q217_END_DAY).cast("int").alias("censored"),
+    )
+    grouped = durs.groupBy("d").agg(
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_churned"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    w = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grouped.withColumn(
+            "n_at_risk",
+            F.sum(F.col("n_churned") + F.col("n_censored")).over(w)
+            .cast("bigint"),
+        )
+        .select(
+            "d",
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            F.expr(
+                "CAST(n_churned * 1000000 div n_at_risk AS BIGINT)"
+            ).alias("hazard_ppm"),
+        )
+    )
+
+
+ORACLE_Q217 = f"""
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', DATE '{_Q217_T0}', min(ts)::DATE) AS fd,
+         date_diff('day', DATE '{_Q217_T0}', max(ts)::DATE) AS ld
+  FROM events GROUP BY 1
+), durs AS (
+  SELECT CAST(ld - fd + 1 AS BIGINT) AS d,
+         CASE WHEN ld >= {_Q217_END_DAY} THEN 1 ELSE 0 END AS censored
+  FROM per_user
+), grouped AS (
+  SELECT d, CAST(sum(1 - censored) AS BIGINT) AS n_churned,
+         CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM durs GROUP BY 1
+)
+SELECT d,
+       CAST(sum(n_churned + n_censored)
+              OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_at_risk,
+       n_churned, n_censored,
+       CAST(n_churned * 1000000 //
+            sum(n_churned + n_censored)
+              OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS hazard_ppm
+FROM grouped
+"""
+
+
+# ---------------------------------------------------------------------------
+# q218: STREAMING sequence-gap / completeness audit
+# ---------------------------------------------------------------------------
+
+_Q218_NA = 400  # feed_a sequence numbers
+_Q218_NB = 200  # feed_b sequence numbers
+
+
+def q218_streaming_sequence_gaps(spark, sf_dir):
+    """STREAMING per-feed sequence-completeness audit: producers
+    stamp a monotone sequence number per feed; per (10-min window,
+    feed) the audit emits distinct-received count, observed seq
+    min/max, the MISSING count (expected span minus received) and
+    completeness ppm — the exactly-once SLO dashboard that catches a
+    producer dropping records where q179 (whole-feed silence) and
+    q185 (unknown keys) see nothing wrong.  Redelivered duplicates
+    are killed by streaming dropDuplicates on (feed, seq) BEFORE the
+    count — so the audit measures the PRODUCER's holes, not the
+    transport's retries (chained dedup-state -> agg-state, the q27
+    discipline; dedup state evicted by the same watermark).
+
+    Fixture: two feeds with deterministic holes (feed_a drops
+    seq % 19 == 7 of {_Q218_NA}, feed_b drops seq % 23 == 5 of
+    {_Q218_NB}), a redelivery batch duplicating seq % 31 == 2 rows,
+    and sentinel pusher batches that flush every real window (q150
+    pattern — the whole timeline is pure arithmetic both engines
+    rebuild)."""
+    import pandas as pd
+
+    from .sources.pages import stream_events_files, write_batch_files
+
+    t0 = pd.Timestamp(STATIC_T0_EPOCH, unit="s")
+
+    def feed_batch(rows, id_base):
+        # event_id IS the (feed-scoped) sequence number; the fixture
+        # namespaces feeds by event_type
+        return pd.DataFrame(
+            {
+                "event_id": [s for s, _, _ in rows],
+                "ts": [t0 + pd.Timedelta(seconds=sec) for _, sec, _ in rows],
+                "user_id": [0] * len(rows),
+                "event_type": [f for _, _, f in rows],
+                "value": [0.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    fa = [
+        (s, s * 4, "feed_a")
+        for s in range(_Q218_NA)
+        if s % 19 != 7
+    ]
+    fb = [
+        (s, s * 8, "feed_b")
+        for s in range(_Q218_NB)
+        if s % 23 != 5
+    ]
+    dups = [r for r in fa if r[0] % 31 == 2] + [
+        r for r in fb if r[0] % 31 == 2
+    ]
+    batches = [
+        feed_batch(fa[: len(fa) // 2] + fb[: len(fb) // 2], 0),
+        feed_batch(fa[len(fa) // 2 :] + fb[len(fb) // 2 :], 0),
+        feed_batch(dups, 0),  # transport retries — must not count
+        feed_batch([(0, 7200, "sentinel"), (1, 7207, "sentinel")], 0),
+        feed_batch([(2, 7214, "sentinel"), (3, 7221, "sentinel")], 0),
+    ]
+    src = _q_tmpdir("wrs-q-seqgap-")
+    write_batch_files(batches, src)
+
+    stream = (
+        stream_events_files(spark, src, 1)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_type", "event_id"])
+    )
+    agg = stream.groupBy(
+        F.window("ts", "10 minutes").alias("w"),
+        F.col("event_type").alias("feed"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_received"),
+        F.min("event_id").cast("bigint").alias("seq_min"),
+        F.max("event_id").cast("bigint").alias("seq_max"),
+    )
+    out = _drain(
+        agg.select(
+            F.unix_timestamp("w.start").cast("bigint").alias(
+                "window_start_epoch"
+            ),
+            "feed",
+            "n_received",
+            "seq_min",
+            "seq_max",
+        ),
+        spark,
+    )
+    return (
+        out.where(
+            (F.col("window_start_epoch") < STATIC_T0_EPOCH + 3600)
+            & (F.col("feed") != "sentinel")
+        )
+        .select(
+            "window_start_epoch",
+            "feed",
+            "n_received",
+            "seq_min",
+            "seq_max",
+            F.expr(
+                "CAST(seq_max - seq_min + 1 - n_received AS BIGINT)"
+            ).alias("n_missing"),
+            F.expr(
+                "CAST(n_received * 1000000 div (seq_max - seq_min + 1) "
+                "AS BIGINT)"
+            ).alias("completeness_ppm"),
+        )
+    )
+
+
+ORACLE_Q218 = f"""
+WITH ev AS (
+  SELECT CAST(u.i AS BIGINT) AS seq, 'feed_a' AS feed,
+         {STATIC_T0_EPOCH} + u.i * 4 AS epoch
+  FROM UNNEST(range({_Q218_NA})) AS u(i) WHERE u.i % 19 <> 7
+  UNION ALL
+  SELECT CAST(u.i AS BIGINT), 'feed_b', {STATIC_T0_EPOCH} + u.i * 8
+  FROM UNNEST(range({_Q218_NB})) AS u(i) WHERE u.i % 23 <> 5
+)
+SELECT (epoch // 600) * 600 AS window_start_epoch, feed,
+       CAST(count(*) AS BIGINT) AS n_received,
+       CAST(min(seq) AS BIGINT) AS seq_min,
+       CAST(max(seq) AS BIGINT) AS seq_max,
+       CAST(max(seq) - min(seq) + 1 - count(*) AS BIGINT) AS n_missing,
+       CAST(count(*) * 1000000 // (max(seq) - min(seq) + 1) AS BIGINT)
+         AS completeness_ppm
+FROM ev GROUP BY 1, 2
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -16553,6 +16848,9 @@ FROM hits
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q216_mutual_nn_pairs": q216_mutual_nn_pairs,
+    "q217_discrete_hazard_table": q217_discrete_hazard_table,
+    "q218_streaming_sequence_gaps": q218_streaming_sequence_gaps,
     "q213_mad_outlier_gate": q213_mad_outlier_gate,
     "q214_redirect_resolution": q214_redirect_resolution,
     "q215_kwic_concordance": q215_kwic_concordance,
@@ -16776,6 +17074,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q216_mutual_nn_pairs": ORACLE_Q216,
+    "q217_discrete_hazard_table": ORACLE_Q217,
+    "q218_streaming_sequence_gaps": ORACLE_Q218,
     "q213_mad_outlier_gate": ORACLE_Q213,
     "q214_redirect_resolution": ORACLE_Q214,
     "q215_kwic_concordance": ORACLE_Q215,
