@@ -693,6 +693,34 @@ def main() -> None:
                 "BroadcastHashJoin",
             )
         ),
+        # FD profiling: per candidate two chained hash aggs, a 4-row
+        # union — no joins
+        "q219_fd_profile": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+            )
+        ),
+        # TWA: one (user,day) window shuffle shared with the agg
+        "q220_time_weighted_average": dict(
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+                "BroadcastHashJoin",
+            )
+        ),
+        # TPC-H Q14: part broadcast, ship-date filter pushed down
+        "q221_promo_revenue_share": dict(
+            broadcast=True,
+            forbid_node=(
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "SortMergeJoin",
+            ),
+        ),
         # dedup yield: content-hash agg + q62 candidate machinery on
         # the keeper subset; lang-scale output joins (plan is
         # post-checkpoint for the CC loop, like q62)

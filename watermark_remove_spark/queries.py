@@ -16835,6 +16835,255 @@ FROM ev GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q219: approximate functional-dependency profiling (g3 error)
+# ---------------------------------------------------------------------------
+
+
+def q219_fd_profile(spark, sf_dir):
+    """Approximate functional-dependency profiling over a fixed
+    candidate set — the schema-discovery / data-contract audit
+    ("does source determine lang? is event_id really a key for
+    event_type?") scored with the PRINCIPLED violation measure from
+    the FD-discovery literature: g3 = the minimum number of rows one
+    would have to delete for the FD to hold exactly (total rows
+    minus, per LHS key, the majority RHS class), not the naive
+    "keys with >1 value" count that weights a 2-row conflict equal
+    to a 10^6-row one.  q131 profiles single COLUMNS; q152 checks a
+    DECLARED foreign key; this measures whether an UNDECLARED
+    column-to-column dependency actually holds and how badly it
+    fails.
+
+    Four candidates spanning hold-exactly (key FDs) and
+    partially-violated (real-world FDs): event_id->event_type,
+    doc_id->lang, source->lang, o_custkey->o_orderpriority.
+
+    Scale shape: per candidate, one (lhs, rhs) hash agg then one
+    lhs hash agg (both map-side-combinable); the four tiny result
+    rows union at the end — no joins anywhere."""
+
+    def g3(df, lhs, rhs, label):
+        per_pair = df.groupBy(
+            F.col(lhs).alias("k"), F.col(rhs).alias("v")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        per_key = per_pair.groupBy("k").agg(
+            F.sum("c").alias("n"),
+            F.max("c").alias("mx"),
+            F.count(F.lit(1)).alias("nv"),
+        )
+        return per_key.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum((F.col("nv") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum(F.col("n") - F.col("mx"))
+            .cast("bigint")
+            .alias("g3_rows"),
+            F.expr(
+                "CAST((sum(n) - sum(n - mx)) * 1000000 div sum(n) "
+                "AS BIGINT)"
+            ).alias("fd_strength_ppm"),
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        g3(ev, "event_id", "event_type", "event_id->event_type")
+        .unionByName(g3(docs, "doc_id", "lang", "doc_id->lang"))
+        .unionByName(g3(docs, "source", "lang", "source->lang"))
+        .unionByName(
+            g3(orders, "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority")
+        )
+    )
+
+
+def _oracle_q219() -> str:
+    def g3(table, lhs, rhs, label):
+        return f"""
+SELECT '{label}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(n - mx) AS BIGINT) AS g3_rows,
+       CAST((sum(n) - sum(n - mx)) * 1000000 // sum(n) AS BIGINT)
+         AS fd_strength_ppm
+FROM (
+  SELECT k, sum(c) AS n, max(c) AS mx, count(*) AS nv
+  FROM (SELECT {lhs} AS k, {rhs} AS v, count(*) AS c
+        FROM {table} GROUP BY 1, 2)
+  GROUP BY 1
+)"""
+
+    return " UNION ALL ".join(
+        [
+            g3("events", "event_id", "event_type", "event_id->event_type"),
+            g3("documents", "doc_id", "lang", "doc_id->lang"),
+            g3("documents", "source", "lang", "source->lang"),
+            g3(
+                "orders",
+                "o_custkey",
+                "o_orderpriority",
+                "o_custkey->o_orderpriority",
+            ),
+        ]
+    )
+
+
+ORACLE_Q219 = _oracle_q219()
+
+
+# ---------------------------------------------------------------------------
+# q220: time-weighted average (step-function integration)
+# ---------------------------------------------------------------------------
+
+
+def q220_time_weighted_average(spark, sf_dir):
+    """Time-weighted average of a sampled metric per (user, day) —
+    the billing/telemetry mean ("average concurrent value"), where
+    each observation HOLDS until the next one and the last holds to
+    the day boundary: a plain AVG over irregular samples
+    over-weights bursts of readings, the classic telemetry bug.
+    q102 FILLS gaps (emits rows); this INTEGRATES the step function
+    (emits the exact weighted mean).
+
+    Exactness: weights are integer seconds, values go through
+    DECIMAL(18,6) (the q209 discipline), the weighted sum stays
+    DECIMAL (associative, order-free), and the final mean is an
+    integer micro-value via CAST(sum*1e6 AS BIGINT) div total_dt —
+    no float summation anywhere.
+
+    Scale shape: one (user, day)-keyed window shuffle for the lead,
+    then one hash agg on the same key — Catalyst plans a single
+    Exchange for both."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    wo = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_timestamp("ts")).over(wo)
+    day_end = F.unix_timestamp(
+        F.date_add(day, 1).cast("timestamp")
+    )
+    d = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.coalesce(nxt, day_end) - F.unix_timestamp("ts")).alias("dt_s"),
+    )
+    return (
+        d.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            F.sum("dt_s").cast("bigint").alias("total_dt_s"),
+            F.sum(F.col("v") * F.col("dt_s")).alias("num"),
+        )
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            "n_samples",
+            "total_dt_s",
+            F.expr(
+                "CAST(CAST(num * 1000000 AS BIGINT) div total_dt_s "
+                "AS BIGINT)"
+            ).alias("twa_micro"),
+        )
+    )
+
+
+ORACLE_Q220 = """
+WITH d AS (
+  SELECT user_id, ts::DATE AS day,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         coalesce(
+           lead(floor(epoch(ts))::BIGINT) OVER
+             (PARTITION BY user_id, ts::DATE ORDER BY ts, event_id),
+           floor(epoch((ts::DATE + 1)::TIMESTAMP))::BIGINT
+         ) - floor(epoch(ts))::BIGINT AS dt_s
+  FROM events
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(dt_s) AS BIGINT) AS total_dt_s,
+       CAST(CAST(sum(v * dt_s) * 1000000 AS BIGINT) // sum(dt_s)
+            AS BIGINT) AS twa_micro
+FROM d GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q221: TPC-H Q14 promotion revenue share
+# ---------------------------------------------------------------------------
+
+
+def q221_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 (promotion effect), per ship month of 1995: the
+    share of revenue from PROMO-type parts — the conditional-
+    aggregation-over-a-dimension-attribute join shape (Q1=scan agg,
+    Q5=star, Q7=two-role dim, Q10=double fact filter; Q14's twist is
+    the dimension ATTRIBUTE driving a conditional numerator inside
+    one aggregate).  The textbook 100*sum(case)/sum() is float
+    division; here both revenues are DECIMAL(18,4) cleared to exact
+    BIGINT ten-thousandths and the share is integer ppm — the
+    q105-style integer-rational clearing, so the ratio itself sits
+    on the hash-compared oracle.
+
+    Scale shape: part dim broadcast, ship-date filter pushed to the
+    lineitem scan, ONE hash agg on the 12-row month key."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            (F.sum(promo) * 10000).cast("bigint").alias("promo_rev_e4"),
+            (F.sum(rev) * 10000).cast("bigint").alias("total_rev_e4"),
+        )
+        .select(
+            F.col("ship_month").cast("int").alias("ship_month"),
+            "promo_rev_e4",
+            "total_rev_e4",
+            F.expr(
+                "CAST(promo_rev_e4 * 1000000 div total_rev_e4 AS BIGINT)"
+            ).alias("promo_ppm"),
+        )
+    )
+
+
+ORACLE_Q221 = """
+WITH j AS (
+  SELECT month(l_shipdate) AS ship_month, p_type,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(18,4)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+)
+SELECT CAST(ship_month AS INTEGER) AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT)
+         AS promo_rev_e4,
+       CAST(sum(rev) * 10000 AS BIGINT) AS total_rev_e4,
+       CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000
+                 AS BIGINT) * 1000000
+            // CAST(sum(rev) * 10000 AS BIGINT) AS BIGINT) AS promo_ppm
+FROM j GROUP BY 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -16848,6 +17097,9 @@ FROM ev GROUP BY 1, 2
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q219_fd_profile": q219_fd_profile,
+    "q220_time_weighted_average": q220_time_weighted_average,
+    "q221_promo_revenue_share": q221_promo_revenue_share,
     "q216_mutual_nn_pairs": q216_mutual_nn_pairs,
     "q217_discrete_hazard_table": q217_discrete_hazard_table,
     "q218_streaming_sequence_gaps": q218_streaming_sequence_gaps,
@@ -17074,6 +17326,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q219_fd_profile": ORACLE_Q219,
+    "q220_time_weighted_average": ORACLE_Q220,
+    "q221_promo_revenue_share": ORACLE_Q221,
     "q216_mutual_nn_pairs": ORACLE_Q216,
     "q217_discrete_hazard_table": ORACLE_Q217,
     "q218_streaming_sequence_gaps": ORACLE_Q218,
