@@ -12190,10 +12190,11 @@ WITH firsts AS (
   GROUP BY 1, 2
 ),
 lat AS (
+  -- floor(epoch(...)) to mirror Spark unix_timestamp's truncation;
+  -- a bare epoch()::BIGINT cast ROUNDS in DuckDB and coin-flips
+  -- boundary rows on microsecond-bearing timestamps (the q184 bug)
   SELECT v.t::DATE AS cohort_day,
-         CAST(epoch(p.t) AS BIGINT) // 3600
-           - CAST(epoch(v.t) AS BIGINT) // 3600 AS _unused,
-         (CAST(epoch(p.t) AS BIGINT) - CAST(epoch(v.t) AS BIGINT)) // 3600
+         (floor(epoch(p.t))::BIGINT - floor(epoch(v.t))::BIGINT) // 3600
            AS lat_h
   FROM firsts v JOIN firsts p USING (user_id)
   WHERE v.event_type = 'view' AND p.event_type = 'purchase'
@@ -13164,9 +13165,9 @@ WITH hops AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type,
          event_type AS curr_type,
-         (CAST(epoch(ts) AS BIGINT)
-          - CAST(epoch(lag(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id)) AS BIGINT))
+         (floor(epoch(ts))::BIGINT
+          - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)))::BIGINT)
            // 60 AS gap_min
   FROM events
 ),
@@ -17084,6 +17085,208 @@ FROM j GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q222-q224: correlated-subquery / decorrelation family (TPC-H Q17/Q18/Q22
+# shapes) — the one classic plan axis the catalog did not yet exercise:
+# a correlated scalar subquery decorrelated into an aggregate join, a
+# HAVING-subquery semi join, and a global-scalar-subquery + anti join.
+# ---------------------------------------------------------------------------
+
+
+def q222_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lineitems whose quantity is below 20% of the average quantity
+    ordered for THAT part — the canonical CORRELATED SCALAR SUBQUERY
+    (`l_quantity < 0.2 * (SELECT avg(l_quantity) WHERE same part)`),
+    written the way an optimizer decorrelates it: one per-part
+    aggregate relation, joined back to the fact on the same key.
+
+    Exactness: the 0.2*avg comparison is cleared of division —
+    `5 * qty * n_part < sum_qty_part` over e2-scaled BIGINT
+    quantities (quantities carry <=2 decimals by schema contract),
+    so the predicate is integer-exact in both engines; revenue is
+    DECIMAL(18,4) summed then cleared to BIGINT ten-thousandths.
+
+    Scale shape: the per-part aggregate shuffles lineitem once on
+    l_partkey and the join back lands on the SAME key — Catalyst
+    co-partitions the pair (one Exchange feeds both); the part dim
+    joins broadcast.  No row ever compares against more than one
+    aggregate row (the subquery is keyed), so fan-out is 1."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty_e2 = F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum(qty_e2).alias("sum_qty_e2"),
+    )
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("decimal(18,4)")
+    small = (
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .where(F.lit(5) * qty_e2 * F.col("n_li") < F.col("sum_qty_e2"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        (F.sum(rev) * 10000).cast("bigint").alias("small_rev_e4"),
+    )
+
+
+ORACLE_Q222 = """
+WITH pa AS (
+  SELECT l_partkey AS pk, count(*) AS n_li,
+         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS sum_qty_e2
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) -
+                      CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4))) * 10000 AS BIGINT) AS small_rev_e4
+FROM lineitem
+JOIN pa ON l_partkey = pk
+JOIN part ON p_partkey = l_partkey
+WHERE 5 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * n_li
+      < sum_qty_e2
+GROUP BY 1
+"""
+
+
+def q223_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds 250 units — the HAVING-subquery semi
+    join (`o_orderkey IN (SELECT l_orderkey ... GROUP BY ... HAVING
+    sum(qty) > t)`): the filter runs on an AGGREGATED relation, and
+    only qualifying keys ever touch the orders table.
+
+    Exactness: quantities e2-scaled to BIGINT before summing; the
+    top-20 total order is pinned by (order_qty_e2 DESC, o_orderkey)
+    — o_orderkey is unique, so the limit is deterministic.
+
+    Scale shape: the qty rollup is lineitem's one shuffle (orderkey,
+    map-side combinable); the HAVING filter drops ~99% of keys
+    BEFORE the join to orders, so the join moves the small surviving
+    set; the customer dim broadcasts; top-20 plans as
+    TakeOrderedAndProject (per-partition heaps + a 20-row driver
+    merge), never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_e2 = F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_e2).alias("order_qty_e2"))
+        .where(F.col("order_qty_e2") > 250 * 100)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("o_totalprice_e2"),
+            "order_qty_e2",
+        )
+        .orderBy(F.desc("order_qty_e2"), "o_orderkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q223 = """
+WITH big AS (
+  SELECT l_orderkey,
+         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS order_qty_e2
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+         > 25000
+)
+SELECT c_name,
+       o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS o_totalprice_e2,
+       order_qty_e2
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY order_qty_e2 DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q224_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22 shape (global-market opportunity): customers whose
+    account balance beats the GLOBAL positive-balance average
+    (scalar subquery over the whole relation) but who placed no
+    order since 2000-01-01 (anti join against the recent-order key
+    set), rolled up per market segment — the uncorrelated-scalar +
+    NOT-EXISTS pair that completes the subquery family started by
+    q222 (correlated scalar) and q223 (HAVING semi).
+
+    Exactness: `bal > avg(bal)` is cleared of division as
+    `bal_e2 * n_pos > sum_pos_e2` over cent-scaled BIGINTs —
+    `round()` pins the double->cents conversion identically in both
+    engines.
+
+    Scale shape: the global aggregate is ONE row, broadcast into a
+    map-side predicate (the q174/q98 1-row-denominator discipline);
+    the recent-buyer key set is distinct fixed-width keys anti-
+    joined on custkey (one equi shuffle; at 100 TB the date filter
+    pushes to the orders scan and the distinct halves the shuffle);
+    the final rollup is segment-scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    bal_e2 = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    glob = c.where(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(bal_e2).alias("sum_pos_e2"),
+    )
+    recent = (
+        o.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = c.crossJoin(F.broadcast(glob)).where(
+        bal_e2 * F.col("n_pos") > F.col("sum_pos_e2")
+    )
+    dormant = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum(bal_e2).cast("bigint").alias("total_bal_e2"),
+    )
+
+
+ORACLE_Q224 = """
+WITH g AS (
+  SELECT count(*) AS n_pos,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_pos_e2
+  FROM customer WHERE c_acctbal > 0
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_bal_e2
+FROM customer, g
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * g.n_pos > g.sum_pos_e2
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -17097,6 +17300,9 @@ FROM j GROUP BY 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q222_small_quantity_revenue": q222_small_quantity_revenue,
+    "q223_large_volume_orders": q223_large_volume_orders,
+    "q224_dormant_high_balance": q224_dormant_high_balance,
     "q219_fd_profile": q219_fd_profile,
     "q220_time_weighted_average": q220_time_weighted_average,
     "q221_promo_revenue_share": q221_promo_revenue_share,
@@ -17326,6 +17532,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q222_small_quantity_revenue": ORACLE_Q222,
+    "q223_large_volume_orders": ORACLE_Q223,
+    "q224_dormant_high_balance": ORACLE_Q224,
     "q219_fd_profile": ORACLE_Q219,
     "q220_time_weighted_average": ORACLE_Q220,
     "q221_promo_revenue_share": ORACLE_Q221,
