@@ -17287,6 +17287,383 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q225: Theil–Sen robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+# LCM(1..29): every possible day-gap dx in a <=30-day window divides it,
+# so (dy * LCM) / dx is an EXACT integer — pairwise slopes become
+# comparable/sortable BIGINTs with zero rounding.  2.33e12; with daily
+# counts |dy| <= ~4e5 the product stays under 2^63 (document DECIMAL(38)
+# intermediates if a deployment's daily deltas exceed ~3.9e6).
+_TS_LCM = 2329089562800
+
+
+def q225_theil_sen_slope(spark, sf_dir):
+    """Per-event-type Theil–Sen activity trend: the MEDIAN of all
+    pairwise day-to-day slopes — the robust complement of q164's OLS
+    (one crazy crawl day drags a least-squares slope arbitrarily far;
+    the median of C(n,2) pairwise slopes moves only when HALF the
+    pairs move, breakdown point ~29%).
+
+    Exactness: slope(i,j) = (y_j−y_i)/(x_j−x_i) is scaled by
+    LCM(1..29) — every gap in a ≤30-day window divides it, so each
+    pairwise slope is an EXACT BIGINT and the median is nearest-rank
+    (lower) over those integers; the reported milli-slope uses the
+    q164 sign-explicit truncation (Spark `div` truncates, DuckDB `//`
+    floors — they differ on the negative slopes this data produces).
+
+    Scale shape: the corpus is touched by ONE linear (type, day) hash
+    agg; the pair generator self-joins the DAYS relation per type
+    (≤ C(30,2) = 435 rows/type — the q171 bounded-pair argument);
+    the median rank window runs on that same bounded relation."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff("d", "d0").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    a = pts.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = (
+        a.join(b, (F.col("event_type") == F.col("et2")) & (F.col("x2") > F.col("x1")))
+        .select(
+            "event_type",
+            F.expr(f"(y2 - y1) * {_TS_LCM} div (x2 - x1)").alias("slope_scaled"),
+            "x1",
+            "x2",
+        )
+    )
+    wrank = Window.partitionBy("event_type").orderBy("slope_scaled", "x1", "x2")
+    wall = Window.partitionBy("event_type")
+    ranked = pairs.withColumn("rk", F.row_number().over(wrank)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(wall)
+    )
+    med = ranked.where(F.expr("rk = (n_pairs + 1) div 2")).select(
+        "event_type",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope_scaled").alias("med_slope_scaled"),
+    )
+    ndays = pts.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return med.join(ndays, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "n_pairs",
+        "med_slope_scaled",
+        F.expr(
+            "CAST((CASE WHEN med_slope_scaled > 0 THEN 1 "
+            "WHEN med_slope_scaled < 0 THEN -1 ELSE 0 END) "
+            f"* ((1000 * abs(med_slope_scaled)) div {_TS_LCM}) AS BIGINT)"
+        ).alias("slope_milli"),
+    )
+
+
+ORACLE_Q225 = f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT min(ts::DATE) AS d0 FROM events),
+pts AS (
+  SELECT event_type, CAST(d - d0.d0 AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM daily, d0
+),
+pairs AS (
+  SELECT a.event_type,
+         (b.y - a.y) * {_TS_LCM} // (b.x - a.x) AS slope_scaled,
+         a.x AS x1, b.x AS x2
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND b.x > a.x
+),
+ranked AS (
+  SELECT event_type, slope_scaled,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_scaled, x1, x2) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+),
+med AS (
+  SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+         slope_scaled AS med_slope_scaled
+  FROM ranked WHERE rk = (n_pairs + 1) // 2
+),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM pts GROUP BY 1)
+SELECT med.event_type, nd.n_days, med.n_pairs, med.med_slope_scaled,
+       CAST((CASE WHEN med_slope_scaled > 0 THEN 1
+                  WHEN med_slope_scaled < 0 THEN -1 ELSE 0 END)
+            * ((1000 * abs(med_slope_scaled)) // {_TS_LCM}) AS BIGINT)
+         AS slope_milli
+FROM med JOIN nd ON med.event_type = nd.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q226: Merkle-style hierarchical snapshot diff (anti-entropy sync audit)
+# ---------------------------------------------------------------------------
+
+
+def q226_merkle_snapshot_diff(spark, sf_dir):
+    """Hierarchical (Merkle-tree-style) diff between two corpus
+    snapshots — the rsync/anti-entropy discipline: compare 64 BUCKET
+    digests first, drill to row level ONLY inside dirty buckets.
+    q119 diffs two snapshots row by row (one full-outer join over
+    everything); at 100 TB the bucket pass is a pair of linear aggs
+    and the expensive row-level join touches only the dirty slice —
+    `rows_rowlevel` prices exactly that saving.
+
+    Snapshot B is a documented deterministic perturbation of A
+    (the q119 fixture discipline): doc_id%101==0 deleted,
+    doc_id%17==0 re-digested (changed), and for doc_id%97==0 a new
+    row appears at doc_id+1000000.
+
+    Exactness: row digest = portable 60-bit md5; bucket digest =
+    commutative DECIMAL(38,0) SUM of row digests (the q92 checksum
+    discipline — order- and partitioning-independent, no overflow at
+    any corpus size); a bucket is dirty iff (count, sum) differ.
+
+    Scale shape: two linear (bucket) aggs with map-side partials; the
+    64-row bucket join is metadata-scale; the row-level full-outer
+    join is gated by a semi join against the dirty-bucket list."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dig_a = md5_i64_expr(F.col("text"), salt="snap#")
+    a = docs.select(
+        F.col("doc_id").alias("id"), dig_a.alias("dig")
+    )
+    changed = md5_i64_expr(F.col("text"), salt="v2#")
+    b_kept = docs.where(F.expr("doc_id % 101 != 0")).select(
+        F.col("doc_id").alias("id"),
+        F.when(F.expr("doc_id % 17 = 0"), changed).otherwise(dig_a).alias("dig"),
+    )
+    b_new = docs.where(F.expr("doc_id % 97 = 0")).select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        md5_i64_expr(F.col("text"), salt="new#").alias("dig"),
+    )
+    b = b_kept.unionByName(b_new)
+
+    def level1(df, n_name, s_name):
+        return df.groupBy(F.expr("id % 64").alias("bucket")).agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.sum(F.col("dig").cast("decimal(38,0)")).alias(s_name),
+        )
+
+    l1 = (
+        level1(a, "n_a", "s_a")
+        .join(level1(b, "n_b", "s_b"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+            (
+                ~(
+                    F.col("n_a").eqNullSafe(F.col("n_b"))
+                    & F.col("s_a").eqNullSafe(F.col("s_b"))
+                )
+            )
+            .cast("int")
+            .alias("dirty"),
+        )
+    )
+    dirty = l1.where(F.col("dirty") == 1).select("bucket")
+    aj = a.withColumn("bucket", F.expr("id % 64")).join(
+        F.broadcast(dirty), "bucket", "left_semi"
+    )
+    bj = b.withColumn("bucket", F.expr("id % 64")).join(
+        F.broadcast(dirty), "bucket", "left_semi"
+    )
+    drill = (
+        aj.select("bucket", "id", F.col("dig").alias("da"))
+        .join(
+            bj.select(F.col("id").alias("idb"), F.col("dig").alias("db")),
+            F.col("id") == F.col("idb"),
+            "full",
+        )
+        .select(
+            F.coalesce("bucket", F.expr("idb % 64")).alias("bkt"),
+            F.when(F.col("id").isNotNull() & F.col("idb").isNotNull()
+                   & (F.col("da") != F.col("db")), 1).otherwise(0).alias("chg"),
+            F.when(F.col("idb").isNull(), 1).otherwise(0).alias("rem"),
+            F.when(F.col("id").isNull(), 1).otherwise(0).alias("add"),
+            F.lit(1).alias("one"),
+        )
+        .groupBy("bkt")
+        .agg(
+            F.sum("chg").alias("n_changed"),
+            F.sum("rem").alias("n_removed"),
+            F.sum("add").alias("n_added"),
+        )
+    )
+    return (
+        l1.join(drill, l1.bucket == drill.bkt, "left")
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            "dirty",
+            F.coalesce("n_changed", F.lit(0)).cast("bigint").alias("n_changed"),
+            F.coalesce("n_added", F.lit(0)).cast("bigint").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.when(F.col("dirty") == 1, F.col("n_a") + F.col("n_b"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rows_rowlevel"),
+        )
+    )
+
+
+def _oracle_q226() -> str:
+    dig_a = duck_md5_i64("text", salt="snap#")
+    dig_c = duck_md5_i64("text", salt="v2#")
+    dig_n = duck_md5_i64("text", salt="new#")
+    return f"""
+WITH a AS (
+  SELECT doc_id AS id, {dig_a} AS dig FROM documents
+),
+b AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 17 = 0 THEN {dig_c} ELSE {dig_a} END AS dig
+  FROM documents WHERE doc_id % 101 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, {dig_n} AS dig
+  FROM documents WHERE doc_id % 97 = 0
+),
+la AS (SELECT id % 64 AS bucket, count(*) AS n_a,
+              sum(CAST(dig AS DECIMAL(38,0))) AS s_a FROM a GROUP BY 1),
+lb AS (SELECT id % 64 AS bucket, count(*) AS n_b,
+              sum(CAST(dig AS DECIMAL(38,0))) AS s_b FROM b GROUP BY 1),
+l1 AS (
+  SELECT coalesce(la.bucket, lb.bucket) AS bucket,
+         CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+         CASE WHEN n_a IS NOT DISTINCT FROM n_b
+               AND s_a IS NOT DISTINCT FROM s_b THEN 0 ELSE 1 END AS dirty
+  FROM la FULL JOIN lb ON la.bucket = lb.bucket
+),
+dirtyb AS (SELECT bucket FROM l1 WHERE dirty = 1),
+aj AS (SELECT id % 64 AS bucket, id, dig FROM a
+       WHERE id % 64 IN (SELECT bucket FROM dirtyb)),
+bj AS (SELECT id % 64 AS bucket, id, dig FROM b
+       WHERE id % 64 IN (SELECT bucket FROM dirtyb)),
+drill AS (
+  SELECT coalesce(aj.bucket, bj.bucket) AS bkt,
+         sum(CASE WHEN aj.id IS NOT NULL AND bj.id IS NOT NULL
+                   AND aj.dig != bj.dig THEN 1 ELSE 0 END) AS n_changed,
+         sum(CASE WHEN bj.id IS NULL THEN 1 ELSE 0 END) AS n_removed,
+         sum(CASE WHEN aj.id IS NULL THEN 1 ELSE 0 END) AS n_added
+  FROM aj FULL JOIN bj ON aj.id = bj.id
+  GROUP BY 1
+)
+SELECT l1.bucket, l1.n_a, l1.n_b, l1.dirty,
+       CAST(coalesce(n_changed, 0) AS BIGINT) AS n_changed,
+       CAST(coalesce(n_added, 0) AS BIGINT) AS n_added,
+       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(CASE WHEN dirty = 1 THEN n_a + n_b ELSE 0 END AS BIGINT)
+         AS rows_rowlevel
+FROM l1 LEFT JOIN drill ON l1.bucket = drill.bkt
+"""
+
+
+ORACLE_Q226 = _oracle_q226()
+
+
+# ---------------------------------------------------------------------------
+# q227: peak session concurrency via distributed sweep line
+# ---------------------------------------------------------------------------
+
+
+def q227_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day — the interval-stabbing /
+    sweep-line statistic (capacity planning: "how many sessions were
+    EVER open at once?").  Sessions are q11's 5-minute-gap windows;
+    each emits a +1 boundary at its start and a −1 at its end, and
+    concurrency is the running sum over boundaries ordered by
+    (t, delta) — delta −1 sorting first, so a session ending exactly
+    when another starts never overlaps it.
+
+    Scale shape: the running sum is NOT a global single-partition
+    window — it is the classic two-phase distributed prefix sum:
+    per-hour partial sums, a cumulative pass over the HOURS relation
+    (metadata-scale, the q128 bounded-domain argument), offsets
+    joined back, and the within-hour window partitioned BY HOUR
+    (parallel).  The oracle computes the same thing with one flat
+    window, proving the two-phase decomposition exact.  RANGE frames
+    (both engines' default) make tie groups atomic, so equal-(t,
+    delta) boundaries collapse deterministically."""
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("sw.start").alias("t0"),
+            F.unix_timestamp("sw.end").alias("t1"),
+        )
+    )
+    bounds = sess.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    bounds = bounds.withColumn("h", F.expr("t div 3600"))
+    hourly = bounds.groupBy("h").agg(F.sum("delta").alias("hsum"))
+    wh = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = hourly.select(
+        "h", F.coalesce(F.sum("hsum").over(wh), F.lit(0)).alias("off")
+    )
+    wrun = Window.partitionBy("h").orderBy("t", "delta")
+    running = (
+        bounds.join(offsets, "h")
+        .withColumn("run", F.sum("delta").over(wrun) + F.col("off"))
+    )
+    return (
+        running.groupBy(F.expr("t div 86400").alias("day_idx"))
+        .agg(
+            F.max("run").cast("bigint").alias("peak_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_starts"),
+        )
+        .select(F.col("day_idx").cast("bigint"), "peak_concurrent", "n_starts")
+    )
+
+
+ORACLE_Q227 = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 5 minutes OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sess AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+         CAST(floor(epoch(max(ts) + INTERVAL 5 minutes)) AS BIGINT) AS t1
+  FROM numbered GROUP BY user_id, session_id
+), bounds AS (
+  SELECT t0 AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT t1 AS t, -1 AS delta FROM sess
+), running AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta) AS run
+  FROM bounds
+)
+SELECT CAST(t // 86400 AS BIGINT) AS day_idx,
+       CAST(max(run) AS BIGINT) AS peak_concurrent,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+FROM running GROUP BY 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -17300,6 +17677,9 @@ GROUP BY 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q225_theil_sen_slope": q225_theil_sen_slope,
+    "q226_merkle_snapshot_diff": q226_merkle_snapshot_diff,
+    "q227_peak_concurrency": q227_peak_concurrency,
     "q222_small_quantity_revenue": q222_small_quantity_revenue,
     "q223_large_volume_orders": q223_large_volume_orders,
     "q224_dormant_high_balance": q224_dormant_high_balance,
@@ -17532,6 +17912,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q225_theil_sen_slope": ORACLE_Q225,
+    "q226_merkle_snapshot_diff": ORACLE_Q226,
+    "q227_peak_concurrency": ORACLE_Q227,
     "q222_small_quantity_revenue": ORACLE_Q222,
     "q223_large_volume_orders": ORACLE_Q223,
     "q224_dormant_high_balance": ORACLE_Q224,
