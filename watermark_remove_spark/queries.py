@@ -17664,6 +17664,298 @@ FROM running GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q228: STREAMING event-time re-sequencer (out-of-order -> ordered repair)
+# ---------------------------------------------------------------------------
+
+
+def _events_stream_fixture_scrambled(spark, sf_dir, n_files: int = 4) -> str:
+    """The q66/q75 time-ordered fixture with each micro-batch's rows
+    SCRAMBLED (sorted by md5 of event_id): cross-batch event-time
+    monotonicity holds (so nothing is late), but within-batch arrival
+    order is garbage — exactly the input a re-sequencer exists for."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .sources.pages import write_batch_files
+
+    ev = (
+        pq.read_table(f"{sf_dir}/events.parquet")
+        .to_pandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    sent = pd.DataFrame(
+        {
+            "event_id": [10**15, 10**15 + 1],
+            "ts": [pd.Timestamp("2027-01-01"), pd.Timestamp("2027-01-01T01:00:00")],
+            "user_id": [SENTINEL_USER, SENTINEL_USER],
+            "event_type": ["sentinel", "sentinel"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    per = (len(ev) + n_files - 1) // n_files
+    batches = []
+    for i in range(n_files):
+        b = ev.iloc[i * per : (i + 1) * per]
+        if len(b):
+            key = b["event_id"].map(
+                lambda x: hashlib.md5(str(x).encode()).hexdigest()
+            )
+            batches.append(b.assign(_k=key).sort_values("_k").drop(columns="_k"))
+    batches += [sent.iloc[:1], sent.iloc[1:]]
+    src = _q_tmpdir("wrs-q-reseq-")
+    write_batch_files(batches, src)
+    return src
+
+
+def q228_streaming_resequencer(spark, sf_dir):
+    """STREAMING event-time re-sequencer: per-user events released in
+    (ts, event_id) order with a per-key emission sequence number,
+    each exactly once, as soon as the watermark proves no earlier
+    event can still arrive — the out-of-order-to-ordered repair
+    operator every in-order consumer (CDC apply, per-user timeline,
+    change feed) needs in front of it.  Nothing else in the catalog
+    emits ORDER on a stream: the stateful aggs emit aggregates and
+    the joins emit matches; this emits the rows themselves, ordered.
+
+    ORACLE-CHECKED: arrival order within each micro-batch is
+    deliberately SCRAMBLED (md5 order) — only cross-batch event-time
+    monotonicity holds, as in any log-structured ingest — and the
+    emitted seq must still equal the batch row_number() over
+    (ts, event_id) per user: flushes release only watermark-proven
+    prefixes, so concatenated flushes ARE the sorted order
+    (streaming/resequence.py has the two-line proof).
+
+    Scale shape: buffered rows per key are bounded by the watermark
+    horizon; the seq counter is one int64 per ever-seen key (the
+    q108 user-universe bound); keys re-arm an event-time timeout at
+    watermark+1ms so buffers drain without new arrivals."""
+    from .sources.pages import stream_events_files
+    from .streaming.resequence import resequence_stream
+
+    src = _events_stream_fixture_scrambled(spark, sf_dir)
+    ev = stream_events_files(spark, src, 1)
+    out = _drain(resequence_stream(ev), spark)
+    return out.where(F.col("user_id") != SENTINEL_USER).select(
+        "user_id", "event_id", "seq", "ts_epoch"
+    )
+
+
+ORACLE_Q228 = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS seq,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# q229: multi-touch linear attribution with exact credit conservation
+# ---------------------------------------------------------------------------
+
+
+def q229_linear_attribution(spark, sf_dir):
+    """Multi-touch LINEAR attribution: each purchase's 1000
+    milli-credits are split equally over ALL the user's preceding
+    touches in the 24 h before it (q174 gives everything to the last
+    touch; production attribution reads both and argues).  Integer
+    credits conserve EXACTLY: base = 1000 div k per touch and the
+    remainder goes to the r EARLIEST touches (largest-remainder rule,
+    deterministic because every remainder ties and (ts, event_id) is
+    unique) — so sum(credit) == 1000 * attributed_purchases, an
+    identity the result exposes and the driver re-hashes every run.
+
+    Scale shape: purchases join touches on user_id (ONE equi
+    shuffle); fan-out is the user's 24 h activity, bounded by the
+    horizon like the streaming interval joins (q75); the rank window
+    partitions by purchase (parallel, fan-out-scale); channel rollup
+    is TYPE-scale."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    wp = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wk = Window.partitionBy("p_id")
+    credited = (
+        joined.withColumn("rk", F.row_number().over(wp))
+        .withColumn("k", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "credit_milli",
+            F.expr("1000 div k + CASE WHEN rk <= 1000 % k THEN 1 ELSE 0 END"),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.sum("credit_milli").cast("bigint").alias("credit_milli"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("p_id").cast("bigint").alias("n_purchases_touched"),
+    )
+
+
+ORACLE_Q229 = """
+WITH joined AS (
+  SELECT p.event_id AS p_id, t.event_id AS t_id,
+         t.event_type AS channel, t.ts AS t_ts
+  FROM events p JOIN events t
+    ON p.user_id = t.user_id
+   AND p.event_type = 'purchase' AND t.event_type != 'purchase'
+   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 24 HOURS
+),
+credited AS (
+  SELECT channel,
+         1000 // k + CASE WHEN rk <= 1000 % k THEN 1 ELSE 0 END
+           AS credit_milli,
+         p_id
+  FROM (
+    SELECT channel, p_id,
+           row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rk,
+           count(*) OVER (PARTITION BY p_id) AS k
+    FROM joined
+  )
+)
+SELECT channel,
+       CAST(sum(credit_milli) AS BIGINT) AS credit_milli,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases_touched
+FROM credited GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q230: linear-interpolation gap fill (the numeric complement of q102)
+# ---------------------------------------------------------------------------
+
+
+def q230_interpolated_gapfill(spark, sf_dir):
+    """Per-user hourly gap fill by LINEAR INTERPOLATION between the
+    surrounding samples — q102 forward-fills (a step function); a
+    numeric telemetry series (load, temperature, queue depth) wants
+    the line between samples instead.  For each consecutive pair of
+    sample hours (h0,v0) -> (h1,v1), the missing hours strictly
+    between get v0 + (v1-v0)·(h-h0)/(h1-h0), computed in cent-scaled
+    integers with the q164 sign-explicit truncation (deltas CAN be
+    negative, and Spark's div truncates where DuckDB's // floors).
+
+    Hour value = the LAST sample in the hour by (ts, event_id) —
+    deterministic under ties.  No extrapolation: leading/trailing
+    hours stay absent (interpolation needs both endpoints; q102 owns
+    the hold-last semantics).
+
+    Scale shape: ONE (user, hour) agg (max_by, map-side combinable),
+    one lead window per user over the HOURS relation (bounded-domain,
+    the q102/q128 argument), missing hours generated DISTRIBUTED via
+    sequence()+explode — never a calendar crossJoin."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id",
+        (F.expr("floor(unix_timestamp(ts) / 3600)") * 3600)
+        .cast("bigint")
+        .alias("h"),
+    ).agg(
+        F.expr(
+            "max_by(CAST(round(value * 100) AS BIGINT), struct(ts, event_id))"
+        ).alias("v_e2")
+    )
+    wl = Window.partitionBy("user_id").orderBy("h")
+    seg = hourly.select(
+        "user_id",
+        F.col("h").alias("h0"),
+        F.col("v_e2").alias("v0"),
+        F.lead("h").over(wl).alias("h1"),
+        F.lead("v_e2").over(wl).alias("v1"),
+    ).where(F.col("h1").isNotNull() & (F.col("h1") > F.col("h0") + 3600))
+    filled = seg.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("h0") + 3600, F.col("h1") - 3600, F.lit(3600)
+            )
+        ).alias("hour_epoch"),
+        "h0",
+        "v0",
+        "h1",
+        "v1",
+    ).select(
+        "user_id",
+        "hour_epoch",
+        F.expr(
+            "CAST(v0 + (CASE WHEN v1 >= v0 THEN 1 ELSE -1 END) * "
+            "((abs(v1 - v0) * ((hour_epoch - h0) div 3600)) "
+            "div ((h1 - h0) div 3600)) AS BIGINT)"
+        ).alias("v_e2"),
+        F.lit(1).alias("interpolated"),
+    )
+    present = hourly.select(
+        "user_id",
+        F.col("h").alias("hour_epoch"),
+        F.col("v_e2").cast("bigint").alias("v_e2"),
+        F.lit(0).alias("interpolated"),
+    )
+    return present.unionByName(filled).select(
+        "user_id",
+        "hour_epoch",
+        "v_e2",
+        F.col("interpolated").cast("int").alias("interpolated"),
+    )
+
+
+ORACLE_Q230 = """
+WITH ranked AS (
+  SELECT user_id,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS h,
+         CAST(round(value * 100) AS BIGINT) AS v_e2,
+         row_number() OVER (
+           PARTITION BY user_id,
+                        CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+hourly AS (
+  SELECT user_id, h, v_e2 FROM ranked WHERE rn = 1
+),
+seg AS (
+  SELECT user_id, h AS h0, v_e2 AS v0,
+         lead(h) OVER (PARTITION BY user_id ORDER BY h) AS h1,
+         lead(v_e2) OVER (PARTITION BY user_id ORDER BY h) AS v1
+  FROM hourly
+),
+filled AS (
+  SELECT user_id, CAST(unnest(generate_series(h0 + 3600, h1 - 3600, 3600))
+           AS BIGINT) AS hour_epoch,
+         h0, v0, h1, v1
+  FROM seg WHERE h1 IS NOT NULL AND h1 > h0 + 3600
+)
+SELECT user_id, hour_epoch,
+       CAST(v0 + (CASE WHEN v1 >= v0 THEN 1 ELSE -1 END) *
+            ((abs(v1 - v0) * ((hour_epoch - h0) // 3600))
+             // ((h1 - h0) // 3600)) AS BIGINT) AS v_e2,
+       1 AS interpolated
+FROM filled
+UNION ALL
+SELECT user_id, h AS hour_epoch, CAST(v_e2 AS BIGINT) AS v_e2,
+       0 AS interpolated
+FROM hourly
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -17677,6 +17969,9 @@ FROM running GROUP BY 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q228_streaming_resequencer": q228_streaming_resequencer,
+    "q229_linear_attribution": q229_linear_attribution,
+    "q230_interpolated_gapfill": q230_interpolated_gapfill,
     "q225_theil_sen_slope": q225_theil_sen_slope,
     "q226_merkle_snapshot_diff": q226_merkle_snapshot_diff,
     "q227_peak_concurrency": q227_peak_concurrency,
@@ -17912,6 +18207,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q228_streaming_resequencer": ORACLE_Q228,
+    "q229_linear_attribution": ORACLE_Q229,
+    "q230_interpolated_gapfill": ORACLE_Q230,
     "q225_theil_sen_slope": ORACLE_Q225,
     "q226_merkle_snapshot_diff": ORACLE_Q226,
     "q227_peak_concurrency": ORACLE_Q227,
