@@ -17956,6 +17956,224 @@ FROM hourly
 """
 
 
+# ---------------------------------------------------------------------------
+# q231: per-group argmin equality join (TPC-H Q2 shape)
+# ---------------------------------------------------------------------------
+
+
+def q231_preferred_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier): for every part, the
+    supplier(s) achieving the MINIMUM unit price across its
+    lineitems — the correlated-min subquery (`price = (SELECT
+    min(price) WHERE same part)`) decorrelated into a per-part min
+    relation joined back on EQUALITY of (part, min) — the argmin
+    join, third member of the subquery family after q222 (correlated
+    avg), q223 (HAVING semi) and q224 (global scalar + anti).
+
+    Exactness: unit price is DEFINED as integer micro-units with
+    explicit truncation — (price_e2 * 10000) div qty_e2 — so the
+    argmin is over BIGINTs and tie sets are identical in both
+    engines; Q2 keeps all ties, here they are counted and the
+    reported winner is the deterministic min suppkey among them.
+
+    Scale shape: unit prices shuffle once on l_partkey; the min
+    relation and the join back land on the SAME key (one Exchange
+    feeds both, the q222 pattern); output is part-relation scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    up = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " * 10000) div CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100"
+            " AS BIGINT)"
+        ).alias("unit_micro"),
+    )
+    mins = up.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("unit_micro").alias("min_unit_micro")
+    )
+    best = up.join(
+        mins,
+        (F.col("l_partkey") == F.col("pk"))
+        & (F.col("unit_micro") == F.col("min_unit_micro")),
+    )
+    return best.groupBy("l_partkey").agg(
+        F.max("min_unit_micro").cast("bigint").alias("min_unit_micro"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_best_suppliers"),
+        F.min("l_suppkey").cast("bigint").alias("best_suppkey"),
+    )
+
+
+ORACLE_Q231 = """
+WITH up AS (
+  SELECT l_partkey, l_suppkey,
+         (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          * 10000) // CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS unit_micro
+  FROM lineitem
+),
+mins AS (
+  SELECT l_partkey AS pk, min(unit_micro) AS min_unit_micro
+  FROM up GROUP BY 1
+)
+SELECT l_partkey,
+       CAST(max(min_unit_micro) AS BIGINT) AS min_unit_micro,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_best_suppliers,
+       CAST(min(l_suppkey) AS BIGINT) AS best_suppkey
+FROM up JOIN mins ON l_partkey = pk AND unit_micro = min_unit_micro
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q232: time-RANGE-frame trailing window features
+# ---------------------------------------------------------------------------
+
+
+def q232_trailing_window_features(spark, sf_dir):
+    """Per-event TRAILING 30-MINUTE activity features via a RANGE
+    window frame over epoch seconds — the frame mechanism nothing
+    else in the catalog exercises: q55's moving frame counts ROWS
+    (3 rows regardless of how much time they span); a rate/burst
+    feature needs "everything in the last 1800 seconds", which is a
+    VALUE-based frame.  RANGE frames are also tie-deterministic by
+    construction: rows with equal order keys share one frame, so no
+    tie-break column is needed (both engines define RANGE this way).
+
+    Output per event: trailing count, trailing cent-exact value sum,
+    and a burst flag (>= 8 events in the half hour) — the sustained-
+    pressure feature q187's per-minute peak cannot see.
+
+    Scale shape: one user-key window shuffle; the frame is evaluated
+    by each engine's sliding algorithm over the per-user sort — no
+    self-join blowup (the naive form is an interval self-join)."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.unix_timestamp("ts").alias("es")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-1799, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        e,
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30m"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .over(w)
+        .cast("bigint")
+        .alias("sum_e2_30m"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("es").cast("bigint").alias("ts_epoch"),
+        "n_30m",
+        "sum_e2_30m",
+        (F.col("n_30m") >= 8).cast("int").alias("burst"),
+    )
+
+
+ORACLE_Q232 = """
+SELECT user_id, event_id,
+       CAST(es AS BIGINT) AS ts_epoch,
+       CAST(count(*) OVER w AS BIGINT) AS n_30m,
+       CAST(sum(v_e2) OVER w AS BIGINT) AS sum_e2_30m,
+       CAST(CASE WHEN count(*) OVER w >= 8 THEN 1 ELSE 0 END AS INT) AS burst
+FROM (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CAST(round(value * 100) AS BIGINT) AS v_e2
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 1799 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q233: disjunctive multi-band predicate join (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+
+def q233_multiband_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs): each
+    disjunct pairs a part-side condition (brand + size band) with a
+    fact-side condition (quantity band), and the query is their OR —
+    the predicate STRUCTURE that separates an optimizer that can only
+    push conjuncts from one that derives pushable residuals (the
+    fact-side OR of quantity bands confines the scan to qty <= 30
+    regardless of brand).  Everything else in the catalog filters
+    with conjunctions; this is the catalog's disjunction stress.
+
+    Exactness: revenue DECIMAL(18,4) cleared to BIGINT
+    ten-thousandths (q221 discipline); quantity bands compared on
+    e2-scaled BIGINTs.
+
+    Scale shape: part dim broadcast; the OR evaluates map-side after
+    the join; per-band rollup is 3 rows.  The fact-side qty<=30
+    envelope is applied EXPLICITLY before the join — the manual form
+    of the residual derivation, guaranteeing the scan prunes even
+    where the engine's CNF conversion would not."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty_e2 = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    li = li.where(F.expr(f"{qty_e2} <= 4000"))  # derived envelope
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("decimal(18,4)")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    band = F.expr(
+        f"""CASE
+          WHEN p_brand = 'Brand#12' AND p_size <= 20
+               AND {qty_e2} BETWEEN 100 AND 1500 THEN 'band1'
+          WHEN p_brand = 'Brand#23' AND p_size <= 30
+               AND {qty_e2} BETWEEN 1000 AND 2500 THEN 'band2'
+          WHEN p_brand = 'Brand#9' AND p_size <= 40
+               AND {qty_e2} BETWEEN 2000 AND 4000 THEN 'band3'
+          ELSE NULL END"""
+    )
+    return (
+        j.withColumn("band", band)
+        .where(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            (F.sum(rev) * 10000).cast("bigint").alias("revenue_e4"),
+        )
+    )
+
+
+ORACLE_Q233 = """
+WITH j AS (
+  SELECT p_brand, p_size,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q_e2,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(18,4)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) <= 4000
+),
+banded AS (
+  SELECT CASE
+           WHEN p_brand = 'Brand#12' AND p_size <= 20
+                AND q_e2 BETWEEN 100 AND 1500 THEN 'band1'
+           WHEN p_brand = 'Brand#23' AND p_size <= 30
+                AND q_e2 BETWEEN 1000 AND 2500 THEN 'band2'
+           WHEN p_brand = 'Brand#9' AND p_size <= 40
+                AND q_e2 BETWEEN 2000 AND 4000 THEN 'band3'
+           ELSE NULL END AS band,
+         rev
+  FROM j
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(rev) * 10000 AS BIGINT) AS revenue_e4
+FROM banded WHERE band IS NOT NULL
+GROUP BY 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -17969,6 +18187,9 @@ FROM hourly
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q231_preferred_supplier": q231_preferred_supplier,
+    "q232_trailing_window_features": q232_trailing_window_features,
+    "q233_multiband_disjunctive_revenue": q233_multiband_disjunctive_revenue,
     "q228_streaming_resequencer": q228_streaming_resequencer,
     "q229_linear_attribution": q229_linear_attribution,
     "q230_interpolated_gapfill": q230_interpolated_gapfill,
@@ -18207,6 +18428,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q231_preferred_supplier": ORACLE_Q231,
+    "q232_trailing_window_features": ORACLE_Q232,
+    "q233_multiband_disjunctive_revenue": ORACLE_Q233,
     "q228_streaming_resequencer": ORACLE_Q228,
     "q229_linear_attribution": ORACLE_Q229,
     "q230_interpolated_gapfill": ORACLE_Q230,
