@@ -18174,6 +18174,222 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q234: exact global quantiles via two-pass bucket selection (no global sort)
+# ---------------------------------------------------------------------------
+
+
+def q234_exact_global_quantiles(spark, sf_dir):
+    """EXACT global p50/p90/p99 of a corpus-scale high-cardinality
+    column WITHOUT a global sort — the two-pass selection every
+    warehouse runs where `ORDER BY` over 10^12 rows is not an option:
+    pass 1 is a linear bucket histogram (value div 4096) whose
+    cumulative walk locates, per target rank, THE bucket containing
+    it; pass 2 ranks only inside those buckets (a ~1/4096 slice).
+    q36's exact percentiles sort per small GROUP (state = the group's
+    multiset); q71's HDR sketch is approximate; this is exact AND
+    global.
+
+    Nearest-rank convention: r = (N·p + 99) div 100 (the q71
+    convention), value = the r-th smallest.  All integer.
+
+    Scale shape: ONE linear (bucket) hash agg; the cumulative walk
+    and target location run on the BUCKET relation (bounded domain —
+    price span / 4096); pass 2 is a broadcast semi join of the corpus
+    against ≤3 bucket ids, and the rank window sees only in-bucket
+    rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("v")
+    ).withColumn("bucket", F.expr("v div 4096"))
+    hist = vals.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("n"))
+    targets = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "cum_before",
+            "cnt",
+            "n",
+            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("p"),
+        )
+        .withColumn("rnk", F.expr("(n * p + 99) div 100"))
+        .where(
+            (F.col("cum_before") < F.col("rnk"))
+            & (F.col("rnk") <= F.col("cum_before") + F.col("cnt"))
+        )
+        .select("p", "rnk", "n", F.col("bucket").alias("tb"), "cum_before")
+    )
+    cand = vals.join(F.broadcast(targets), F.col("bucket") == F.col("tb"))
+    wrk = Window.partitionBy("p").orderBy("v")
+    return (
+        cand.withColumn("rk", F.row_number().over(wrk))
+        .where(F.expr("rk = rnk - cum_before"))
+        .select(
+            F.col("p").cast("int").alias("p"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("v").cast("bigint").alias("value_e2"),
+        )
+    )
+
+
+ORACLE_Q234 = """
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+),
+n AS (SELECT count(*) AS n FROM v),
+t(p) AS (VALUES (50), (90), (99)),
+r AS (SELECT p, (n.n * p + 99) // 100 AS rnk, n.n FROM t, n),
+o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+SELECT CAST(p AS INT) AS p,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(v AS BIGINT) AS value_e2
+FROM r JOIN o ON o.rn = r.rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# q235: int8 embedding quantization (ANN-serving compression)
+# ---------------------------------------------------------------------------
+
+
+def q235_embedding_quantization(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the
+    compression step an ANN serving tier runs before shipping vectors
+    to memory-bound index nodes (4x smaller, SIMD-dot-product-ready).
+    Per vector: scale = max|component|, q_i = trunc(127·x_i / scale)
+    — and the whole thing is INTEGER-EXACT cross-engine because
+    components are first cleared to micro-units via round(x·10^6)
+    (the q122 discipline) and the per-element quantization uses
+    sign-explicit integer division.
+
+    The result carries its own error certificate: max_err_scaled =
+    max_i |127·s_i − q_i·scale| is the exact numerator of the
+    reconstruction error, provably < scale (division remainder), so
+    relative error ≤ 1/127 — asserted per row in-query via err_ok.
+
+    Scale shape: pure map-side higher-order array functions (zero
+    shuffle, zero Python); the checksum is position-weighted so a
+    permutation cannot hash-collide."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(CAST(embedding AS ARRAY<DOUBLE>), "
+                "x -> CAST(round(x * 1000000) AS BIGINT))"
+            ).alias("s"),
+        )
+        .withColumn(
+            "scale",
+            F.expr("greatest(array_max(transform(s, x -> abs(x))), 1L)"),
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                "transform(s, x -> (CASE WHEN x >= 0 THEN 1 ELSE -1 END) "
+                "* ((abs(x) * 127) div scale))"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.col("scale").cast("bigint").alias("scale"),
+            F.expr(
+                "aggregate(zip_with(q, sequence(1, size(q)), (a, b) -> a * b), "
+                "0L, (acc, x) -> acc + x)"
+            )
+            .cast("bigint")
+            .alias("q_checksum"),
+            F.expr(
+                "array_max(zip_with(s, q, (a, b) -> abs(127 * a - b * scale)))"
+            )
+            .cast("bigint")
+            .alias("max_err_scaled"),
+            F.expr(
+                "CAST(array_max(zip_with(s, q, (a, b) -> "
+                "abs(127 * a - b * scale))) < scale AS INT)"
+            ).alias("err_ok"),
+        )
+    )
+
+
+ORACLE_Q235 = """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS sv
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, sv,
+         greatest(list_max(list_transform(sv, x -> abs(x))), 1) AS scale
+  FROM s
+),
+q AS (
+  SELECT vec_id, sv, scale,
+         list_transform(sv, x -> (CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+                                 * ((abs(x) * 127) // scale)) AS qv
+  FROM sc
+)
+SELECT vec_id,
+       CAST(scale AS BIGINT) AS scale,
+       CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                    i -> qv[i] * i)) AS BIGINT) AS q_checksum,
+       CAST(list_max(list_transform(range(1, len(qv) + 1),
+            i -> abs(127 * sv[i] - qv[i] * scale))) AS BIGINT)
+         AS max_err_scaled,
+       CAST(CASE WHEN list_max(list_transform(range(1, len(qv) + 1),
+            i -> abs(127 * sv[i] - qv[i] * scale))) < scale
+            THEN 1 ELSE 0 END AS INT) AS err_ok
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# q236: one-pass multi-distinct aggregate (Expand plan)
+# ---------------------------------------------------------------------------
+
+
+def q236_multi_distinct_profile(spark, sf_dir):
+    """Several COUNT(DISTINCT ...) over DIFFERENT key sets in ONE
+    statement — distinct users, distinct active days, and distinct
+    (user, day) pairs per event type, plus the plain count.  The plan
+    axis this exercises is Expand: the engine replicates each input
+    row once per distinct-group and de-duplicates all groups through
+    a single shuffle — one pass over the corpus where the naive form
+    is three separate scans/shuffles (q131 profiles per-column NDV by
+    melting; this is the native multi-distinct path a BI layer
+    emits).
+
+    All-integer output; day derived with to_date under the session's
+    pinned UTC zone (both engines agree)."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("nd_users"),
+        F.countDistinct(d).cast("bigint").alias("nd_days"),
+        F.countDistinct("user_id", d).cast("bigint").alias("nd_user_days"),
+    )
+
+
+ORACLE_Q236 = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users,
+       CAST(count(DISTINCT ts::DATE) AS BIGINT) AS nd_days,
+       CAST(count(DISTINCT (user_id, ts::DATE)) AS BIGINT) AS nd_user_days
+FROM events GROUP BY 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -18187,6 +18403,9 @@ GROUP BY 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q234_exact_global_quantiles": q234_exact_global_quantiles,
+    "q235_embedding_quantization": q235_embedding_quantization,
+    "q236_multi_distinct_profile": q236_multi_distinct_profile,
     "q231_preferred_supplier": q231_preferred_supplier,
     "q232_trailing_window_features": q232_trailing_window_features,
     "q233_multiband_disjunctive_revenue": q233_multiband_disjunctive_revenue,
@@ -18428,6 +18647,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q234_exact_global_quantiles": ORACLE_Q234,
+    "q235_embedding_quantization": ORACLE_Q235,
+    "q236_multi_distinct_profile": ORACLE_Q236,
     "q231_preferred_supplier": ORACLE_Q231,
     "q232_trailing_window_features": ORACLE_Q232,
     "q233_multiband_disjunctive_revenue": ORACLE_Q233,
