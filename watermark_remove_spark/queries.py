@@ -18390,6 +18390,248 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q237: top navigation paths (session path mining)
+# ---------------------------------------------------------------------------
+
+
+def q237_top_session_paths(spark, sf_dir):
+    """Top-10 session PATHS — the ordered event-type string of each
+    5-minute-gap session ('view>click>purchase'), counted across the
+    corpus: the product-analytics "top paths" report.  q129 counts
+    individual transitions and q202 keeps only the endpoints; the
+    path keeps the WHOLE ordered journey as the unit of counting.
+
+    Determinism: the per-session event order is (ts, event_id) —
+    enforced by sorting the collected (ts, event_id, type) structs
+    (collect_list order is partition-arbitrary; array_sort pins it);
+    DuckDB mirrors with ORDER BY inside string_agg.  Top-10 under
+    (n DESC, path ASC).
+
+    Scale shape: ONE user-key window shuffle for sessionization, one
+    (user, session) agg whose state is the session's own events
+    (bounded by the gap rule — the q86 reassembly argument), a
+    PATH-relation hash agg, and TakeOrderedAndProject for the
+    top-10."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            # exact timestamp arithmetic (microsecond gaps count), the
+            # same `>` the oracle's interval comparison uses
+            F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 5 MINUTES"),
+            1,
+        )
+        .otherwise(0),
+    ).withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = marked.groupBy("user_id", "sid").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+ORACLE_Q237 = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 5 minutes OR
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered GROUP BY 1, 2
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q238: OHLC time-bucket downsampling
+# ---------------------------------------------------------------------------
+
+
+def q238_ohlc_downsample(spark, sf_dir):
+    """OHLC downsampling — compact an event-value series to one
+    (open, high, low, close, n) row per (user, hour): the lossy
+    compaction telemetry and market-data stores run before archival,
+    preserving the envelope a dashboard actually draws.  q220
+    integrates the step function (one mean); OHLC keeps the
+    endpoints and extremes instead.
+
+    Determinism: open/close are the values at the MIN/MAX
+    (ts, event_id) struct — unique because event_id is; values
+    cent-scaled BIGINTs.
+
+    Scale shape: ONE (user, hour) hash agg — min_by/max_by carry a
+    single (key, value) pair of state per group, fully map-side
+    combinable; no window, no sort."""
+    ev = _t(spark, sf_dir, "events")
+    v = "CAST(round(value * 100) AS BIGINT)"
+    return ev.groupBy(
+        "user_id",
+        (F.expr("floor(unix_timestamp(ts) / 3600)") * 3600)
+        .cast("bigint")
+        .alias("hour_epoch"),
+    ).agg(
+        F.expr(f"min_by({v}, struct(ts, event_id))").alias("open_e2"),
+        F.expr(f"max({v})").alias("high_e2"),
+        F.expr(f"min({v})").alias("low_e2"),
+        F.expr(f"max_by({v}, struct(ts, event_id))").alias("close_e2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+    )
+
+
+ORACLE_Q238 = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+         CAST(round(value * 100) AS BIGINT) AS v_e2,
+         row_number() OVER (
+           PARTITION BY user_id,
+                        CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+           ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (
+           PARTITION BY user_id,
+                        CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+           ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT user_id, hour_epoch,
+       CAST(max(CASE WHEN rn_open = 1 THEN v_e2 END) AS BIGINT) AS open_e2,
+       CAST(max(v_e2) AS BIGINT) AS high_e2,
+       CAST(min(v_e2) AS BIGINT) AS low_e2,
+       CAST(max(CASE WHEN rn_close = 1 THEN v_e2 END) AS BIGINT) AS close_e2,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM base GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q239: nearest as-of join with tolerance (bidirectional, argmin |dt|)
+# ---------------------------------------------------------------------------
+
+
+def q239_nearest_asof_join(spark, sf_dir):
+    """NEAREST as-of join with tolerance — for every purchase, the
+    user's view event with the SMALLEST |time difference| within
+    ±30 minutes, or null if none (pandas merge_asof's
+    direction='nearest', the mode the catalog's backward as-of
+    family — q29/q93/q163 — cannot express): sensor/event alignment
+    where the reference reading may sit on either side.
+
+    Determinism: argmin by (|dt|, view_ts, view_id) — a backward and
+    a forward candidate at the same distance resolve to the earlier
+    view.
+
+    Scale shape: the q210 grid discipline on the time axis —
+    purchases explode to their tolerance-sized bucket ±1 (bounded
+    3x), candidates join on pure (user, bucket) EQUALITY with the
+    |dt| residual inside the join (each view sits in exactly ONE
+    bucket, so a pair meets exactly once); the argmin window runs on
+    the candidate relation; unmatched purchases return via one left
+    join on the purchase key."""
+    ev = _t(spark, sf_dir, "events")
+    tol = 1800
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_timestamp("ts").alias("p_es"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("v_id"),
+        F.unix_timestamp("ts").alias("v_es"),
+    ).withColumn("vb", F.expr(f"v_es div {tol}"))
+    pex = p.select(
+        "p_id",
+        "p_user",
+        "p_es",
+        F.explode(
+            F.expr(f"sequence(p_es div {tol} - 1, p_es div {tol} + 1)")
+        ).alias("pb"),
+    )
+    cand = pex.join(
+        v,
+        (F.col("p_user") == F.col("v_user")) & (F.col("pb") == F.col("vb")),
+    ).where(F.expr(f"abs(v_es - p_es) <= {tol}"))
+    wbest = Window.partitionBy("p_id").orderBy(
+        F.expr("abs(v_es - p_es)"), "v_es", "v_id"
+    )
+    best = (
+        cand.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("p_id").alias("b_id"),
+            "v_id",
+            (F.col("v_es") - F.col("p_es")).alias("dt_sec"),
+        )
+    )
+    return p.join(best, F.col("p_id") == F.col("b_id"), "left").select(
+        "p_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_es").cast("bigint").alias("purchase_epoch"),
+        F.col("v_id").cast("bigint").alias("nearest_view_id"),
+        F.col("dt_sec").cast("bigint").alias("dt_sec"),
+        F.col("v_id").isNotNull().cast("int").alias("matched"),
+    )
+
+
+ORACLE_Q239 = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS p_user,
+         CAST(floor(epoch(ts)) AS BIGINT) AS p_es
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id AS v_user, event_id AS v_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS v_es
+  FROM events WHERE event_type = 'view'
+),
+cand AS (
+  SELECT p_id, v_id, v_es - p_es AS dt_sec,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY abs(v_es - p_es), v_es, v_id) AS rk
+  FROM p JOIN v ON p_user = v_user AND abs(v_es - p_es) <= 1800
+)
+SELECT p.p_id, p.p_user AS user_id, p.p_es AS purchase_epoch,
+       CAST(c.v_id AS BIGINT) AS nearest_view_id,
+       CAST(c.dt_sec AS BIGINT) AS dt_sec,
+       CAST(CASE WHEN c.v_id IS NULL THEN 0 ELSE 1 END AS INT) AS matched
+FROM p LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c ON p.p_id = c.p_id
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -18403,6 +18645,9 @@ FROM events GROUP BY 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q237_top_session_paths": q237_top_session_paths,
+    "q238_ohlc_downsample": q238_ohlc_downsample,
+    "q239_nearest_asof_join": q239_nearest_asof_join,
     "q234_exact_global_quantiles": q234_exact_global_quantiles,
     "q235_embedding_quantization": q235_embedding_quantization,
     "q236_multi_distinct_profile": q236_multi_distinct_profile,
@@ -18647,6 +18892,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q237_top_session_paths": ORACLE_Q237,
+    "q238_ohlc_downsample": ORACLE_Q238,
+    "q239_nearest_asof_join": ORACLE_Q239,
     "q234_exact_global_quantiles": ORACLE_Q234,
     "q235_embedding_quantization": ORACLE_Q235,
     "q236_multi_distinct_profile": ORACLE_Q236,
