@@ -18632,6 +18632,213 @@ FROM p LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c ON p.p_id = c.p_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q240: SCD2 validity-interval integrity audit (gaps / overlaps / no-current)
+# ---------------------------------------------------------------------------
+
+_Q240_FAR = 9_000_000_000
+
+
+def q240_scd2_integrity_audit(spark, sf_dir):
+    """SCD2 dimension QA — the three invariants every temporal join
+    (q29/q93/q163) silently ASSUMES and nothing so far AUDITS: per
+    key, consecutive versions must tile the timeline with no GAP
+    (lead vf > vt: as-of lookups inside the hole match nothing), no
+    OVERLAP (lead vf < vt: lookups match two versions — fan-out), and
+    exactly one CURRENT row (vt = the far sentinel).  A dimension
+    team runs this as a load gate; a violation here is why an
+    enrichment join suddenly drops or duplicates rows.
+
+    Fixture: a deterministic 3-version dimension per source with
+    INJECTED defects — src%5==0 gets a 50 s gap, src%7==0 a 60 s
+    overlap, src%11==0 a closed (no-current) tail — so every defect
+    class is live and the clean keys prove the audit doesn't
+    over-flag.
+
+    Scale shape: ONE key-ordered window (lead) over the VERSIONS
+    relation (dimension-scale, never facts), one per-key agg."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("source").distinct().select(
+        "source", F.expr("CAST(substring(source, 4) AS BIGINT)").alias("s")
+    )
+    t0 = 1_000_000
+    dim = base.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"""array(
+              struct(CAST({t0} AS BIGINT) AS vf,
+                     CAST({t0} + 1000 AS BIGINT) AS vt),
+              struct(CAST({t0} + 1000 + (CASE WHEN s % 5 = 0 THEN 50
+                                         ELSE 0 END) AS BIGINT) AS vf,
+                     CAST({t0} + 2000 AS BIGINT) AS vt),
+              struct(CAST({t0} + 2000 - (CASE WHEN s % 7 = 0 THEN 60
+                                         ELSE 0 END) AS BIGINT) AS vf,
+                     CAST(CASE WHEN s % 11 = 0 THEN {t0} + 3000
+                          ELSE {_Q240_FAR} END AS BIGINT) AS vt))"""
+            )
+        ).alias("v"),
+    ).select("source", "v.vf", "v.vt")
+    w = Window.partitionBy("source").orderBy("vf")
+    audited = dim.withColumn("next_vf", F.lead("vf").over(w))
+    return audited.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        F.sum(
+            F.when(F.col("next_vf") > F.col("vt"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_gaps"),
+        F.sum(
+            F.when(F.col("next_vf") < F.col("vt"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_overlaps"),
+        F.max(
+            (F.col("vt") == F.lit(_Q240_FAR)).cast("int")
+        )
+        .cast("int")
+        .alias("has_current"),
+    )
+
+
+ORACLE_Q240 = f"""
+WITH base AS (
+  SELECT DISTINCT source,
+         CAST(substring(source, 4, 10) AS BIGINT) AS s
+  FROM documents
+),
+dim AS (
+  SELECT source, CAST(1000000 AS BIGINT) AS vf,
+         CAST(1001000 AS BIGINT) AS vt FROM base
+  UNION ALL
+  SELECT source,
+         CAST(1001000 + (CASE WHEN s % 5 = 0 THEN 50 ELSE 0 END) AS BIGINT),
+         CAST(1002000 AS BIGINT) FROM base
+  UNION ALL
+  SELECT source,
+         CAST(1002000 - (CASE WHEN s % 7 = 0 THEN 60 ELSE 0 END) AS BIGINT),
+         CAST(CASE WHEN s % 11 = 0 THEN 1003000
+              ELSE {_Q240_FAR} END AS BIGINT) FROM base
+),
+audited AS (
+  SELECT source, vf, vt,
+         lead(vf) OVER (PARTITION BY source ORDER BY vf) AS next_vf
+  FROM dim
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN next_vf > vt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       CAST(sum(CASE WHEN next_vf < vt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlaps,
+       CAST(max(CASE WHEN vt = {_Q240_FAR} THEN 1 ELSE 0 END) AS INT)
+         AS has_current
+FROM audited GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q241: expanding distinct count (running first-seen accumulation)
+# ---------------------------------------------------------------------------
+
+
+def q241_expanding_distinct(spark, sf_dir):
+    """EXPANDING distinct count — at every event, how many DISTINCT
+    event types has this user produced so far?  The engagement-
+    breadth curve feature stores materialize per interaction.  A
+    naive implementation is count(distinct) over an expanding frame —
+    quadratic state; here it is two windows over ONE user-key
+    Exchange: a first-seen flag (row_number over (user, type) = 1)
+    and its running sum — O(1) state per row, exact.
+
+    Determinism: both windows order by the unique (ts, event_id);
+    ROWS frames throughout.
+
+    Scale shape: one Exchange on user_id feeds both windows (Catalyst
+    plans a single sort); no joins, no distinct shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "is_new_type", (F.row_number().over(wt) == 1).cast("int")
+        )
+        .withColumn(
+            "distinct_types_so_far",
+            F.sum("is_new_type").over(wu).cast("bigint"),
+        )
+        .select("user_id", "event_id", "is_new_type", "distinct_types_so_far")
+    )
+
+
+ORACLE_Q241 = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_new_type
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(is_new_type AS INT) AS is_new_type,
+       CAST(sum(is_new_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_types_so_far
+FROM flagged
+"""
+
+
+# ---------------------------------------------------------------------------
+# q242: customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+def q242_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): the HISTOGRAM OF
+    COUNTS — how many customers placed exactly k orders since
+    2000-01-01, INCLUDING k = 0 — the left-outer-join-into-aggregate
+    shape whose trap is the zero class: an inner join silently drops
+    the customers with no orders, and they are exactly the rows a
+    churn analysis is after (the recency filter keeps the zero class
+    non-empty on this data, where every customer has SOME order).
+
+    Scale shape: the left join shuffles on custkey; the per-customer
+    count is map-side combinable; the final histogram groups the
+    CUSTOMER-scale relation by count."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    ).select(F.col("c_count").cast("bigint"), "custdist")
+
+
+ORACLE_Q242 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+    ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -18645,6 +18852,9 @@ FROM p LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c ON p.p_id = c.p_id
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q240_scd2_integrity_audit": q240_scd2_integrity_audit,
+    "q241_expanding_distinct": q241_expanding_distinct,
+    "q242_order_count_distribution": q242_order_count_distribution,
     "q237_top_session_paths": q237_top_session_paths,
     "q238_ohlc_downsample": q238_ohlc_downsample,
     "q239_nearest_asof_join": q239_nearest_asof_join,
@@ -18892,6 +19102,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q240_scd2_integrity_audit": ORACLE_Q240,
+    "q241_expanding_distinct": ORACLE_Q241,
+    "q242_order_count_distribution": ORACLE_Q242,
     "q237_top_session_paths": ORACLE_Q237,
     "q238_ohlc_downsample": ORACLE_Q238,
     "q239_nearest_asof_join": ORACLE_Q239,
