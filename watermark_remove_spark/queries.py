@@ -18839,6 +18839,312 @@ FROM per_cust GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q243: majority-vote NULL imputation (constraint-based data repair)
+# ---------------------------------------------------------------------------
+
+
+def q243_majority_imputation(spark, sf_dir):
+    """Constraint-based DATA REPAIR: rows with a NULL lang are imputed
+    with their source's MODAL lang (q219 measured that source->lang
+    mostly holds; this puts the dependency to work) — the standard
+    repair before a lang-partitioned write or per-lang budget.  Ties
+    break alphabetically; a source with NO non-null rows cannot be
+    repaired and is reported as residual, never guessed.
+
+    Null injection is structural and mirrored in both engines (the
+    q60/q131 discipline): doc_id%13==0 nulls, plus src7 nulled WHOLE
+    so the unrepairable class is live.
+
+    Scale shape: modal lang via one (source, lang) hash agg + a rank
+    window on that GROUPED relation (q51 discipline); the repair
+    itself is a broadcast join of the source-scale modal table."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.expr("doc_id % 13 = 0")) | (F.col("source") == "src7"), None
+        )
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    counts = (
+        docs.where(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wm = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    modal = (
+        counts.withColumn("rk", F.row_number().over(wm))
+        .where(F.col("rk") == 1)
+        .select(F.col("source").alias("msrc"), F.col("lang").alias("modal_lang"))
+    )
+    joined = docs.join(
+        F.broadcast(modal), F.col("source") == F.col("msrc"), "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("lang").isNull().cast("int")).cast("bigint").alias("n_nulls"),
+        F.max("modal_lang").alias("modal_lang"),
+        F.sum(
+            (F.col("lang").isNull() & F.col("modal_lang").isNotNull()).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_imputed"),
+        F.sum(
+            (F.col("lang").isNull() & F.col("modal_lang").isNull()).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_residual"),
+    )
+
+
+ORACLE_Q243 = """
+WITH docs AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 OR source = 'src7' THEN NULL
+              ELSE lang END AS lang
+  FROM documents
+),
+counts AS (
+  SELECT source, lang, count(*) AS c
+  FROM docs WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+modal AS (
+  SELECT source AS msrc, lang AS modal_lang
+  FROM (SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang) AS rk
+        FROM counts)
+  WHERE rk = 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN d.lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       max(m.modal_lang) AS modal_lang,
+       CAST(sum(CASE WHEN d.lang IS NULL AND m.modal_lang IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       CAST(sum(CASE WHEN d.lang IS NULL AND m.modal_lang IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
+FROM docs d LEFT JOIN modal m ON d.source = m.msrc
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q244: bitemporal as-of lookup (valid time x transaction time)
+# ---------------------------------------------------------------------------
+
+_Q244_FAR = 9_000_000_000
+
+
+def q244_bitemporal_lookup(spark, sf_dir):
+    """BITEMPORAL as-of — the two-axis temporal lookup an audited
+    warehouse must answer: "what tier did we BELIEVE (transaction
+    time) source s had, EFFECTIVE AT (valid time) v?"  q59 time-
+    travels transaction time only; q163 joins valid time only; real
+    corrections need both — a tx-200 correction rewrites the PAST
+    (splits validity at 1000) without destroying what tx-150 readers
+    saw.
+
+    Fixture: per source, initial belief (tier 1, valid forever,
+    known from tx 100); at tx 200 a correction supersedes it with a
+    split (tier 1 before valid-1000, tier 2 after) — EXCEPT src%3==0
+    sources, where the correction never arrived.  The probe grid is
+    (tx 150, 250) x (valid 500, 1500).
+
+    The bitemporal INVARIANT — for any (tx, v) instant exactly ONE
+    row is current-and-effective — is emitted per probe (n_matches)
+    so the driver hash re-proves it every run.
+
+    Scale shape: the dimension is versions-scale; the 4-instant probe
+    grid broadcasts; predicates (tf <= tx < tt AND vf <= v < vt)
+    evaluate inside one join."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("source").distinct().select(
+        "source", F.expr("CAST(substring(source, 4) AS BIGINT)").alias("s")
+    )
+    far = _Q244_FAR
+    dim = base.select(
+        "source",
+        "s",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN s % 3 = 0 THEN array(
+              struct(CAST(0 AS BIGINT) AS vf, CAST({far} AS BIGINT) AS vt,
+                     CAST(100 AS BIGINT) AS tf, CAST({far} AS BIGINT) AS tt,
+                     1 AS tier))
+            ELSE array(
+              struct(CAST(0 AS BIGINT) AS vf, CAST({far} AS BIGINT) AS vt,
+                     CAST(100 AS BIGINT) AS tf, CAST(200 AS BIGINT) AS tt,
+                     1 AS tier),
+              struct(CAST(0 AS BIGINT) AS vf, CAST(1000 AS BIGINT) AS vt,
+                     CAST(200 AS BIGINT) AS tf, CAST({far} AS BIGINT) AS tt,
+                     1 AS tier),
+              struct(CAST(1000 AS BIGINT) AS vf, CAST({far} AS BIGINT) AS vt,
+                     CAST(200 AS BIGINT) AS tf, CAST({far} AS BIGINT) AS tt,
+                     2 AS tier)) END"""
+            )
+        ).alias("r"),
+    ).select("source", "r.vf", "r.vt", "r.tf", "r.tt", "r.tier")
+    grid = spark.createDataFrame(
+        [(150, 500), (150, 1500), (250, 500), (250, 1500)],
+        "tx_asof long, valid_at long",
+    )
+    probed = dim.crossJoin(F.broadcast(grid)).where(
+        (F.col("tf") <= F.col("tx_asof"))
+        & (F.col("tx_asof") < F.col("tt"))
+        & (F.col("vf") <= F.col("valid_at"))
+        & (F.col("valid_at") < F.col("vt"))
+    )
+    return probed.groupBy("source", "tx_asof", "valid_at").agg(
+        F.max("tier").cast("int").alias("tier"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+    )
+
+
+ORACLE_Q244 = f"""
+WITH base AS (
+  SELECT DISTINCT source, CAST(substring(source, 4, 10) AS BIGINT) AS s
+  FROM documents
+),
+dim AS (
+  SELECT source, CAST(0 AS BIGINT) AS vf, CAST({_Q244_FAR} AS BIGINT) AS vt,
+         CAST(100 AS BIGINT) AS tf,
+         CAST(CASE WHEN s % 3 = 0 THEN {_Q244_FAR} ELSE 200 END AS BIGINT)
+           AS tt,
+         1 AS tier
+  FROM base
+  UNION ALL
+  SELECT source, 0, 1000, 200, {_Q244_FAR}, 1 FROM base WHERE s % 3 != 0
+  UNION ALL
+  SELECT source, 1000, {_Q244_FAR}, 200, {_Q244_FAR}, 2 FROM base
+  WHERE s % 3 != 0
+),
+grid(tx_asof, valid_at) AS (
+  VALUES (CAST(150 AS BIGINT), CAST(500 AS BIGINT)), (150, 1500),
+         (250, 500), (250, 1500)
+)
+SELECT source, tx_asof, valid_at,
+       CAST(max(tier) AS INT) AS tier,
+       CAST(count(*) AS BIGINT) AS n_matches
+FROM dim, grid
+WHERE tf <= tx_asof AND tx_asof < tt AND vf <= valid_at AND valid_at < vt
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q245: OLS forecast backtest (temporal train/test split, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def q245_forecast_backtest(spark, sf_dir):
+    """Temporally-split FORECAST BACKTEST — fit q164's integer OLS on
+    all days EXCEPT the last, predict the held-out final day, report
+    the signed error: the train/test discipline every forecasting
+    pipeline needs (fitting on everything and scoring in-sample
+    flatters the model; the split must be TEMPORAL, not random).
+
+    Exactness: prediction ŷ(x*) = (i_num + s_num·x*) / den where
+    s_num = n·Σxy − Σx·Σy, i_num = Σy·Σx² − Σx·Σxy, den = n·Σx² −
+    (Σx)² — one shared denominator, all BIGINT; the error milli-count
+    uses the q164 sign-explicit truncation.
+
+    Scale shape: ONE (type, day) corpus agg; train filter, moments,
+    and the prediction all run on the DAYS relation; the test row
+    joins back on the type key."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff("d", "d0").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    xmax = pts.groupBy(F.col("event_type").alias("et2")).agg(
+        F.max("x").alias("x_test")
+    )
+    px = pts.join(xmax, F.col("event_type") == F.col("et2"))
+    train = px.where(F.col("x") < F.col("x_test")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    test = px.where(F.col("x") == F.col("x_test")).select(
+        F.col("event_type").alias("et3"),
+        F.col("x").alias("xt"),
+        F.col("y").alias("y_actual"),
+    )
+    return (
+        train.join(test, F.col("event_type") == F.col("et3"))
+        .withColumn("s_num", F.expr("n * sxy - sx * sy"))
+        .withColumn("i_num", F.expr("sy * sxx - sx * sxy"))
+        .withColumn("den", F.expr("n * sxx - sx * sx"))
+        .withColumn("pred_num", F.expr("i_num + s_num * xt"))
+        .withColumn("err_num", F.expr("pred_num - y_actual * den"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_train_days"),
+            F.col("xt").cast("bigint").alias("x_test"),
+            F.col("y_actual").cast("bigint").alias("y_actual"),
+            F.col("pred_num").cast("bigint").alias("pred_num"),
+            F.col("den").cast("bigint").alias("den"),
+            F.expr(
+                "CAST((CASE WHEN err_num > 0 THEN 1 WHEN err_num < 0 THEN -1"
+                " ELSE 0 END) * ((1000 * abs(err_num)) div den) AS BIGINT)"
+            ).alias("err_milli"),
+        )
+    )
+
+
+ORACLE_Q245 = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT min(ts::DATE) AS d0 FROM events),
+pts AS (
+  SELECT event_type, CAST(d - d0.d0 AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM daily, d0
+),
+xmax AS (SELECT event_type, max(x) AS x_test FROM pts GROUP BY 1),
+train AS (
+  SELECT p.event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts p JOIN xmax m ON p.event_type = m.event_type
+  WHERE p.x < m.x_test GROUP BY 1
+),
+test AS (
+  SELECT p.event_type, p.x AS xt, p.y AS y_actual
+  FROM pts p JOIN xmax m ON p.event_type = m.event_type AND p.x = m.x_test
+),
+calc AS (
+  SELECT t.event_type, t.n, s.xt, s.y_actual,
+         t.sy * t.sxx - t.sx * t.sxy
+           + (t.n * t.sxy - t.sx * t.sy) * s.xt AS pred_num,
+         t.n * t.sxx - t.sx * t.sx AS den
+  FROM train t JOIN test s ON t.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_train_days,
+       CAST(xt AS BIGINT) AS x_test,
+       CAST(y_actual AS BIGINT) AS y_actual,
+       CAST(pred_num AS BIGINT) AS pred_num,
+       CAST(den AS BIGINT) AS den,
+       CAST((CASE WHEN pred_num - y_actual * den > 0 THEN 1
+                  WHEN pred_num - y_actual * den < 0 THEN -1 ELSE 0 END)
+            * ((1000 * abs(pred_num - y_actual * den)) // den) AS BIGINT)
+         AS err_milli
+FROM calc
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -18852,6 +19158,9 @@ FROM per_cust GROUP BY 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q243_majority_imputation": q243_majority_imputation,
+    "q244_bitemporal_lookup": q244_bitemporal_lookup,
+    "q245_forecast_backtest": q245_forecast_backtest,
     "q240_scd2_integrity_audit": q240_scd2_integrity_audit,
     "q241_expanding_distinct": q241_expanding_distinct,
     "q242_order_count_distribution": q242_order_count_distribution,
@@ -19102,6 +19411,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q243_majority_imputation": ORACLE_Q243,
+    "q244_bitemporal_lookup": ORACLE_Q244,
+    "q245_forecast_backtest": ORACLE_Q245,
     "q240_scd2_integrity_audit": ORACLE_Q240,
     "q241_expanding_distinct": ORACLE_Q241,
     "q242_order_count_distribution": ORACLE_Q242,
