@@ -14636,16 +14636,14 @@ _Q197_BANDS = 4     # 4 x 15-bit bands -> complete for hamming <= 3
 _Q197_HAM_MAX = _Q197_BANDS - 1
 
 
-def _q197_pix_spark(col: str) -> str:
-    L = f"length({col})"
-    P = _Q197_PIX
-    return (
-        f"transform(sequence(0, {P - 1}), j -> "
-        f"IF(((j+1) * {L}) div {P} <= (j * {L}) div {P}, 0L, "
-        f"aggregate(sequence((j * {L}) div {P} + 1, ((j+1) * {L}) div {P}),"
-        f" 0L, (s, i) -> s + ascii(substring({col}, CAST(i AS INT), 1)))"
-        f" div (((j+1) * {L}) div {P} - (j * {L}) div {P})))"
-    )
+def _q197_ahash_udf():
+    """The vectorized aHash media kernel — see functions/ahash.py for
+    the numpy implementation and the performance history (two
+    pure-Catalyst HOF versions measured 625 s / 493 s at sf0.1; the
+    Arrow-batched kernel ~2 s, bit-identical semantics)."""
+    from .functions.ahash import ahash_udf
+
+    return ahash_udf
 
 
 def _q197_pix_duck(col: str) -> str:
@@ -14705,17 +14703,8 @@ def q197_ahash_media_dedup(spark, sf_dir):
             )
         )
     )
-    hashed = (
-        media.withColumn("pix", F.expr(_q197_pix_spark("payload")))
-        .withColumn("ptot", F.expr("aggregate(pix, 0L, (a, x) -> a + x)"))
-        .select(
-            "media_id",
-            F.expr(
-                f"aggregate(sequence(0, {_Q197_PIX - 1}), 0L, (s, j) -> s +"
-                f" IF(element_at(pix, CAST(j+1 AS INT)) * {_Q197_PIX} > ptot,"
-                " shiftleft(1L, CAST(j AS INT)), 0L))"
-            ).alias("ahash"),
-        )
+    hashed = media.select(
+        "media_id", _q197_ahash_udf()(F.col("payload")).alias("ahash")
     )
     bands = hashed.select(
         "media_id",
@@ -19145,6 +19134,294 @@ FROM calc
 """
 
 
+# ---------------------------------------------------------------------------
+# q246: paired sign test (nonparametric engagement-shift guardrail)
+# ---------------------------------------------------------------------------
+
+
+def q246_paired_sign_test(spark, sf_dir):
+    """PAIRED SIGN TEST — per user-cohort, did per-user activity shift
+    between the first and second half of the observation window?
+    Each user is their own control (the pairing kills between-user
+    variance); the statistic needs no distributional assumption:
+    count users who went up vs down, drop ties, and test
+    |pos − neg| against the binomial null via the cleared normal
+    approximation 1000·(pos−neg)² ≥ 3841·(pos+neg) — all integers,
+    the q157 discipline (q157 compares two INDEPENDENT cohorts;
+    pairing is the within-subject member of the family).
+
+    Scale shape: ONE linear (user, half) agg with map-side partials;
+    the pairing pivot and sign counts run on the USER-scale relation;
+    the 1-row midpoint broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            (F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts")))
+            / 2
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.unix_timestamp("ts") < F.col("mid")).cast("int")
+            ).alias("n_early"),
+            F.sum(
+                (F.unix_timestamp("ts") >= F.col("mid")).cast("int")
+            ).alias("n_late"),
+        )
+        .withColumn("diff", F.col("n_late") - F.col("n_early"))
+    )
+    return (
+        halves.groupBy(F.expr("user_id % 4").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum((F.col("diff") > 0).cast("int")).cast("bigint").alias("n_up"),
+            F.sum((F.col("diff") < 0).cast("int")).cast("bigint").alias("n_down"),
+            F.sum((F.col("diff") == 0).cast("int")).cast("bigint").alias("n_tied"),
+        )
+        .select(
+            F.col("cohort").cast("bigint"),
+            "n_users",
+            "n_up",
+            "n_down",
+            "n_tied",
+            F.expr(
+                "CAST(CASE WHEN 1000 * (n_up - n_down) * (n_up - n_down)"
+                " >= 3841 * (n_up + n_down) THEN 1 ELSE 0 END AS INT)"
+            ).alias("significant"),
+        )
+    )
+
+
+ORACLE_Q246 = """
+WITH mid AS (
+  SELECT CAST((min(floor(epoch(ts))::BIGINT)
+               + max(floor(epoch(ts))::BIGINT)) / 2 AS BIGINT) AS mid
+  FROM events
+),
+halves AS (
+  SELECT user_id,
+         sum(CASE WHEN floor(epoch(ts))::BIGINT < mid THEN 1 ELSE 0 END)
+           AS n_early,
+         sum(CASE WHEN floor(epoch(ts))::BIGINT >= mid THEN 1 ELSE 0 END)
+           AS n_late
+  FROM events, mid GROUP BY user_id, mid
+),
+signs AS (
+  SELECT user_id % 4 AS cohort, n_late - n_early AS diff FROM halves
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(sum(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+       CAST(CASE WHEN 1000 * (sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                              - sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END))
+                       * (sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                          - sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END))
+                 >= 3841 * (sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                            + sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END))
+            THEN 1 ELSE 0 END AS INT) AS significant
+FROM signs GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q247: ABC (Pareto) revenue classification
+# ---------------------------------------------------------------------------
+
+
+def q247_abc_classification(spark, sf_dir):
+    """ABC / Pareto classification — parts bucketed by cumulative
+    revenue share (A: the head making up the first 80%, B: to 95%,
+    C: the tail), the inventory-policy partition every supply-chain
+    and catalog team maintains.  q125 measures concentration as one
+    Gini number; this yields the actionable PARTITION.
+
+    Determinism: parts ordered by (revenue DESC, partkey); class by
+    cross-multiplied integer thresholds on the INCLUSIVE cumulative
+    (5·cum ≤ 4·total → A; 20·cum ≤ 19·total → B; else C) — no float
+    shares anywhere.
+
+    Scale shape: ONE corpus-linear (part) revenue agg; the ordering,
+    cumulative window and classification run on the PART-scale
+    relation (the q128/q143 bounded-relation argument); output is 3
+    rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("decimal(18,4)")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(rev) * 10000).cast("bigint").alias("rev_e4")
+    )
+    wc = Window.orderBy(F.desc("rev_e4"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_part.agg(F.sum("rev_e4").alias("total_e4"))
+    classed = (
+        per_part.withColumn("cum", F.sum("rev_e4").over(wc))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "abc",
+            F.expr(
+                "CASE WHEN 5 * cum <= 4 * total_e4 THEN 'A' "
+                "WHEN 20 * cum <= 19 * total_e4 THEN 'B' ELSE 'C' END"
+            ),
+        )
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev_e4").cast("bigint").alias("revenue_e4"),
+        # shares in whole currency units (e4 scaled down): rev_e4*1e6
+        # overflows int64 at corpus scale, and routing through DECIMAL
+        # hits Spark's rounding (not flooring) integral divide — the
+        # e0 form keeps the whole expression BIGINT-exact in both
+        # engines with an identical definition
+        F.expr(
+            "CAST(((sum(rev_e4) div 10000) * 1000000)"
+            " div (max(total_e4) div 10000) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+ORACLE_Q247 = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(18,2)) -
+                        CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT l_partkey, rev_e4,
+         sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev_e4) OVER () AS total_e4
+  FROM per_part
+),
+classed AS (
+  SELECT CASE WHEN 5 * cum <= 4 * total_e4 THEN 'A'
+              WHEN 20 * cum <= 19 * total_e4 THEN 'B' ELSE 'C' END AS abc,
+         rev_e4, total_e4
+  FROM cum
+)
+SELECT abc,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+       CAST(((sum(rev_e4) // 10000) * 1000000) // (max(total_e4) // 10000)
+            AS BIGINT) AS share_ppm
+FROM classed GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q248: books-vs-subledger reconciliation (financial variance audit)
+# ---------------------------------------------------------------------------
+
+
+def q248_order_value_reconciliation(spark, sf_dir):
+    """Books-vs-subledger RECONCILIATION: recompute every order's
+    value from its lineitems — Σ price·(1−discount)·(1+tax), the
+    first use of l_tax in the catalog — and reconcile against the
+    stored o_totalprice, classifying per priority bucket into
+    over/under/missing-lineitems with the exact net variance.  The
+    month-end-close audit shape: the number must be EXACT (a float
+    recompute that differs in the 4th decimal is a false variance).
+
+    Exactness: value_e6 = ep_e2 · (100 − d_e2) · (100 + t_e2) — pure
+    BIGINT fixed-point at 10^-6 (inputs carry ≤2 decimals by schema
+    contract); per-order sums then DECIMAL(38,0) for the rollup so
+    no corpus size overflows.
+
+    Scale shape: one lineitem shuffle on orderkey, a LEFT join from
+    orders (missing-lineitem class preserved), a priority-scale
+    rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100"
+                " AS BIGINT))"
+                " * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT))"
+            )
+        ).alias("recomputed_e6")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " * 10000"
+        ).alias("stored_e6"),
+    )
+    j = o.join(
+        recomputed, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    ).withColumn("diff_e6", F.expr("stored_e6 - coalesce(recomputed_e6, 0)"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("recomputed_e6").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_missing_lineitems"),
+        F.sum(
+            (
+                F.col("recomputed_e6").isNotNull()
+                & (F.col("diff_e6") > 0)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_over"),
+        F.sum(
+            (
+                F.col("recomputed_e6").isNotNull()
+                & (F.col("diff_e6") < 0)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_under"),
+        F.sum(F.col("diff_e6").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("net_diff_e6"),
+    )
+
+
+ORACLE_Q248 = """
+WITH recomputed AS (
+  SELECT l_orderkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+             * (100 + CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)))
+           AS recomputed_e6
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o_orderpriority,
+         recomputed_e6,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000
+           - coalesce(recomputed_e6, 0) AS diff_e6
+  FROM orders LEFT JOIN recomputed ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN recomputed_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_lineitems,
+       CAST(sum(CASE WHEN recomputed_e6 IS NOT NULL AND diff_e6 > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+       CAST(sum(CASE WHEN recomputed_e6 IS NOT NULL AND diff_e6 < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+       CAST(CAST(sum(CAST(diff_e6 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            AS VARCHAR) AS net_diff_e6
+FROM j GROUP BY 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -19158,6 +19435,9 @@ FROM calc
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q246_paired_sign_test": q246_paired_sign_test,
+    "q247_abc_classification": q247_abc_classification,
+    "q248_order_value_reconciliation": q248_order_value_reconciliation,
     "q243_majority_imputation": q243_majority_imputation,
     "q244_bitemporal_lookup": q244_bitemporal_lookup,
     "q245_forecast_backtest": q245_forecast_backtest,
@@ -19411,6 +19691,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q246_paired_sign_test": ORACLE_Q246,
+    "q247_abc_classification": ORACLE_Q247,
+    "q248_order_value_reconciliation": ORACLE_Q248,
     "q243_majority_imputation": ORACLE_Q243,
     "q244_bitemporal_lookup": ORACLE_Q244,
     "q245_forecast_backtest": ORACLE_Q245,
