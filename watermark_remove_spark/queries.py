@@ -19422,6 +19422,258 @@ FROM j GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q249: Benford first-digit audit (numeric forensics)
+# ---------------------------------------------------------------------------
+
+
+def q249_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit over order values — the
+    numeric-forensics screen (fabricated or unit-mangled figures
+    flunk it; organic multi-scale money roughly follows
+    log10(1+1/d)).  Emitted per digit: observed count, the Benford
+    expectation in exact integer ppm, and the absolute deviation —
+    plus the corpus-level max deviation replicated per row so the
+    driver hash pins the verdict, not just the histogram.
+
+    Exactness: first digit via string head of the e2-scaled BIGINT
+    (no float log10); expected ppm are the CONSTANTS
+    301030/176091/124939/96910/79181/66947/57992/51153/45757
+    (floor(1e6*log10(1+1/d)) — precomputed, both engines share the
+    literals).
+
+    Scale shape: ONE linear digit hash agg; everything after runs on
+    the 9-row digit relation."""
+    benford = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+    o = _t(spark, sf_dir, "orders")
+    digits = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))"
+            " * 100 AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("d")
+    ).where(F.col("d") >= 1)
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    exp_map = "map(" + ", ".join(
+        f"{i + 1}, {p}" for i, p in enumerate(benford)
+    ) + ")"
+    total = counts.agg(F.sum("n").alias("tot"))
+    scored = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("obs_ppm", F.expr("n * 1000000 div tot"))
+        .withColumn("exp_ppm", F.expr(f"element_at({exp_map}, d)"))
+        .withColumn("dev_ppm", F.expr("abs(obs_ppm - exp_ppm)"))
+    )
+    wmax = Window.partitionBy()
+    return scored.select(
+        F.col("d").cast("int").alias("first_digit"),
+        F.col("n").cast("bigint").alias("n_values"),
+        F.col("obs_ppm").cast("bigint").alias("obs_ppm"),
+        F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+        F.col("dev_ppm").cast("bigint").alias("dev_ppm"),
+        F.max("dev_ppm").over(wmax).cast("bigint").alias("max_dev_ppm"),
+    )
+
+
+def _oracle_q249() -> str:
+    benford = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+    cases = " ".join(
+        f"WHEN {i + 1} THEN {p}" for i, p in enumerate(benford)
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders
+),
+counts AS (
+  SELECT d, count(*) AS n FROM digits WHERE d >= 1 GROUP BY 1
+),
+scored AS (
+  SELECT d, n,
+         n * 1000000 // (SELECT sum(n) FROM counts) AS obs_ppm,
+         CASE d {cases} END AS exp_ppm
+  FROM counts
+)
+SELECT CAST(d AS INT) AS first_digit,
+       CAST(n AS BIGINT) AS n_values,
+       CAST(obs_ppm AS BIGINT) AS obs_ppm,
+       CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(abs(obs_ppm - exp_ppm) AS BIGINT) AS dev_ppm,
+       CAST(max(abs(obs_ppm - exp_ppm)) OVER () AS BIGINT) AS max_dev_ppm
+FROM scored
+"""
+
+
+ORACLE_Q249 = _oracle_q249()
+
+
+# ---------------------------------------------------------------------------
+# q250: run-length-encoding layout economics (sorted-column RLE audit)
+# ---------------------------------------------------------------------------
+
+
+def q250_rle_layout_audit(spark, sf_dir):
+    """RLE layout economics — for each candidate sort column, how
+    compressible does sorting BY IT make it?  Parquet's RLE/dict
+    machinery pays off exactly when equal values are ADJACENT; the
+    decision number is runs = count of distinct (value, island)
+    stretches under that ordering, computable WITHOUT materializing
+    any sort as Σ per value of (1 + gaps), where a gap is a
+    same-value adjacency break in the candidate order — here
+    evaluated exactly for the 'order by this column' layout, where
+    runs = NDV (each value one run) vs the CURRENT physical order's
+    runs measured by a lag window over the natural (doc_id) order.
+    Completes the storage family: q182 prices dictionary, q169 prices
+    varint gaps, q153 prices zone maps — this prices adjacency.
+
+    Output per candidate column: rows, NDV (= runs if sorted by it),
+    runs in doc_id order, the adjacency ratio in ppm, and bytes-ish
+    estimates (runs x (value width + 4-byte run length)).
+
+    Scale shape: ONE melt (the q131 Generate discipline), a (col,
+    value) hash agg for NDV, and a lag window per column over the
+    doc_id order for current-order runs."""
+    docs = _t(spark, sf_dir, "documents")
+    melted = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array(named_struct('col', 'lang', 'val', lang),"
+                " named_struct('col', 'source', 'val', source))"
+            )
+        ).alias("kv"),
+    ).select("doc_id", F.col("kv.col").alias("col"), F.col("kv.val").alias("val"))
+    ndv = melted.groupBy("col").agg(
+        F.countDistinct("val").alias("ndv"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("val")).alias("value_bytes"),
+    )
+    wlag = Window.partitionBy("col").orderBy("doc_id")
+    runs = (
+        melted.withColumn(
+            "brk",
+            F.when(
+                F.lag("val").over(wlag).isNull()
+                | (F.lag("val").over(wlag) != F.col("val")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy(F.col("col").alias("col2"))
+        .agg(F.sum("brk").alias("runs_natural"))
+    )
+    return (
+        ndv.join(runs, F.col("col") == F.col("col2"))
+        .select(
+            "col",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("ndv").cast("bigint").alias("runs_sorted"),
+            F.col("runs_natural").cast("bigint").alias("runs_natural"),
+            F.expr("runs_natural * 1000000 div n_rows").alias(
+                "natural_run_ppm"
+            ),
+            F.expr(
+                "runs_natural * ((value_bytes div n_rows) + 4)"
+            ).alias("rle_bytes_natural"),
+            F.expr("ndv * ((value_bytes div n_rows) + 4)").alias(
+                "rle_bytes_sorted"
+            ),
+        )
+    )
+
+
+ORACLE_Q250 = """
+WITH melted AS (
+  SELECT doc_id, 'lang' AS col, lang AS val FROM documents
+  UNION ALL
+  SELECT doc_id, 'source', source FROM documents
+),
+ndv AS (
+  SELECT col, count(DISTINCT val) AS ndv, count(*) AS n_rows,
+         sum(length(val)) AS value_bytes
+  FROM melted GROUP BY 1
+),
+runs AS (
+  SELECT col, sum(brk) AS runs_natural FROM (
+    SELECT col,
+           CASE WHEN lag(val) OVER (PARTITION BY col ORDER BY doc_id)
+                     IS NULL
+                OR lag(val) OVER (PARTITION BY col ORDER BY doc_id)
+                     != val
+                THEN 1 ELSE 0 END AS brk
+    FROM melted
+  ) GROUP BY 1
+)
+SELECT ndv.col,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(ndv AS BIGINT) AS runs_sorted,
+       CAST(runs_natural AS BIGINT) AS runs_natural,
+       CAST(runs_natural * 1000000 // n_rows AS BIGINT) AS natural_run_ppm,
+       CAST(runs_natural * ((value_bytes // n_rows) + 4) AS BIGINT)
+         AS rle_bytes_natural,
+       CAST(ndv * ((value_bytes // n_rows) + 4) AS BIGINT)
+         AS rle_bytes_sorted
+FROM ndv JOIN runs ON ndv.col = runs.col
+"""
+
+
+# ---------------------------------------------------------------------------
+# q251: shipping-delay service classes (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+
+def q251_ship_delay_classes(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes and order priority): bucket
+    every lineitem by its shipping DELAY (days from order date to
+    ship date: on-time <= 30, late <= 90, very-late > 90) and count
+    urgent vs non-urgent orders per bucket — the conditional-count-
+    over-a-join shape where the measure is a CASE on the DIMENSION
+    side (Q12 counts priority classes per shipmode; the delay bucket
+    stands in for the absent shipmode column).
+
+    Scale shape: orders joins lineitem on the fact key (one
+    shuffle); the date difference and bucket are map-side; the
+    rollup is 3 rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "delay_d", F.datediff("l_shipdate", "o_orderdate")
+    )
+    bucket = F.expr(
+        "CASE WHEN delay_d <= 30 THEN 'on_time'"
+        " WHEN delay_d <= 90 THEN 'late' ELSE 'very_late' END"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("delay_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.sum(urgent.cast("int")).cast("bigint").alias("n_urgent"),
+        F.sum((~urgent).cast("int")).cast("bigint").alias("n_normal"),
+        F.min("delay_d").cast("bigint").alias("min_delay_d"),
+        F.max("delay_d").cast("bigint").alias("max_delay_d"),
+    )
+
+
+ORACLE_Q251 = """
+WITH j AS (
+  SELECT date_diff('day', o_orderdate, l_shipdate) AS delay_d,
+         o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT CASE WHEN delay_d <= 30 THEN 'on_time'
+            WHEN delay_d <= 90 THEN 'late' ELSE 'very_late' END
+         AS delay_class,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_normal,
+       CAST(min(delay_d) AS BIGINT) AS min_delay_d,
+       CAST(max(delay_d) AS BIGINT) AS max_delay_d
+FROM j GROUP BY 1
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -19435,6 +19687,9 @@ FROM j GROUP BY 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q249_benford_audit": q249_benford_audit,
+    "q250_rle_layout_audit": q250_rle_layout_audit,
+    "q251_ship_delay_classes": q251_ship_delay_classes,
     "q246_paired_sign_test": q246_paired_sign_test,
     "q247_abc_classification": q247_abc_classification,
     "q248_order_value_reconciliation": q248_order_value_reconciliation,
@@ -19691,6 +19946,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q249_benford_audit": ORACLE_Q249,
+    "q250_rle_layout_audit": ORACLE_Q250,
+    "q251_ship_delay_classes": ORACLE_Q251,
     "q246_paired_sign_test": ORACLE_Q246,
     "q247_abc_classification": ORACLE_Q247,
     "q248_order_value_reconciliation": ORACLE_Q248,
