@@ -19955,6 +19955,347 @@ GROUP BY 1
 """
 
 
+# q255: Mann-Whitney U rank-sum test (tie-corrected, integer-exact)
+
+def q255_mann_whitney(spark, sf_dir):
+    """Distributed Mann-Whitney U (Wilcoxon rank-sum) test comparing
+    the l_quantity distribution of returned ('R') vs accepted ('A')
+    lineitems — the nonparametric two-sample location test a data-
+    quality pipeline runs when a feed's numeric distribution may have
+    shifted.  Everything is integer-exact: with per-value counts
+    (n1_v, n2_v) over the sorted value domain, 2*U1 = sum_v n1_v *
+    (2*cum2_below_v + n2_v) (the tie term contributes the half-count,
+    kept doubled so no fractions exist), U1 + U2 = n1*n2, and the
+    tie-correction mass sum_v (t_v^3 - t_v) is emitted so a consumer
+    can form the normal-approximation variance without re-scanning.
+    The identity U1 = R1 - n1(n1+1)/2 (rank-sum form) is what the
+    DuckDB oracle computes, so the hash match proves the two classic
+    formulations agree on this corpus.
+
+    Scale shape: ONE bounded-key shuffle (l_quantity has <=50 distinct
+    values; counts combine map-side), then a cumulative window and a
+    1-row fold over the <=50-row value domain — metadata-scale no
+    matter how many rows the fact table has.  No global rank/sort of
+    the raw rows ever happens (the naive rank() over all rows would be
+    a single-partition window at 10^12 scale)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    per_v = li.groupBy(F.col("l_quantity").cast("bigint").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1_v"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "v",
+        "n1_v",
+        "n2_v",
+        F.coalesce(F.sum("n2_v").over(w), F.lit(0)).alias("cum2_below"),
+    )
+    return cum.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum("n2_v").cast("bigint").alias("n2"),
+        F.sum(F.col("n1_v") * (2 * F.col("cum2_below") + F.col("n2_v")))
+        .cast("bigint")
+        .alias("u1_x2"),
+        (
+            2 * F.sum("n1_v") * F.sum("n2_v")
+            - F.sum(F.col("n1_v") * (2 * F.col("cum2_below") + F.col("n2_v")))
+        )
+        .cast("bigint")
+        .alias("u2_x2"),
+        F.sum(
+            (F.col("n1_v") + F.col("n2_v"))
+            * (F.col("n1_v") + F.col("n2_v"))
+            * (F.col("n1_v") + F.col("n2_v"))
+            - (F.col("n1_v") + F.col("n2_v"))
+        )
+        .cast("bigint")
+        .alias("tie_mass"),
+    )
+
+
+ORACLE_Q255 = """
+WITH per_v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1_v,
+         sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n2_v
+  FROM lineitem WHERE l_returnflag IN ('R','A') GROUP BY 1
+),
+cum AS (
+  SELECT v, n1_v, n2_v,
+         coalesce(sum(n1_v + n2_v) OVER
+           (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_below
+  FROM per_v
+),
+-- rank-sum formulation: avg rank of value v (doubled to stay integral)
+-- is 2*cum_below + (n_v + 1); R1_x2 = sum n1_v * that.
+fold AS (
+  SELECT sum(n1_v) AS n1, sum(n2_v) AS n2,
+         sum(n1_v * (2 * cum_below + n1_v + n2_v + 1)) AS r1_x2,
+         sum((n1_v + n2_v) * (n1_v + n2_v) * (n1_v + n2_v)
+             - (n1_v + n2_v)) AS tie_mass
+  FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+       CAST(tie_mass AS BIGINT) AS tie_mass
+FROM fold
+"""
+
+
+# q256: Spearman rank correlation via tie-averaged ranks (contingency form)
+
+def q256_spearman_correlation(spark, sf_dir):
+    """Spearman rank correlation between l_quantity and l_discount —
+    the monotone-association check a feature-engineering pipeline runs
+    before trusting a linear model.  Both variables have small value
+    domains (50 / 11 distinct), so the tie-averaged rank of every row
+    is a pure function of its VALUE: doubled average rank r2(v) =
+    2*cum_below(v) + cnt(v) + 1 (doubling keeps midranks integral).
+    rho is then the Pearson correlation of the integer rank pairs,
+    assembled from five exact DECIMAL(38,0) moments (n, Sx, Sy, Sxx,
+    Syy, Sxy).  The final rho = num / sqrt(den1*den2) is evaluated in
+    float64 from those exact integer moments: every input converts
+    identically and /,*,sqrt are all IEEE correctly-rounded, so the
+    result bits match across engines; floor at ppm makes the emitted
+    value integer.
+
+    Scale shape: one (qty, disc) contingency shuffle with map-side
+    combine (<=550 cells), two value-domain cumulative windows over
+    <=50/<=11 rows, a broadcast rank-map join back onto the CELLS (not
+    the raw rows), and a 1-row moment fold — the raw fact table is
+    touched exactly once."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_discount") * 100).cast("bigint").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    xc = cells.groupBy("x").agg(F.sum("cnt").alias("xcnt"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    xrank = xc.select(
+        "x",
+        (
+            2 * F.coalesce(F.sum("xcnt").over(wx), F.lit(0))
+            + F.col("xcnt")
+            + 1
+        ).alias("rx2"),
+    )
+    yc = cells.groupBy("y").agg(F.sum("cnt").alias("ycnt"))
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    yrank = yc.select(
+        "y",
+        (
+            2 * F.coalesce(F.sum("ycnt").over(wy), F.lit(0))
+            + F.col("ycnt")
+            + 1
+        ).alias("ry2"),
+    )
+    D = "decimal(38,0)"
+    m = (
+        cells.join(F.broadcast(xrank), "x")
+        .join(F.broadcast(yrank), "y")
+        .agg(
+            F.sum("cnt").cast(D).alias("n"),
+            F.sum(F.col("cnt") * F.col("rx2")).cast(D).alias("sx"),
+            F.sum(F.col("cnt") * F.col("ry2")).cast(D).alias("sy"),
+            F.sum(F.col("cnt").cast(D) * F.col("rx2") * F.col("rx2"))
+            .cast(D)
+            .alias("sxx"),
+            F.sum(F.col("cnt").cast(D) * F.col("ry2") * F.col("ry2"))
+            .cast(D)
+            .alias("syy"),
+            F.sum(F.col("cnt").cast(D) * F.col("rx2") * F.col("ry2"))
+            .cast(D)
+            .alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(
+            F.lit(1000000.0) * num / F.sqrt(den1 * den2)
+        )
+        .cast("bigint")
+        .alias("rho_ppm"),
+    )
+
+
+ORACLE_Q256 = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(l_discount * 100 AS BIGINT) AS y,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+xrank AS (
+  SELECT x, 2 * coalesce(sum(xcnt) OVER
+           (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + xcnt + 1 AS rx2
+  FROM (SELECT x, sum(cnt) AS xcnt FROM cells GROUP BY 1)
+),
+yrank AS (
+  SELECT y, 2 * coalesce(sum(ycnt) OVER
+           (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + ycnt + 1 AS ry2
+  FROM (SELECT y, sum(cnt) AS ycnt FROM cells GROUP BY 1)
+),
+m AS (
+  SELECT CAST(sum(cnt) AS DECIMAL(38,0)) AS n,
+         CAST(sum(cnt * rx2) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(cnt * ry2) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(cnt AS DECIMAL(38,0)) * rx2 * rx2) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(cnt AS DECIMAL(38,0)) * ry2 * ry2) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(CAST(cnt AS DECIMAL(38,0)) * rx2 * ry2) AS DECIMAL(38,0)) AS sxy
+  FROM cells JOIN xrank USING (x) JOIN yrank USING (y)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(floor(1000000.0
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)))
+            AS BIGINT) AS rho_ppm
+FROM m
+"""
+
+
+# q257: CART-style Gini-gain feature ranking (integer-exact impurity)
+
+def q257_gini_gain_features(spark, sf_dir):
+    """Feature-usefulness ranking for a lang classifier over the
+    documents corpus: for each cheap candidate feature (char-length
+    bucket, contains-a-digit, contains-sentence-punctuation), the
+    Gini impurity reduction a single CART split on that feature would
+    achieve against the lang label.  Entropy needs log(); Gini is
+    purely rational — 1 - sum_c p_c^2 — so the whole score stays in
+    integer arithmetic: per feature value v with class counts n_vc,
+    child purity term S_v = sum_c n_vc^2, and
+      gain ~ (1/n) * [ sum_v S_v/n_v  -  P/n ],  P = sum_c n_c^2.
+    Each per-value division is floored at x1e8 scale ((1e8*S_v) div
+    n_v — BIGINT-safe and order-insensitive, unlike a float sum), the
+    parent term likewise, and the emitted gain_ppb = (10*(child -
+    parent)) div n.  The quantization is part of the DEFINED semantics
+    (identical in the oracle), so the hash compare is exact.
+
+    Scale shape: one tagged-union explode (3 feature rows per doc, the
+    q78 drift-monitor shape) into a (feature, value, lang) count
+    shuffle with map-side combine; everything after the first agg is
+    feature x value x class scale (tens of rows).  The parent term is
+    computed once from the same counts (grouped under feature), not by
+    re-scanning the corpus."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    feats = docs.select(
+        "lang",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len_bucket").alias("feature"),
+                    F.least(
+                        F.floor(F.col("n_chars") / 400), F.lit(4)
+                    ).cast("bigint").alias("value"),
+                ),
+                F.struct(
+                    F.lit("has_digit").alias("feature"),
+                    F.col("text").rlike("[0-9]").cast("bigint").alias("value"),
+                ),
+                F.struct(
+                    F.lit("has_sentence_punct").alias("feature"),
+                    (
+                        F.col("text").contains("!")
+                        | F.col("text").contains("?")
+                    ).cast("bigint").alias("value"),
+                ),
+            )
+        ).alias("f"),
+    ).select("lang", F.col("f.feature").alias("feature"), F.col("f.value").alias("value"))
+    vc = feats.groupBy("feature", "value", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vc")
+    )
+    per_v = vc.groupBy("feature", "value").agg(
+        F.sum(F.col("n_vc") * F.col("n_vc")).alias("s_v"),
+        F.sum("n_vc").alias("n_v"),
+    )
+    child = per_v.groupBy("feature").agg(
+        F.sum(F.expr("(100000000 * s_v) div n_v")).alias("child_x1e8"),
+        F.sum("n_v").alias("n"),
+    )
+    # parent class counts are feature-independent but derived from the
+    # same cell counts so no second corpus scan happens
+    parent = (
+        vc.groupBy("feature", "lang")
+        .agg(F.sum("n_vc").alias("n_c"))
+        .groupBy("feature")
+        .agg(F.sum(F.col("n_c") * F.col("n_c")).alias("p"))
+    )
+    return (
+        child.join(parent, "feature")
+        .select(
+            "feature",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(
+                "(10 * (child_x1e8 - ((100000000 * p) div n))) div n"
+            )
+            .cast("bigint")
+            .alias("gain_ppb"),
+        )
+        .orderBy("feature")
+    )
+
+
+ORACLE_Q257 = """
+WITH feats AS (
+  SELECT lang, f.feature AS feature, f.value AS value
+  FROM documents,
+       UNNEST([
+         {'feature': 'len_bucket',
+          'value': least(CAST(floor(n_chars / 400) AS BIGINT), 4)},
+         {'feature': 'has_digit',
+          'value': CAST(regexp_matches(text, '[0-9]') AS BIGINT)},
+         {'feature': 'has_sentence_punct',
+          'value': CAST((contains(text, '!') OR contains(text, '?'))
+                        AS BIGINT)}
+       ]) AS t(f)
+),
+vc AS (
+  SELECT feature, value, lang, count(*) AS n_vc
+  FROM feats GROUP BY 1, 2, 3
+),
+per_v AS (
+  SELECT feature, value, sum(n_vc * n_vc) AS s_v, sum(n_vc) AS n_v
+  FROM vc GROUP BY 1, 2
+),
+child AS (
+  SELECT feature, sum((100000000 * s_v) // n_v) AS child_x1e8,
+         sum(n_v) AS n
+  FROM per_v GROUP BY 1
+),
+parent AS (
+  SELECT feature, sum(n_c * n_c) AS p
+  FROM (SELECT feature, lang, sum(n_vc) AS n_c FROM vc GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT feature, CAST(n AS BIGINT) AS n,
+       CAST((10 * (child_x1e8 - ((100000000 * p) // n))) // n AS BIGINT)
+         AS gain_ppb
+FROM child JOIN parent USING (feature)
+ORDER BY feature
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -19968,6 +20309,9 @@ GROUP BY 1
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q255_mann_whitney": q255_mann_whitney,
+    "q256_spearman_correlation": q256_spearman_correlation,
+    "q257_gini_gain_features": q257_gini_gain_features,
     "q252_shipping_priority": q252_shipping_priority,
     "q253_market_share": q253_market_share,
     "q254_waiting_suppliers": q254_waiting_suppliers,
@@ -20230,6 +20574,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q255_mann_whitney": ORACLE_Q255,
+    "q256_spearman_correlation": ORACLE_Q256,
+    "q257_gini_gain_features": ORACLE_Q257,
     "q252_shipping_priority": ORACLE_Q252,
     "q253_market_share": ORACLE_Q253,
     "q254_waiting_suppliers": ORACLE_Q254,
