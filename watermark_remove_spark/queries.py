@@ -20296,6 +20296,232 @@ ORDER BY feature
 """
 
 
+# q258: market-basket association rules (support / confidence / lift)
+
+def q258_association_rules(spark, sf_dir):
+    """Market-basket association-rule mining over orders as baskets of
+    part BRANDS: for every ordered brand pair (a -> b, a != b), the
+    support count n_ab, confidence_ppm = 1e6*n_ab/n_a and lift_x1000 =
+    1000*n_ab*N/(n_a*n_b) — all in truncating integer arithmetic (the
+    q98 PMI discipline) so the rule ranking is bit-exact.  Rules below
+    a support floor of 5 co-occurring baskets are pruned BEFORE any
+    join touches them.
+
+    Scale shape: the brand dimension lands on the fact table via one
+    partkey equi-join; baskets become (orderkey, brand) DISTINCT rows
+    (one shuffle, map-side combine); the pair generator is a SELF
+    equi-join on orderkey — both sides share the same hash
+    partitioning, so AQE plans one Exchange feeding both inputs, and
+    per-basket fanout is bounded by basket size (max 7 lineitems), not
+    by corpus size.  Brand marginals (<=25 rows) and the 1-row basket
+    total broadcast onto the surviving pairs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = items.select("basket", F.col("brand").alias("a"))
+    b = items.select("basket", F.col("brand").alias("b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    marg = items.groupBy("brand").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    n_baskets = items.select("basket").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("brand").alias("a"), F.col("cnt").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("brand").alias("b"), F.col("cnt").alias("n_b"))),
+            "b",
+        )
+        .join(F.broadcast(n_baskets))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr("(1000000 * n_ab) div n_a").alias("confidence_ppm"),
+            F.expr("(1000 * n_ab * n_total) div (n_a * n_b)").alias("lift_x1000"),
+        )
+        .orderBy(F.col("lift_x1000").desc(), F.col("n_ab").desc(), "a", "b")
+        .limit(40)
+    )
+
+
+ORACLE_Q258 = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS (
+  SELECT x.brand AS a, y.brand AS b, count(*) AS n_ab
+  FROM items x JOIN items y ON x.basket = y.basket AND x.brand <> y.brand
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+marg AS (SELECT brand, count(*) AS cnt FROM items GROUP BY 1),
+tot AS (SELECT count(DISTINCT basket) AS n_total FROM items)
+SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST((1000000 * n_ab) // ma.cnt AS BIGINT) AS confidence_ppm,
+       CAST((1000 * n_ab * n_total) // (ma.cnt * mb.cnt) AS BIGINT) AS lift_x1000
+FROM pairs
+JOIN marg ma ON ma.brand = a
+JOIN marg mb ON mb.brand = b
+CROSS JOIN tot
+ORDER BY lift_x1000 DESC, n_ab DESC, a, b
+LIMIT 40
+"""
+
+
+# q259: lag-k autocorrelation of the daily order-count series
+
+def q259_autocorrelation(spark, sf_dir):
+    """Autocorrelation function (lags 1..7) of the daily order-count
+    time series — the periodicity probe a capacity planner runs before
+    fitting any seasonal model.  Integer-exact ACF: with daily counts
+    x_t, n days and S = sum x, the mean-centered products use the
+    n-scaled residuals (n*x_t - S), so numerator_k = sum over
+    CALENDAR-lag-k pairs of (n*x_t - S)(n*x_{t-k} - S) and the
+    denominator sum_t (n*x_t - S)^2 are both exact BIGINTs; acf_ppm =
+    (1e6*num_k) div den with truncate-toward-zero division verified
+    identical in both engines (negative numerators occur).  Lag is by
+    CALENDAR day (join on date arithmetic), not row offset, so missing
+    days do not silently shift the series.
+
+    Scale shape: the raw fact table collapses to a <=2500-row daily
+    series in ONE map-side-combinable shuffle; the 7-lag pair join,
+    the moment fold and the final division all run at series scale.
+    This is the general pattern for distributed ACF: aggregate first,
+    correlate the aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    centered = daily.join(F.broadcast(mom)).select(
+        "d", (F.col("n") * F.col("x") - F.col("s")).alias("r"), "n", "s"
+    )
+    den = centered.agg(F.sum(F.col("r") * F.col("r")).cast("bigint").alias("den"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    lagged = centered.select(F.col("d").alias("d2"), F.col("r").alias("r2"))
+    num = (
+        centered.join(F.broadcast(lags))
+        .join(
+            lagged,
+            F.col("d2") == F.col("d") - F.expr("make_interval(0,0,0,lag,0,0,0)"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("r") * F.col("r2")).cast("bigint").alias("num"))
+    )
+    return (
+        num.join(F.broadcast(den))
+        .select(
+            "lag",
+            F.expr("(1000000 * num) div den").cast("bigint").alias("acf_ppm"),
+        )
+        .orderBy("lag")
+    )
+
+
+ORACLE_Q259 = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d, count(*) AS x
+  FROM orders GROUP BY 1
+),
+mom AS (SELECT count(*) AS n, sum(x) AS s FROM daily),
+centered AS (
+  SELECT d, n * x - s AS r FROM daily CROSS JOIN mom
+),
+den AS (SELECT sum(r * r) AS den FROM centered),
+num AS (
+  SELECT lag, sum(c.r * c2.r) AS num
+  FROM centered c
+  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) lags
+  JOIN centered c2 ON c2.d = c.d - to_days(CAST(lag AS INTEGER))
+  GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       CAST((1000000 * num) // den AS BIGINT) AS acf_ppm
+FROM num CROSS JOIN den
+ORDER BY lag
+"""
+
+
+# q260: leave-one-out target encoding (per-row, broadcast group stats)
+
+def q260_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding of the customer market segment
+    against the binary target 'order finished' (o_orderstatus = 'F')
+    — the standard high-cardinality-categorical encoder for gradient
+    models, built the only way that scales: per-segment target sums
+    (one tiny agg) broadcast back onto the fact rows, each row's own
+    label subtracted map-side: loo_ppm = (1e6*(S - y)) div (n - 1).
+    Exactness: the encoding is integer-quantized, and because y is
+    binary the per-row encodings take exactly two values per segment,
+    so the audit output groups by (segment, y) and proves the whole
+    per-row map is correct from 10 rows — count, the encoding, and
+    the raw (S, n) it came from.
+
+    Scale shape: one custkey fact-dim equi-join, one map-side-
+    combinable segment agg (5 groups, broadcast back), per-row
+    arithmetic entirely map-side, and a final bounded-key audit agg.
+    No per-row state, no window over the fact table, nothing the
+    optimizer cannot pipeline into the scan."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", (F.col("o_orderstatus") == "F").cast("bigint").alias("y")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", "y")
+    stats = rows.groupBy("c_mktsegment").agg(
+        F.sum("y").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    enc = rows.join(F.broadcast(stats), "c_mktsegment").select(
+        "c_mktsegment",
+        "y",
+        F.expr("(1000000 * (s - y)) div (n - 1)").alias("loo_ppm"),
+        "s",
+        "n",
+    )
+    return (
+        enc.groupBy("c_mktsegment", "y", "loo_ppm", "s", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("c_mktsegment", "y")
+    )
+
+
+ORACLE_Q260 = """
+WITH rows_ AS (
+  SELECT c_mktsegment, CAST(o_orderstatus = 'F' AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+stats AS (
+  SELECT c_mktsegment, sum(y) AS s, count(*) AS n
+  FROM rows_ GROUP BY 1
+)
+SELECT c_mktsegment, y,
+       CAST((1000000 * (s - y)) // (n - 1) AS BIGINT) AS loo_ppm,
+       CAST(s AS BIGINT) AS s, CAST(n AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM rows_ JOIN stats USING (c_mktsegment)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY c_mktsegment, y
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -20309,6 +20535,9 @@ ORDER BY feature
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q258_association_rules": q258_association_rules,
+    "q259_autocorrelation": q259_autocorrelation,
+    "q260_target_encoding": q260_target_encoding,
     "q255_mann_whitney": q255_mann_whitney,
     "q256_spearman_correlation": q256_spearman_correlation,
     "q257_gini_gain_features": q257_gini_gain_features,
@@ -20574,6 +20803,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q258_association_rules": ORACLE_Q258,
+    "q259_autocorrelation": ORACLE_Q259,
+    "q260_target_encoding": ORACLE_Q260,
     "q255_mann_whitney": ORACLE_Q255,
     "q256_spearman_correlation": ORACLE_Q256,
     "q257_gini_gain_features": ORACLE_Q257,
