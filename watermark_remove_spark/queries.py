@@ -20522,6 +20522,267 @@ ORDER BY c_mktsegment, y
 """
 
 
+# q261: Kolmogorov-Smirnov two-sample statistic (integer-exact D)
+
+def q261_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the l_discount
+    distributions of finished ('F') vs open ('O') lineitems — the
+    distribution-drift test with no distributional assumptions at all.
+    Integer-exact over the small value domain: with per-value counts
+    and cumulative counts cum1_v / cum2_v, the KS statistic at common
+    denominator n1*n2 is D_scaled = max_v |n2*cum1_v - n1*cum2_v|
+    (= n1*n2*D) — a pure BIGINT, no empirical-CDF floats anywhere.
+    The argmax value (smallest v attaining the max) is emitted too so
+    the drift report says WHERE the CDFs diverge most.
+
+    Scale shape: identical to q255's rank-sum skeleton — one bounded-
+    key count shuffle (11 distinct discounts), a cumulative window
+    over the <=11-row domain, a 1-row fold.  The raw fact rows are
+    never sorted or ranked globally."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_linestatus").isin("F", "O")
+    )
+    per_v = li.groupBy(
+        (F.col("l_discount") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    tot = cum.agg(
+        F.max("cum1").cast("bigint").alias("n1"),
+        F.max("cum2").cast("bigint").alias("n2"),
+    )
+    gaps = cum.join(F.broadcast(tot)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")).alias(
+            "gap"
+        ),
+    )
+    best = gaps.agg(F.max("gap").alias("d_scaled"))
+    return (
+        gaps.join(F.broadcast(best), F.col("gap") == F.col("d_scaled"))
+        .groupBy("n1", "n2", "d_scaled")
+        .agg(F.min("v").cast("bigint").alias("argmax_discount_x100"))
+        .select(
+            "n1",
+            "n2",
+            F.col("d_scaled").cast("bigint").alias("d_scaled"),
+            "argmax_discount_x100",
+        )
+    )
+
+
+ORACLE_Q261 = """
+WITH per_v AS (
+  SELECT CAST(l_discount * 100 AS BIGINT) AS v,
+         sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS c2
+  FROM lineitem WHERE l_linestatus IN ('F','O') GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v) AS cum1,
+         sum(c2) OVER (ORDER BY v) AS cum2
+  FROM per_v
+),
+tot AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM cum),
+gaps AS (
+  SELECT v, n1, n2, abs(n2 * cum1 - n1 * cum2) AS gap
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(max(gap) AS BIGINT) AS d_scaled,
+       CAST(min(v) FILTER (WHERE gap = (SELECT max(gap) FROM gaps))
+            AS BIGINT) AS argmax_discount_x100
+FROM gaps GROUP BY 1, 2
+"""
+
+
+# q262: multinomial Naive Bayes training (Laplace-smoothed, rational)
+
+def q262_naive_bayes_model(spark, sf_dir):
+    """Multinomial Naive Bayes TRAINING over the documents corpus:
+    the per-(lang, token) Laplace-smoothed likelihoods and per-lang
+    priors a lang-ID classifier consumes.  Probabilities stay exact
+    rationals at ppb scale: lik_ppb = (1e9*(n_tc + 1)) div (N_c + V)
+    with V the global vocabulary size, prior_ppm = (1e6*docs_c) div
+    docs_total — no log(), no floats, so the emitted model is bit-
+    identical across engines (a consumer takes logs of the ppb values
+    at serve time).  Output is the model rows for the 20 most frequent
+    tokens overall (deterministic (count, token) order) x 5 langs,
+    plus per-class totals so the consumer can reconstruct smoothing
+    for unseen tokens.
+
+    Scale shape: one (lang, token) count shuffle with map-side combine
+    does ALL the work; vocabulary size, class totals and the top-20
+    token list are derived from that one aggregate (vocab-scale, not
+    corpus-scale) and broadcast back.  Training is embarrassingly
+    parallel — this is why NB is the classic first distributed text
+    classifier."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    tc = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tc")
+    )
+    class_tot = tc.groupBy("lang").agg(F.sum("n_tc").cast("bigint").alias("n_c"))
+    vocab = tc.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    top = (
+        tc.groupBy("token")
+        .agg(F.sum("n_tc").cast("bigint").alias("n_t"))
+        .orderBy(F.col("n_t").desc(), "token")
+        .limit(20)
+    )
+    priors = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("docs_c"))
+    docs_tot = priors.agg(F.sum("docs_c").cast("bigint").alias("docs_total"))
+    # dense (top-token x lang) grid so absent counts smooth to 1/(N_c+V)
+    grid = top.crossJoin(F.broadcast(class_tot))
+    return (
+        grid.join(tc, ["token", "lang"], "left")
+        .join(F.broadcast(vocab))
+        .join(F.broadcast(priors), "lang")
+        .join(F.broadcast(docs_tot))
+        .select(
+            "lang",
+            "token",
+            F.coalesce(F.col("n_tc"), F.lit(0)).cast("bigint").alias("n_tc"),
+            F.expr("(1000000000 * (coalesce(n_tc, 0) + 1)) div (n_c + v)")
+            .cast("bigint")
+            .alias("lik_ppb"),
+            F.col("n_c").alias("class_tokens"),
+            F.expr("(1000000 * docs_c) div docs_total")
+            .cast("bigint")
+            .alias("prior_ppm"),
+        )
+        .orderBy("lang", "token")
+    )
+
+
+ORACLE_Q262 = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS token
+  FROM documents
+),
+tc AS (SELECT lang, token, count(*) AS n_tc FROM tok GROUP BY 1, 2),
+class_tot AS (SELECT lang, sum(n_tc) AS n_c FROM tc GROUP BY 1),
+vocab AS (SELECT count(DISTINCT token) AS v FROM tc),
+top AS (
+  SELECT token, sum(n_tc) AS n_t FROM tc GROUP BY 1
+  ORDER BY n_t DESC, token LIMIT 20
+),
+priors AS (SELECT lang, count(*) AS docs_c FROM documents GROUP BY 1),
+docs_tot AS (SELECT sum(docs_c) AS docs_total FROM priors)
+SELECT lang, token,
+       CAST(coalesce(n_tc, 0) AS BIGINT) AS n_tc,
+       CAST((1000000000 * (coalesce(n_tc, 0) + 1)) // (n_c + v) AS BIGINT)
+         AS lik_ppb,
+       CAST(n_c AS BIGINT) AS class_tokens,
+       CAST((1000000 * docs_c) // docs_total AS BIGINT) AS prior_ppm
+FROM top
+CROSS JOIN class_tot
+LEFT JOIN tc USING (token, lang)
+CROSS JOIN vocab
+JOIN priors USING (lang)
+CROSS JOIN docs_tot
+ORDER BY lang, token
+"""
+
+
+# q263: TPC-H Q9 shape — profit by nation and order year
+
+def q263_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year): for
+    parts whose name mentions a colour, profit per supplier nation per
+    order year, profit = extendedprice*(1-discount) minus a retail-
+    price-based cost proxy (this corpus has no partsupp table, so
+    cost = 0.6 * p_retailprice * l_quantity — deterministic and
+    declared, preserving Q9's join/aggregate skeleton: a 5-table
+    star with two fact-side equi-joins and three broadcast dims).
+    Decimal-exact money math end to end (the q01 discipline).
+
+    Scale shape: part filter is pushed to the part scan and that
+    pruned dim is broadcast (fact rows drop before shuffling);
+    orders joins on the fact key l_orderkey (the one big shuffle);
+    supplier/nation broadcast; the final agg is bounded-key
+    (nation x year)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").rlike("green|blue|red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # narrow (9,2) unit casts keep the 3-factor product's result
+    # precision well under 38 in BOTH engines, so no precision-loss
+    # rescaling (and thus no rounding) can ever kick in; the true
+    # values carry <=4 decimal places, so the final (18,4) cast is
+    # exact too
+    D9 = "decimal(9,2)"
+    amount = (
+        F.col("l_extendedprice").cast(D9)
+        * (F.lit(1).cast(D9) - F.col("l_discount").cast(D9))
+        - F.lit(0.6).cast(D9)
+        * F.col("p_retailprice").cast(D9)
+        * F.col("l_quantity").cast(D9)
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(amount).cast("double").alias("profit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE_Q263 = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(
+         CAST(l_extendedprice AS DECIMAL(9,2))
+           * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))
+         - CAST(0.6 AS DECIMAL(9,2))
+           * CAST(p_retailprice AS DECIMAL(9,2))
+           * CAST(l_quantity AS DECIMAL(9,2))
+         AS DECIMAL(18,4))) AS DOUBLE) AS profit,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE regexp_matches(p_name, 'green|blue|red')
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -20535,6 +20796,9 @@ ORDER BY c_mktsegment, y
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q261_ks_two_sample": q261_ks_two_sample,
+    "q262_naive_bayes_model": q262_naive_bayes_model,
+    "q263_nation_profit": q263_nation_profit,
     "q258_association_rules": q258_association_rules,
     "q259_autocorrelation": q259_autocorrelation,
     "q260_target_encoding": q260_target_encoding,
@@ -20803,6 +21067,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q261_ks_two_sample": ORACLE_Q261,
+    "q262_naive_bayes_model": ORACLE_Q262,
+    "q263_nation_profit": ORACLE_Q263,
     "q258_association_rules": ORACLE_Q258,
     "q259_autocorrelation": ORACLE_Q259,
     "q260_target_encoding": ORACLE_Q260,
