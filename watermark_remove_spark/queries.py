@@ -20783,6 +20783,302 @@ ORDER BY nation, o_year DESC
 """
 
 
+# q264: TPC-H Q15 shape — top supplier(s) by windowed revenue, ties kept
+
+def q264_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): revenue per supplier over a
+    3-month ship window, returning every supplier whose revenue EQUALS
+    the global maximum — the tie-keeping semantics that distinguish
+    Q15 from a plain top-1 (LIMIT 1 would silently drop co-leaders).
+    Revenue sums through DECIMAL so the max-equality join compares
+    exact values, never float-rounded ones.
+
+    Scale shape: one supplier-key agg over the date-pruned fact scan;
+    the 1-row global max broadcasts back onto the supplier aggregate
+    (supplier-scale, not fact-scale); supplier names broadcast.  The
+    classic view+subquery formulation decorrelates to exactly this:
+    agg once, max once, equality-join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).cast("decimal(18,4)")
+        ).alias("revenue")
+    )
+    top = rev.agg(F.max("revenue").alias("max_rev"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), F.col("revenue") == F.col("max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q264 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(18,4))) AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue = (SELECT max(revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# q265: CRDT state merge — G-counter max-merge + LWW register
+
+def q265_crdt_merge(spark, sf_dir):
+    """CRDT convergence audit: two divergent replicas' states merged
+    with the algebra a conflict-free replicated datatype defines —
+    G-counter merge is per-replica-slot MAX (then total = sum of
+    slots), last-writer-wins register merge is the event with the
+    greatest (ts, event_id) — exercised over the events corpus with
+    replica slots = event_id mod 5 and the two divergent snapshots =
+    even/odd event_ids (each snapshot saw only half the writes, as
+    after a network partition).  Both merge operators are associative
+    + commutative + idempotent aggregates, which is exactly why they
+    distribute: Spark's partial aggregation IS the CRDT merge.
+
+    Scale shape: one (user, replica-slot) count shuffle (map-side
+    combinable), a greatest() merge at slot scale, a user-scale sum;
+    the LWW pick is one row_number window partitioned BY USER (keys
+    spread across the cluster — no global sort).  Output is
+    user-scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        (F.col("event_id") % 5).alias("slot"),
+        (F.col("event_id") % 2 == 0).alias("in_a"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    slots = ev.groupBy("key", "slot").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("cnt_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("cnt_b"),
+    )
+    gcounter = slots.groupBy("key").agg(
+        F.sum(F.greatest("cnt_a", "cnt_b")).cast("bigint").alias("merged_total"),
+        F.sum("cnt_a").cast("bigint").alias("replica_a_total"),
+        F.sum("cnt_b").cast("bigint").alias("replica_b_total"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lww = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "key",
+            F.col("event_type").alias("lww_value"),
+            # ts is TIMESTAMP_NTZ; the session tz is UTC so the cast to
+            # TIMESTAMP is a wall-clock no-op and unix_micros is exact
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("lww_ts_us"),
+        )
+    )
+    return (
+        gcounter.join(lww, "key")
+        .select(
+            F.col("key").cast("bigint").alias("key"),
+            "merged_total",
+            "replica_a_total",
+            "replica_b_total",
+            "lww_value",
+            "lww_ts_us",
+        )
+        .orderBy("key")
+    )
+
+
+ORACLE_Q265 = """
+WITH ev AS (
+  SELECT user_id AS key, event_id % 5 AS slot,
+         event_id % 2 = 0 AS in_a, ts, event_id, event_type
+  FROM events
+),
+slots AS (
+  SELECT key, slot,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS cnt_a,
+         sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS cnt_b
+  FROM ev GROUP BY 1, 2
+),
+gcounter AS (
+  SELECT key, sum(greatest(cnt_a, cnt_b)) AS merged_total,
+         sum(cnt_a) AS replica_a_total, sum(cnt_b) AS replica_b_total
+  FROM slots GROUP BY 1
+),
+lww AS (
+  SELECT key, event_type AS lww_value,
+         epoch_us(ts) AS lww_ts_us
+  FROM (SELECT key, event_type, ts,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev)
+  WHERE rn = 1
+)
+SELECT CAST(key AS BIGINT) AS key,
+       CAST(merged_total AS BIGINT) AS merged_total,
+       CAST(replica_a_total AS BIGINT) AS replica_a_total,
+       CAST(replica_b_total AS BIGINT) AS replica_b_total,
+       lww_value, CAST(lww_ts_us AS BIGINT) AS lww_ts_us
+FROM gcounter JOIN lww USING (key)
+ORDER BY key
+"""
+
+
+# q266: NDCG@5 ranking-quality evaluation (integer-exact DCG weights)
+
+def q266_ndcg_ranking_quality(spark, sf_dir):
+    """Offline ranking-quality evaluation: NDCG@5 of a
+    popularity-trained recommender, integer-exact.  Train/test split
+    by time (first half of the event range trains, second half is
+    ground truth); the model ranks each user's event types by training
+    count (ties by type name); a type is RELEVANT if the user touched
+    it in the test half with value >= 50.  The 1/log2(rank+1) DCG
+    discounts — the one place NDCG needs floats — are replaced by
+    their ppm-scaled literal values (1000000, 630929, 500000, 430676,
+    386852), so DCG, ideal DCG and ndcg_ppm = (1e6*dcg) div idcg are
+    all BIGINT arithmetic and the hash compare is exact.  Users with
+    no relevant type are excluded (IDCG would be 0).
+
+    Scale shape: one (user, type) training count shuffle; rank via a
+    user-partitioned window over <=5 types per user; ground truth is a
+    second (user, type) aggregate equi-joined on the SAME key layout;
+    IDCG comes from the per-user relevant-type count (bounded 1..5)
+    mapped through the same literal table.  Everything after the two
+    count shuffles is user-scale."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; UTC session tz makes the cast micros-exact
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.min(ts_us).alias("t0"),
+        F.max(ts_us).alias("t1"),
+    )
+    tagged = ev.join(F.broadcast(bounds)).withColumn(
+        "is_train",
+        ts_us * 2 < F.col("t0") + F.col("t1"),
+    )
+    ranked = (
+        tagged.where(F.col("is_train"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("cnt").desc(), "event_type"
+                )
+            ),
+        )
+        .where(F.col("rank") <= 5)
+    )
+    truth = (
+        tagged.where(~F.col("is_train") & (F.col("value") >= 50))
+        .select("user_id", "event_type")
+        .distinct()
+        .withColumn("rel", F.lit(1))
+    )
+    wts = F.expr(
+        "element_at(array(1000000, 630929, 500000, 430676, 386852), rank)"
+    )
+    scored = (
+        ranked.join(truth, ["user_id", "event_type"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("rel").isNotNull(), wts).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dcg_ppm")
+        )
+    )
+    # ideal DCG: all the user's relevant types stacked at the top ranks
+    cumw = F.expr(
+        "element_at(array(1000000, 1630929, 2130929, 2561605, 2948457),"
+        " cast(least(n_rel, 5) as int))"
+    )
+    ideal = (
+        truth.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+        .select("user_id", cumw.cast("bigint").alias("idcg_ppm"))
+    )
+    return (
+        scored.join(ideal, "user_id")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "dcg_ppm",
+            "idcg_ppm",
+            F.expr("(1000000 * dcg_ppm) div idcg_ppm")
+            .cast("bigint")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q266 = """
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events
+),
+tagged AS (
+  SELECT user_id, event_type, value,
+         epoch_us(ts) * 2 < t0 + t1 AS is_train
+  FROM events CROSS JOIN bounds
+),
+ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rank
+  FROM tagged WHERE is_train GROUP BY user_id, event_type
+  QUALIFY rank <= 5
+),
+truth AS (
+  SELECT DISTINCT user_id, event_type
+  FROM tagged WHERE NOT is_train AND value >= 50
+),
+scored AS (
+  SELECT r.user_id,
+         sum(CASE WHEN t.event_type IS NOT NULL
+                  THEN [1000000, 630929, 500000, 430676, 386852][r.rank]
+                  ELSE 0 END) AS dcg_ppm
+  FROM ranked r
+  LEFT JOIN truth t ON t.user_id = r.user_id
+                   AND t.event_type = r.event_type
+  GROUP BY 1
+),
+ideal AS (
+  SELECT user_id,
+         [1000000, 1630929, 2130929, 2561605, 2948457]
+           [CAST(least(count(*), 5) AS INT)] AS idcg_ppm
+  FROM truth GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(dcg_ppm AS BIGINT) AS dcg_ppm,
+       CAST(idcg_ppm AS BIGINT) AS idcg_ppm,
+       CAST((1000000 * dcg_ppm) // idcg_ppm AS BIGINT) AS ndcg_ppm
+FROM scored JOIN ideal USING (user_id)
+ORDER BY user_id
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -20796,6 +21092,9 @@ ORDER BY nation, o_year DESC
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q264_top_supplier": q264_top_supplier,
+    "q265_crdt_merge": q265_crdt_merge,
+    "q266_ndcg_ranking_quality": q266_ndcg_ranking_quality,
     "q261_ks_two_sample": q261_ks_two_sample,
     "q262_naive_bayes_model": q262_naive_bayes_model,
     "q263_nation_profit": q263_nation_profit,
@@ -21067,6 +21366,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q264_top_supplier": ORACLE_Q264,
+    "q265_crdt_merge": ORACLE_Q265,
+    "q266_ndcg_ranking_quality": ORACLE_Q266,
     "q261_ks_two_sample": ORACLE_Q261,
     "q262_naive_bayes_model": ORACLE_Q262,
     "q263_nation_profit": ORACLE_Q263,
