@@ -21079,6 +21079,257 @@ ORDER BY user_id
 """
 
 
+# q267: TPC-H Q16 shape — supplier-relationship counts with NOT-IN anti-join
+
+def q267_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers can provide parts of each (brand, size) class,
+    EXCLUDING blacklisted suppliers — the NOT IN (subquery) that every
+    optimizer must turn into an anti-join.  This corpus has no
+    partsupp table, so the part-supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) pairs observed in lineitem, and the
+    blacklist is suppliers with negative account balance (deterministic
+    stand-in for Q16's complaint-comment scan).  Brands are filtered
+    out (<> 'Brand#45') part-side, Q16 style.
+
+    Scale shape: the pair relation is one DISTINCT shuffle over the
+    projected fact columns; the blacklist (supplier-scale) broadcasts
+    as a LEFT ANTI join BEFORE the expensive countDistinct; part dims
+    broadcast onto the surviving pairs; the final agg groups bounded
+    (brand x size) keys.  Anti-join placement is load-bearing: pruning
+    suppliers first shrinks the distinct-count input."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") != "Brand#45")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    kept = pairs.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("bad_key"), "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", F.col("p_size")
+        )
+        .limit(50)
+    )
+
+
+ORACLE_Q267 = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+LIMIT 50
+"""
+
+
+# q268: event-sourcing ledger replay (SET resets + ADD deltas)
+
+def q268_ledger_replay(spark, sf_dir):
+    """Event-sourcing state reconstruction: each user's current
+    balance replayed from an append-only op log where 'signup' events
+    are SET ops (balance := value) and 'purchase' events are ADD ops
+    (balance += value) — the fold every event-sourced system runs at
+    snapshot time.  The distributed trick: a fold over ordered ops
+    per key does NOT need ordered execution — balance = (value of the
+    LAST set) + (sum of adds strictly AFTER it), which is one window
+    max and one conditional aggregate.  Money is exact integer cents
+    ((9,2) decimal x100); op order is (ts, event_id) so same-timestamp
+    ops replay deterministically.
+
+    Scale shape: one user-partitioned window pass to locate the last
+    SET (keys spread across executors), then a single map-side-
+    combinable conditional agg — the naive per-key sequential replay
+    (collect + loop) is exactly what this query proves unnecessary.
+    Users with ADDs but no SET fold from 0 (left join + coalesce)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(9,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_id",
+    )
+    sets = ev.where(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    last_set = (
+        sets.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("cents").alias("set_cents"),
+            F.col("t_us").alias("set_t_us"),
+            F.col("event_id").alias("set_eid"),
+        )
+    )
+    adds = ev.where(F.col("event_type") == "purchase")
+    folded = (
+        adds.join(last_set, "user_id", "left")
+        .where(
+            F.col("set_t_us").isNull()
+            | (F.col("t_us") > F.col("set_t_us"))
+            | (
+                (F.col("t_us") == F.col("set_t_us"))
+                & (F.col("event_id") > F.col("set_eid"))
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("cents").cast("bigint").alias("adds_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_adds_applied"),
+        )
+    )
+    return (
+        last_set.select("user_id", "set_cents")
+        .join(folded, "user_id", "full")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            (
+                F.coalesce(F.col("set_cents"), F.lit(0))
+                + F.coalesce(F.col("adds_cents"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("balance_cents"),
+            F.coalesce(F.col("n_adds_applied"), F.lit(0))
+            .cast("bigint")
+            .alias("n_adds_applied"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q268 = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) AS t_us, event_id
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+last_set AS (
+  SELECT user_id, cents AS set_cents, t_us AS set_t_us,
+         event_id AS set_eid
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY t_us DESC, event_id DESC)
+                    AS rn
+        FROM ev WHERE event_type = 'signup')
+  WHERE rn = 1
+),
+folded AS (
+  SELECT a.user_id, sum(a.cents) AS adds_cents,
+         count(*) AS n_adds_applied
+  FROM ev a LEFT JOIN last_set s USING (user_id)
+  WHERE a.event_type = 'purchase'
+    AND (s.set_t_us IS NULL OR a.t_us > s.set_t_us
+         OR (a.t_us = s.set_t_us AND a.event_id > s.set_eid))
+  GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(coalesce(set_cents, 0) + coalesce(adds_cents, 0) AS BIGINT)
+         AS balance_cents,
+       CAST(coalesce(n_adds_applied, 0) AS BIGINT) AS n_adds_applied
+FROM last_set FULL JOIN folded USING (user_id)
+ORDER BY user_id
+"""
+
+
+# q269: weighted median over a bounded value domain (per group)
+
+def q269_weighted_median(spark, sf_dir):
+    """Exact weighted median (and weighted quartiles) of l_quantity
+    per return flag, weighted by extended price in integer cents —
+    'the quantity at which half the revenue mass sits below' — the
+    weighted quantile a pricing analyst actually wants, computed the
+    only way that scales: per-(group, value) weight totals (bounded
+    keys: 3 flags x 50 quantities), then a cumulative-weight walk over
+    the tiny domain; the weighted p-quantile is the smallest value
+    whose doubled cumulative weight reaches 2*p*total (all integer —
+    no interpolation, lower-weighted-quantile semantics, exact in both
+    engines).
+
+    Scale shape: ONE map-side-combinable shuffle on bounded (flag,
+    qty) keys does all fact-table work; the window walk and the
+    quantile picks run on <=150 rows.  Weighted quantiles via global
+    sort (percentile_cont over raw rows) would shuffle the whole fact
+    table; this never does."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_v = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    ).agg(
+        F.sum((F.col("l_extendedprice").cast(DEC) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("w")
+    )
+    win = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_v.select(
+        "flag", "v", F.sum("w").over(win).alias("cumw")
+    )
+    tot = per_v.groupBy("flag").agg(F.sum("w").alias("totw"))
+    j = cum.join(F.broadcast(tot), "flag")
+    pick = lambda num, den: F.min(  # noqa: E731
+        F.when(F.col("cumw") * den >= F.col("totw") * num, F.col("v"))
+    )
+    return (
+        j.groupBy("flag")
+        .agg(
+            pick(1, 4).cast("bigint").alias("wq25"),
+            pick(1, 2).cast("bigint").alias("wmedian"),
+            pick(3, 4).cast("bigint").alias("wq75"),
+            F.max("totw").cast("bigint").alias("total_weight_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+ORACLE_Q269 = """
+WITH per_v AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, v,
+         sum(w) OVER (PARTITION BY flag ORDER BY v) AS cumw
+  FROM per_v
+),
+tot AS (SELECT flag, sum(w) AS totw FROM per_v GROUP BY 1)
+SELECT flag,
+       CAST(min(CASE WHEN cumw * 4 >= totw * 1 THEN v END) AS BIGINT) AS wq25,
+       CAST(min(CASE WHEN cumw * 2 >= totw * 1 THEN v END) AS BIGINT) AS wmedian,
+       CAST(min(CASE WHEN cumw * 4 >= totw * 3 THEN v END) AS BIGINT) AS wq75,
+       CAST(max(totw) AS BIGINT) AS total_weight_cents
+FROM cum JOIN tot USING (flag)
+GROUP BY flag
+ORDER BY flag
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -21092,6 +21343,9 @@ ORDER BY user_id
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q267_supplier_relationship": q267_supplier_relationship,
+    "q268_ledger_replay": q268_ledger_replay,
+    "q269_weighted_median": q269_weighted_median,
     "q264_top_supplier": q264_top_supplier,
     "q265_crdt_merge": q265_crdt_merge,
     "q266_ndcg_ranking_quality": q266_ndcg_ranking_quality,
@@ -21366,6 +21620,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q267_supplier_relationship": ORACLE_Q267,
+    "q268_ledger_replay": ORACLE_Q268,
+    "q269_weighted_median": ORACLE_Q269,
     "q264_top_supplier": ORACLE_Q264,
     "q265_crdt_merge": ORACLE_Q265,
     "q266_ndcg_ranking_quality": ORACLE_Q266,
