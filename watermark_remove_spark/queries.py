@@ -21330,6 +21330,312 @@ ORDER BY flag
 """
 
 
+# q270: TPC-H Q20 shape — nested semi-join (high-volume part suppliers)
+
+def q270_excess_volume_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    1997 shipped volume of red parts exceeded 300 units — the
+    doubly-nested IN (SELECT ... IN (SELECT ...)) that decorrelates to
+    a filtered join + HAVING + semi-join chain.  The inner part filter
+    is a name scan; the middle block aggregates fact rows per
+    supplier; the outer block keeps only suppliers passing the volume
+    floor (4 of 10 qualify at sf0.001 — both branches live).
+
+    Scale shape: the red-part dim is filtered FIRST and broadcast into
+    the fact scan (fact rows drop before any shuffle); the per-
+    supplier aggregate is one bounded-key shuffle; the final
+    supplier-table probe is a broadcast LEFT SEMI join — supplier
+    attributes never shuffle.  Quantity sums through DECIMAL so the
+    HAVING threshold compares exactly."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").rlike("red"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == 1997
+    )
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("vol"))
+        .where(F.col("vol") > F.lit(300).cast(DEC))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        semi_join(sup, heavy, sup.s_suppkey == heavy.l_suppkey)
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").alias("s_acctbal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q270 = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE year(l_shipdate) = 1997
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE regexp_matches(p_name, 'red'))
+  GROUP BY l_suppkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2)))
+           > CAST(300 AS DECIMAL(18,2))
+)
+ORDER BY s_suppkey
+"""
+
+
+# q271: Allen interval-algebra classification of session x incident pairs
+
+def q271_allen_interval_algebra(spark, sf_dir):
+    """Allen's interval algebra over operational data: every user
+    session (5-minute inactivity gap, endpoints coarsened to whole
+    minutes so boundary coincidences are live) is classified against
+    every error incident (15-minute bucket holding >= 2 error events)
+    within a 30-minute horizon, into the 13 Allen relations
+    (precedes/meets/overlaps/starts/during/finishes/equals and
+    inverses).  Coarsening makes every interval proper (end = last
+    minute + 1), which the algebra requires.  Output: relation ->
+    pair count — the interval-semantics audit behind any
+    'did the session touch the outage?' attribution.
+
+    Scale shape: sessions come from one user-partitioned lag window
+    (q11's shape); incidents from one bounded-key bucket agg; the
+    pair generator is the q43 chunked-equi-join discipline — sessions
+    explode into the 15-minute buckets covering their horizon and join
+    incidents ON THE BUCKET (never a nested-loop theta join), then
+    exact horizon + relation predicates run on the deduped pairs.
+    The DuckDB oracle uses the naive theta join — same result, which
+    is the point: the chunking is a pure execution strategy."""
+    ev = _t(spark, sf_dir, "events")
+    ts_s = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_us", F.lag(ts_s).over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev_us").isNull())
+            | (ts_s - F.col("prev_us") > 300_000_000),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum(F.col("new_sess").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            (F.floor(F.min(ts_s) / 60_000_000) * 60).alias("s1"),
+            ((F.floor(F.max(ts_s) / 60_000_000) + 1) * 60).alias("e1"),
+        )
+    )
+    inc = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy((F.floor(ts_s / 900_000_000) * 900).alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .where(F.col("n_err") >= 2)
+        .select("s2", (F.col("s2") + 900).alias("e2"))
+    )
+    H = 1800
+    sb = sess.select(
+        "user_id",
+        "sess_id",
+        "s1",
+        "e1",
+        # low edge extends one extra bucket: the horizon predicate is
+        # on e2 = s2 + 900, so qualifying incidents START as early as
+        # s1 - H - 900
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s1") - H - 900) / 900).cast("bigint"),
+                F.floor((F.col("e1") + H) / 900).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    ib = inc.withColumn("bucket", F.floor(F.col("s2") / 900).cast("bigint"))
+    pairs = (
+        sb.join(ib, "bucket")
+        .select("user_id", "sess_id", "s1", "e1", "s2", "e2")
+        .distinct()
+        .where((F.col("s1") <= F.col("e2") + H) & (F.col("s2") <= F.col("e1") + H))
+    )
+    rel = (
+        F.when(F.col("e1") < F.col("s2"), "precedes")
+        .when(F.col("s1") > F.col("e2"), "preceded_by")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(F.col("s1") == F.col("e2"), "met_by")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")), "equals")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")), "starts")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") > F.col("e2")), "started_by")
+        .when((F.col("e1") == F.col("e2")) & (F.col("s1") > F.col("s2")), "finishes")
+        .when((F.col("e1") == F.col("e2")) & (F.col("s1") < F.col("s2")), "finished_by")
+        .when((F.col("s1") > F.col("s2")) & (F.col("e1") < F.col("e2")), "during")
+        .when((F.col("s1") < F.col("s2")) & (F.col("e1") > F.col("e2")), "contains")
+        .when((F.col("s1") < F.col("s2")) & (F.col("e1") < F.col("e2")), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        pairs.select(rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
+ORACLE_Q271 = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events
+),
+marked AS (
+  SELECT user_id, t_us,
+         CASE WHEN lag(t_us) OVER
+                (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL
+              OR t_us - lag(t_us) OVER
+                (PARTITION BY user_id ORDER BY t_us, event_id)
+                 > 300000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, sess_id,
+         floor(min(t_us) / 60000000) * 60 AS s1,
+         (floor(max(t_us) / 60000000) + 1) * 60 AS e1
+  FROM (SELECT user_id, t_us,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY t_us
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked)
+  GROUP BY user_id, sess_id
+),
+inc AS (
+  SELECT floor(t_us / 900000000) * 900 AS s2,
+         floor(t_us / 900000000) * 900 + 900 AS e2
+  FROM ev WHERE event_type = 'error'
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+pairs AS (
+  SELECT DISTINCT user_id, sess_id, s1, e1, s2, e2
+  FROM sess JOIN inc ON s1 <= e2 + 1800 AND s2 <= e1 + 1800
+)
+SELECT CASE
+         WHEN e1 < s2 THEN 'precedes'
+         WHEN s1 > e2 THEN 'preceded_by'
+         WHEN e1 = s2 THEN 'meets'
+         WHEN s1 = e2 THEN 'met_by'
+         WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+         WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+         WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+         WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+         WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+         WHEN s1 > s2 AND e1 < e2 THEN 'during'
+         WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+         WHEN s1 < s2 AND e1 < e2 THEN 'overlaps'
+         ELSE 'overlapped_by'
+       END AS relation,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY 1
+ORDER BY relation
+"""
+
+
+# q272: rendezvous (highest-random-weight) hashing shard audit
+
+def q272_rendezvous_hashing(spark, sf_dir):
+    """Rendezvous (highest-random-weight) hashing audit: every
+    document is assigned to the shard maximizing the portable 60-bit
+    hash of (doc_id # shard), under an 8-shard and a 9-shard
+    configuration, and the audit proves HRW's minimal-disruption
+    property ON THIS CORPUS: a document moves ONLY to the newly added
+    shard, never between surviving shards (n_moved_away sums to the
+    new shard's population; every old shard keeps the rest).  This is
+    the assignment discipline for sticky routing / cache sharding
+    where consistent-hash rings would be the alternative.
+
+    Scale shape: purely map-side — each doc explodes into 9 (shard,
+    weight) rows computed from literals + the portable md5 (no
+    shuffle until the final bounded-key count); the per-doc argmax is
+    a max_by aggregate on doc_id (one shuffle of slim rows; at
+    production scale this is the one unavoidable exchange and it
+    carries 16 bytes/row).  Ties in the 60-bit hash are
+    cryptographically negligible and both engines see identical
+    hashes, so argmax is deterministic."""
+    docs = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    shards9 = [f"shard{i}" for i in range(9)]
+    weighted = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("shard"),
+                    md5_i64_expr(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("#" + s),
+                        )
+                    ).alias("h"),
+                )
+                for s in shards9
+            ])
+        ).alias("sw"),
+    ).select("doc_id", F.col("sw.shard").alias("shard"), F.col("sw.h").alias("h"))
+    a9 = weighted.groupBy("doc_id").agg(
+        F.max_by("shard", "h").alias("assign9")
+    )
+    a8 = (
+        weighted.where(F.col("shard") != "shard8")
+        .groupBy("doc_id")
+        .agg(F.max_by("shard", "h").alias("assign8"))
+    )
+    both = a9.join(a8, "doc_id")
+    return (
+        both.groupBy(F.col("assign9").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned_9"),
+            F.sum((F.col("assign8") == F.col("assign9")).cast("int"))
+            .cast("bigint")
+            .alias("n_stayed"),
+            F.sum((F.col("assign8") != F.col("assign9")).cast("int"))
+            .cast("bigint")
+            .alias("n_moved_in"),
+        )
+        .orderBy("shard")
+    )
+
+
+_DUCK_HRW_H = duck_md5_i64("CAST(doc_id AS VARCHAR) || '#' || shard")
+
+ORACLE_Q272 = f"""
+WITH weighted AS (
+  SELECT doc_id, shard, {_DUCK_HRW_H} AS h
+  FROM documents,
+       UNNEST(['shard0','shard1','shard2','shard3','shard4',
+               'shard5','shard6','shard7','shard8']) AS t(shard)
+),
+a9 AS (
+  SELECT doc_id, arg_max(shard, h) AS assign9 FROM weighted GROUP BY 1
+),
+a8 AS (
+  SELECT doc_id, arg_max(shard, h) AS assign8
+  FROM weighted WHERE shard <> 'shard8' GROUP BY 1
+)
+SELECT assign9 AS shard,
+       CAST(count(*) AS BIGINT) AS n_assigned_9,
+       CAST(sum(CASE WHEN assign8 = assign9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stayed,
+       CAST(sum(CASE WHEN assign8 <> assign9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_in
+FROM a9 JOIN a8 USING (doc_id)
+GROUP BY 1
+ORDER BY shard
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -21343,6 +21649,9 @@ ORDER BY flag
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q270_excess_volume_suppliers": q270_excess_volume_suppliers,
+    "q271_allen_interval_algebra": q271_allen_interval_algebra,
+    "q272_rendezvous_hashing": q272_rendezvous_hashing,
     "q267_supplier_relationship": q267_supplier_relationship,
     "q268_ledger_replay": q268_ledger_replay,
     "q269_weighted_median": q269_weighted_median,
@@ -21620,6 +21929,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q270_excess_volume_suppliers": ORACLE_Q270,
+    "q271_allen_interval_algebra": ORACLE_Q271,
+    "q272_rendezvous_hashing": ORACLE_Q272,
     "q267_supplier_relationship": ORACLE_Q267,
     "q268_ledger_replay": ORACLE_Q268,
     "q269_weighted_median": ORACLE_Q269,
