@@ -21636,6 +21636,220 @@ ORDER BY shard
 """
 
 
+# q273: TPC-H Q11 shape — global-fraction threshold (important parts)
+
+def q273_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): parts whose
+    total revenue exceeds 0.1% OF THE WHOLE CORPUS's revenue — the
+    correlated scalar-subquery-over-SUM that decorrelates into one
+    per-key aggregate plus a 1-row global aggregate broadcast back as
+    a HAVING threshold.  Distinct from q264 (Q15), which keeps ties of
+    the MAX; here the threshold is a *fraction of the global total*,
+    so the global scalar participates in arithmetic, not equality.
+    The fraction compare is integer-exact: ``revenue * 1600 > global``
+    in DECIMAL (fraction 1/1600, sized so the filter is discriminative
+    at test scale: ~12% of parts pass at sf0.01) — no float ratio
+    anywhere.
+
+    Scale shape: one part-key agg over the fact scan (map-side
+    partials); the global total re-aggregates the slim per-part
+    relation (never a second fact scan); the 1-row result broadcasts
+    into a map-side filter; part names arrive by broadcast.  At 100 TB
+    the only fact-scale exchange is the first part-key shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            ).cast("decimal(18,4)")
+        ).alias("revenue")
+    )
+    total = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(28,4)")).alias("global_rev")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        rev.join(F.broadcast(total))
+        .where(
+            F.col("revenue").cast("decimal(28,4)") * 1600 > F.col("global_rev")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_name",
+            F.col("revenue").cast("double").alias("part_revenue"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_Q273 = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(18,4))) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (
+  SELECT sum(CAST(revenue AS DECIMAL(28,4))) AS global_rev FROM rev
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+       CAST(revenue AS DOUBLE) AS part_revenue
+FROM rev
+CROSS JOIN total
+JOIN part ON l_partkey = p_partkey
+WHERE CAST(revenue AS DECIMAL(28,4)) * 1600 > global_rev
+ORDER BY p_partkey
+"""
+
+
+# q274: gaps-and-islands longest active-day streak
+
+def q274_activity_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streak per user, reported as a
+    distribution (max-streak length -> how many users), via the
+    classic gaps-and-islands rank-difference trick: distinct active
+    days per user, ``day_number - row_number`` is constant exactly
+    within a run of consecutive days, so one groupBy on that constant
+    yields streak lengths with NO self-join and NO iteration.  The
+    engagement/retention metric behind "7-day streak" product
+    features, and the canonical islands idiom q106/q218 do NOT cover
+    (those detect value-change islands and sequence gaps; this one is
+    calendar-consecutiveness of deduplicated days).
+
+    Scale shape: distinct (user, day) collapses the fact table first
+    (the only fact-scale shuffle); both windows and the island
+    aggregate share the SAME user-key partitioning so AQE plans one
+    Exchange; the final distribution agg is streak-length-scale
+    (bounded by days in the corpus)."""
+    ev = _t(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "day_num"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    streaks = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("island", F.col("day_num") - F.col("rn"))
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.max("streak_len").alias("max_streak"))
+        .groupBy("max_streak")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("max_streak")
+    )
+
+
+ORACLE_Q274 = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events
+),
+streaks AS (
+  SELECT user_id,
+         day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+           AS island
+  FROM days
+),
+lens AS (
+  SELECT user_id, island, count(*) AS streak_len
+  FROM streaks GROUP BY user_id, island
+),
+per_user AS (
+  SELECT user_id, max(streak_len) AS max_streak FROM lens GROUP BY user_id
+)
+SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user
+GROUP BY max_streak
+ORDER BY max_streak
+"""
+
+
+# q275: running-peak max drawdown (integer-cents exact)
+
+def q275_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per user over the running sum of purchase
+    values ordered by time: cumulative balance, its running peak
+    (cummax), and the largest peak-to-trough gap — the risk metric
+    every billing/fraud/treasury pipeline computes, and a double
+    window-on-window composition (cumsum feeding cummax) no earlier
+    query exercises.  All arithmetic is integer CENTS (value ->
+    DECIMAL(9,2) -> *100 -> BIGINT) so the running sums are exact and
+    both engines agree bit-for-bit; output is the top 20 users by
+    drawdown with (user, drawdown) deterministic tie-break.
+
+    Scale shape: one user-key Exchange serves BOTH frame windows (same
+    partitioning, same ordering — Spark plans consecutive Window
+    nodes over a single sort); the top-20 is TakeOrderedAndProject
+    (per-partition heap + 20-row driver merge), never a global sort."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cents = (F.col("value").cast("decimal(9,2)") * 100).cast("bigint")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bal = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(cents).over(wcum).alias("balance_cents"),
+    )
+    peaked = bal.withColumn(
+        "peak_cents", F.max("balance_cents").over(wcum)
+    )
+    return (
+        peaked.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak_cents") - F.col("balance_cents"))
+            .cast("bigint")
+            .alias("max_drawdown_cents"),
+            F.max("peak_cents").cast("bigint").alias("peak_balance_cents"),
+        )
+        .orderBy(F.desc("max_drawdown_cents"), "user_id")
+        .limit(20)
+    )
+
+
+ORACLE_Q275 = """
+WITH cents AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+bal AS (
+  SELECT user_id, ts, event_id,
+         sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS balance_cents
+  FROM cents
+),
+peaked AS (
+  SELECT user_id, balance_cents,
+         max(balance_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS peak_cents
+  FROM bal
+)
+SELECT user_id,
+       CAST(max(peak_cents - balance_cents) AS BIGINT) AS max_drawdown_cents,
+       CAST(max(peak_cents) AS BIGINT) AS peak_balance_cents
+FROM peaked
+GROUP BY user_id
+ORDER BY max_drawdown_cents DESC, user_id
+LIMIT 20
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -21649,6 +21863,9 @@ ORDER BY shard
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q273_important_parts": q273_important_parts,
+    "q274_activity_streaks": q274_activity_streaks,
+    "q275_max_drawdown": q275_max_drawdown,
     "q270_excess_volume_suppliers": q270_excess_volume_suppliers,
     "q271_allen_interval_algebra": q271_allen_interval_algebra,
     "q272_rendezvous_hashing": q272_rendezvous_hashing,
@@ -21929,6 +22146,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q273_important_parts": ORACLE_Q273,
+    "q274_activity_streaks": ORACLE_Q274,
+    "q275_max_drawdown": ORACLE_Q275,
     "q270_excess_volume_suppliers": ORACLE_Q270,
     "q271_allen_interval_algebra": ORACLE_Q271,
     "q272_rendezvous_hashing": ORACLE_Q272,
