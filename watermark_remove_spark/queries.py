@@ -21850,6 +21850,269 @@ LIMIT 20
 """
 
 
+# q276: TPC-H Q4 shape — EXISTS late-shipment order priority check
+
+def q276_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): count orders per
+    priority, restricted to orders in a one-quarter date window that
+    have AT LEAST ONE late lineitem (shipped more than 30 days after
+    the order date) — the canonical correlated EXISTS that planners
+    turn into a left-semi join.  The fixture lineitem carries no
+    commit/receipt dates, so lateness is l_shipdate > o_orderdate +
+    30 days, which preserves the exact Q4 plan shape: date-filtered
+    orders, a correlated predicate touching BOTH sides, semi-join,
+    group-count (tpch spec Q4; fixture schema per TESTDATA.md).
+
+    Scale shape: the orders date filter pushes to the parquet scan;
+    the semi join keys on l_orderkey so the correlated date compare
+    rides the join condition (no post-filter materialization); output
+    is one tiny priority-count aggregate.  At 100 TB both scans prune
+    on the date window and the only wide exchange is the orderkey
+    semi join — left-semi emits each order at most once, so no
+    DISTINCT pass is needed."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q276 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# q277: Kendall tau-b rank concordance from contingency cells
+
+def q277_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank concordance between l_quantity and
+    l_discount — the tie-robust ordinal-association companion to
+    q256's Spearman rho.  Naive Kendall is an O(n^2) all-pairs scan;
+    here both variables have small value domains (<=50 x <=11), so the
+    fact table collapses to a <=550-cell contingency FIRST and the
+    pair census runs cell-by-cell: concordant mass C = sum over cell
+    pairs (x2>x1 AND y2>y1) of n1*n2, discordant D likewise with
+    y2<y1 — a deliberate 550x550 self-join over the AGGREGATE (3*10^5
+    cell pairs of metadata, never row pairs).  Tie corrections n1,n2
+    come from the exact marginals; tau_b = (C-D)/sqrt((n0-nx)(n0-ny))
+    is evaluated once in float64 from exact DECIMAL(38,0) integers
+    (conversion + * / sqrt all IEEE correctly-rounded, so bits match
+    across engines; q256's discipline), floored at ppm.
+
+    Scale shape: ONE map-side-combinable contingency shuffle over the
+    fact scan; everything after runs on <=550 rows (the self-join is
+    the documented metadata-scale broadcast NLJ, like the 16-centroid
+    collect in similarity.py); marginals and the final fold are
+    1-row-scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (F.col("l_discount") * 100).cast("bigint").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    D38 = "decimal(38,0)"
+    c1 = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("cnt").alias("n1")
+    )
+    c2 = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("cnt").alias("n2")
+    )
+    pairs = c1.join(
+        F.broadcast(c2), (F.col("x2") > F.col("x1")) & (F.col("y2") != F.col("y1"))
+    )
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("y2") > F.col("y1"), F.col("n1").cast(D38) * F.col("n2"))
+            .otherwise(F.lit(0))
+        ).cast(D38).alias("conc"),
+        F.sum(
+            F.when(F.col("y2") < F.col("y1"), F.col("n1").cast(D38) * F.col("n2"))
+            .otherwise(F.lit(0))
+        ).cast(D38).alias("disc"),
+    )
+    xm = cells.groupBy("x").agg(F.sum("cnt").alias("tx")).agg(
+        F.sum(F.col("tx").cast(D38) * (F.col("tx") - 1)).cast(D38).alias("nx2")
+    )
+    ym = cells.groupBy("y").agg(F.sum("cnt").alias("ty")).agg(
+        F.sum(F.col("ty").cast(D38) * (F.col("ty") - 1)).cast(D38).alias("ny2")
+    )
+    tot = cells.agg(F.sum("cnt").cast(D38).alias("n"))
+    return (
+        cd.join(F.broadcast(xm))
+        .join(F.broadcast(ym))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("conc").cast("bigint").alias("concordant_pairs"),
+            F.col("disc").cast("bigint").alias("discordant_pairs"),
+            F.floor(
+                (F.col("conc").cast("double") - F.col("disc").cast("double"))
+                / F.sqrt(
+                    (
+                        (F.col("n") * (F.col("n") - 1) - F.col("nx2")).cast("double")
+                    )
+                    * (
+                        (F.col("n") * (F.col("n") - 1) - F.col("ny2")).cast("double")
+                    )
+                )
+                * F.lit(2000000.0)
+            ).cast("bigint").alias("tau_b_ppm"),
+        )
+    )
+
+
+ORACLE_Q277 = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(l_discount * 100 AS BIGINT) AS y,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+cd AS (
+  SELECT
+    CAST(sum(CASE WHEN c2.y > c1.y
+             THEN CAST(c1.cnt AS DECIMAL(38,0)) * c2.cnt ELSE 0 END)
+         AS DECIMAL(38,0)) AS conc,
+    CAST(sum(CASE WHEN c2.y < c1.y
+             THEN CAST(c1.cnt AS DECIMAL(38,0)) * c2.cnt ELSE 0 END)
+         AS DECIMAL(38,0)) AS disc
+  FROM cells c1 JOIN cells c2 ON c2.x > c1.x AND c2.y <> c1.y
+),
+xm AS (
+  SELECT CAST(sum(CAST(tx AS DECIMAL(38,0)) * (tx - 1)) AS DECIMAL(38,0)) AS nx2
+  FROM (SELECT x, sum(cnt) AS tx FROM cells GROUP BY x)
+),
+ym AS (
+  SELECT CAST(sum(CAST(ty AS DECIMAL(38,0)) * (ty - 1)) AS DECIMAL(38,0)) AS ny2
+  FROM (SELECT y, sum(cnt) AS ty FROM cells GROUP BY y)
+),
+tot AS (SELECT CAST(sum(cnt) AS DECIMAL(38,0)) AS n FROM cells)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(conc AS BIGINT) AS concordant_pairs,
+       CAST(disc AS BIGINT) AS discordant_pairs,
+       CAST(floor(
+         (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+         / sqrt(CAST(n * (n - 1) - nx2 AS DOUBLE)
+                * CAST(n * (n - 1) - ny2 AS DOUBLE))
+         * 2000000.0
+       ) AS BIGINT) AS tau_b_ppm
+FROM cd, xm, ym, tot
+"""
+
+
+# q278: rolling exact-median anomaly gate (window-of-5 purchase values)
+
+def q278_rolling_median_gate(spark, sf_dir):
+    """Rolling exact-median spike gate: for each user's purchase
+    stream (ordered by ts, event_id), the median of the TRAILING FIVE
+    purchase amounts, and a row is flagged when its amount exceeds 4x
+    that rolling median — the classic order-of-magnitude fraud/billing
+    spike detector that a global median (q269) or a global MAD gate
+    (q213) cannot express because the baseline must travel WITH the
+    stream.  Median-of-5 is computed exactly as the 3rd element of the
+    sorted trailing window (collect_list -> sort_array -> element_at;
+    DuckDB mirror: list() window -> list_sort -> [3]) in integer
+    cents, so there is no interpolation and no float anywhere; the
+    first four rows of each user (incomplete window) are excluded on
+    both sides by row_number >= 5.  Output: per user, rows scored,
+    rows flagged, and the worst spike ratio in ppm (floor of
+    cents*1e6 div median_cents — integer division), for users with at
+    least one flag.
+
+    Scale shape: ONE user_id Exchange serves the row_number window,
+    the trailing collect_list window, and the final per-user aggregate
+    (same partitioning + ordering -> consecutive Window nodes over a
+    single sort, then a partial-agg); trailing state is bounded at 5
+    values/row by the frame, so memory per task is O(partition),
+    never O(user history)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cents = (F.col("value").cast("decimal(9,2)") * 100).cast("bigint")
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scored = (
+        ev.select("user_id", "ts", "event_id", cents.alias("c"))
+        .withColumn("rn", F.row_number().over(wn))
+        .withColumn(
+            "med", F.element_at(F.sort_array(F.collect_list("c").over(w5)), 3)
+        )
+        .where(F.col("rn") >= 5)
+    )
+    flagged = scored.withColumn(
+        "is_spike",
+        (F.col("c") > 4 * F.col("med")) & (F.col("med") > 0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.col("is_spike").cast("bigint")).cast("bigint").alias("n_spikes"),
+            F.max(
+                F.when(
+                    F.col("med") > 0,
+                    F.expr("c * 1000000 div med"),
+                )
+            ).cast("bigint").alias("worst_ratio_ppm"),
+        )
+        .where(F.col("n_spikes") > 0)
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q278 = """
+WITH cents AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+scored AS (
+  SELECT user_id, c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         list_sort(list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))[3]
+           AS med
+  FROM cents
+),
+flagged AS (
+  SELECT user_id, c, med,
+         (c > 4 * med AND med > 0) AS is_spike
+  FROM scored WHERE rn >= 5
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN is_spike THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes,
+       CAST(max(CASE WHEN med > 0 THEN c * 1000000 // med END) AS BIGINT)
+         AS worst_ratio_ppm
+FROM flagged
+GROUP BY user_id
+HAVING sum(CASE WHEN is_spike THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -21863,6 +22126,9 @@ LIMIT 20
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q276_priority_check": q276_priority_check,
+    "q277_kendall_tau": q277_kendall_tau,
+    "q278_rolling_median_gate": q278_rolling_median_gate,
     "q273_important_parts": q273_important_parts,
     "q274_activity_streaks": q274_activity_streaks,
     "q275_max_drawdown": q275_max_drawdown,
@@ -22146,6 +22412,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q276_priority_check": ORACLE_Q276,
+    "q277_kendall_tau": ORACLE_Q277,
+    "q278_rolling_median_gate": ORACLE_Q278,
     "q273_important_parts": ORACLE_Q273,
     "q274_activity_streaks": ORACLE_Q274,
     "q275_max_drawdown": ORACLE_Q275,
