@@ -22113,6 +22113,264 @@ ORDER BY user_id
 """
 
 
+# q279: sequential early-stopping audit (first-passage random walk)
+
+def q279_sequential_stopping(spark, sf_dir):
+    """Sequential-test early-stopping audit: each experiment bucket
+    accumulates a +/-1 evidence walk (purchase = success, click =
+    failure) in event-time order and DECIDES at the first moment the
+    walk hits +B or -B — the integer-exact skeleton of an SPRT with
+    symmetric log-likelihood increments (p1/p0 = 2 makes each step
+    exactly +/-1 unit of ln 2, so thresholds are integers and no
+    logarithm is ever evaluated).  The audit reports, per experiment:
+    the decision (accept/reject/running), how many observations the
+    sequential rule needed, and the walk's final value — i.e. how much
+    sample the early stop saved vs the fixed-horizon test.  First
+    passage is found with windows, not iteration: cumulative sum,
+    row_number ordered by time among the threshold-crossing rows, keep
+    the first.
+
+    Scale shape: one experiment-key Exchange serves the cumsum window,
+    the crossing row_number, and the per-experiment fold (same
+    partitioning throughout); state per row is O(1).  The experiment
+    key is a pure function of user_id so the fixture is deterministic
+    at every SF."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    step = F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(-1))
+    bound = 25
+    wcum = (
+        Window.partitionBy("exp_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("exp_id").orderBy("ts", "event_id")
+    walked = (
+        ev.select(
+            (F.col("user_id") % 16).alias("exp_id"),
+            "ts",
+            "event_id",
+            step.alias("step"),
+        )
+        .withColumn("walk", F.sum("step").over(wcum))
+        .withColumn("rn", F.row_number().over(wn))
+    )
+    crossing = walked.where(F.abs(F.col("walk")) >= bound)
+    first_cross = (
+        crossing.groupBy("exp_id")
+        .agg(F.min("rn").alias("decide_at"))
+        .join(
+            crossing.select("exp_id", F.col("rn").alias("decide_at"), "walk"),
+            ["exp_id", "decide_at"],
+        )
+        .select(
+            "exp_id",
+            F.lit(True).alias("decided"),
+            F.col("decide_at").cast("bigint").alias("n_obs_used"),
+            F.when(F.col("walk") >= bound, F.lit("accept"))
+            .otherwise(F.lit("reject"))
+            .alias("decision"),
+            F.col("walk").cast("bigint").alias("walk_at_stop"),
+        )
+    )
+    totals = walked.groupBy("exp_id").agg(
+        F.max("rn").alias("n_total"), F.max_by("walk", "rn").alias("final_walk")
+    )
+    return (
+        totals.join(first_cross, "exp_id", "left")
+        .select(
+            F.col("exp_id").cast("bigint").alias("exp_id"),
+            F.coalesce(F.col("decision"), F.lit("running")).alias("decision"),
+            F.coalesce(F.col("n_obs_used"), F.col("n_total"))
+            .cast("bigint")
+            .alias("n_obs_used"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.coalesce(F.col("walk_at_stop"), F.col("final_walk"))
+            .cast("bigint")
+            .alias("walk_value"),
+        )
+        .orderBy("exp_id")
+    )
+
+
+ORACLE_Q279 = """
+WITH ev AS (
+  SELECT user_id % 16 AS exp_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS step
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+walked AS (
+  SELECT exp_id, ts, event_id,
+         sum(step) OVER (PARTITION BY exp_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS walk,
+         row_number() OVER (PARTITION BY exp_id ORDER BY ts, event_id) AS rn
+  FROM ev
+),
+first_cross AS (
+  SELECT exp_id, decide_at, walk FROM (
+    SELECT exp_id, rn AS decide_at, walk,
+           row_number() OVER (PARTITION BY exp_id ORDER BY rn) AS k
+    FROM walked WHERE abs(walk) >= 25
+  ) WHERE k = 1
+),
+totals AS (
+  SELECT exp_id, max(rn) AS n_total,
+         arg_max(walk, rn) AS final_walk
+  FROM walked GROUP BY exp_id
+)
+SELECT CAST(t.exp_id AS BIGINT) AS exp_id,
+       coalesce(CASE WHEN f.walk >= 25 THEN 'accept'
+                     WHEN f.walk <= -25 THEN 'reject' END,
+                'running') AS decision,
+       CAST(coalesce(f.decide_at, t.n_total) AS BIGINT) AS n_obs_used,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(coalesce(f.walk, t.final_walk) AS BIGINT) AS walk_value
+FROM totals t LEFT JOIN first_cross f ON t.exp_id = f.exp_id
+ORDER BY exp_id
+"""
+
+
+# q280: Good-Turing frequency-of-frequencies spectrum
+
+def q280_good_turing_spectrum(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies table over the corpus
+    vocabulary: N_r = how many distinct tokens occur exactly r times,
+    plus the Good-Turing adjusted count r* = (r+1) * N_{r+1} / N_r
+    (emitted as ppm via exact integer floor-division) — the smoothing
+    statistic a language-model estimator needs to reserve probability
+    mass for unseen events, and the single-table summary that tells a
+    corpus engineer whether the token tail is Zipf-healthy or
+    duplication-inflated.  Complements q87 (rank-based rarity) and
+    q109 (Kneser-Ney continuation counts); neither computes the N_r
+    spectrum or the GT adjustment.
+
+    Scale shape: token counts are one map-side-combinable shuffle;
+    the spectrum re-aggregates the VOCABULARY relation (metadata-scale
+    vs the corpus); the lead() for N_{r+1} runs over the spectrum
+    itself (hundreds of rows) in a single-partition window that is
+    explicitly bounded, not a disguised global sort of data."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("r"))
+    spectrum = counts.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    wlead = Window.orderBy("r")
+    return (
+        spectrum.withColumn("r_next", F.lead("r").over(wlead))
+        .withColumn("n_next", F.lead("n_r").over(wlead))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            F.col("n_r").cast("bigint").alias("n_r"),
+            F.when(
+                F.col("r_next") == F.col("r") + 1,
+                F.expr("(r + 1) * n_next * 1000000 div n_r"),
+            )
+            .cast("bigint")
+            .alias("gt_adjusted_ppm"),
+        )
+        .orderBy("r")
+    )
+
+
+ORACLE_Q280 = """
+WITH tokens AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, count(*) AS r FROM tokens WHERE tok <> '' GROUP BY tok
+),
+spectrum AS (
+  SELECT r, count(*) AS n_r FROM counts GROUP BY r
+),
+led AS (
+  SELECT r, n_r,
+         lead(r) OVER (ORDER BY r) AS r_next,
+         lead(n_r) OVER (ORDER BY r) AS n_next
+  FROM spectrum
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(n_r AS BIGINT) AS n_r,
+       CAST(CASE WHEN r_next = r + 1
+                 THEN (r + 1) * n_next * 1000000 // n_r END AS BIGINT)
+         AS gt_adjusted_ppm
+FROM led
+ORDER BY r
+"""
+
+
+# q281: effective language count per source (inverse Simpson)
+
+def q281_effective_languages(spark, sf_dir):
+    """Effective language count per source — the inverse Simpson index
+    1 / sum(p_i^2) of each source's language mix, computed EXACTLY as
+    floor(N^2 * 1e6 / sum(c_i^2)) in integers — the monoculture audit
+    that tells a corpus curator whether a source contributes genuine
+    language diversity or one language with trace noise (an effective
+    count of 1.0x means monolingual; k means k balanced languages).
+    Complements q125, which measures inequality ACROSS sources of the
+    whole corpus (Lorenz/Gini); this measures mix WITHIN each source,
+    and the two disagree exactly when a big source is internally
+    diverse.  Also reports the dominant language and its exact share
+    in ppm.
+
+    Scale shape: one (source, lang) contingency shuffle with map-side
+    combine (cells = sources x langs, metadata-scale); everything
+    after runs on cells.  No window over raw rows, no float sums."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+            F.max_by("lang", F.struct(F.col("c"), F.col("lang"))).alias(
+                "dominant_lang"
+            ),
+            F.max("c").alias("dom_c"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("dominant_lang"),
+            F.expr("dom_c * 1000000 div n_docs").cast("bigint").alias(
+                "dominant_share_ppm"
+            ),
+            F.expr("n_docs * n_docs * 1000000 div sum_sq")
+            .cast("bigint")
+            .alias("effective_langs_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q281 = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS c
+  FROM documents GROUP BY source, lang
+),
+ranked AS (
+  SELECT source, lang, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang DESC) AS k
+  FROM cells
+),
+agg AS (
+  SELECT source, sum(c) AS n_docs, sum(c * c) AS sum_sq
+  FROM cells GROUP BY source
+)
+SELECT a.source,
+       CAST(a.n_docs AS BIGINT) AS n_docs,
+       r.lang AS dominant_lang,
+       CAST(r.c * 1000000 // a.n_docs AS BIGINT) AS dominant_share_ppm,
+       CAST(a.n_docs * a.n_docs * 1000000 // a.sum_sq AS BIGINT)
+         AS effective_langs_ppm
+FROM agg a JOIN ranked r ON a.source = r.source AND r.k = 1
+ORDER BY a.source
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -22126,6 +22384,9 @@ ORDER BY user_id
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q279_sequential_stopping": q279_sequential_stopping,
+    "q280_good_turing_spectrum": q280_good_turing_spectrum,
+    "q281_effective_languages": q281_effective_languages,
     "q276_priority_check": q276_priority_check,
     "q277_kendall_tau": q277_kendall_tau,
     "q278_rolling_median_gate": q278_rolling_median_gate,
@@ -22412,6 +22673,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q279_sequential_stopping": ORACLE_Q279,
+    "q280_good_turing_spectrum": ORACLE_Q280,
+    "q281_effective_languages": ORACLE_Q281,
     "q276_priority_check": ORACLE_Q276,
     "q277_kendall_tau": ORACLE_Q277,
     "q278_rolling_median_gate": ORACLE_Q278,
