@@ -22371,6 +22371,238 @@ ORDER BY a.source
 """
 
 
+# q282: Wilson lower-bound small-sample-safe conversion ranking
+
+def q282_wilson_ranking(spark, sf_dir):
+    """Small-sample-safe conversion ranking: campaigns (the ``k``
+    property of each event) ranked by the WILSON SCORE LOWER BOUND of
+    their purchase-per-(view+purchase) rate at z=1.96 — the ranking
+    rule that stops a 2-for-2 newcomer from outranking a seasoned
+    980-for-2000 campaign, which a raw-rate sort (or q176's percent
+    ranks) happily gets wrong.  Successes and trials are exact
+    integers off one aggregate; the bound is then ONE fixed float64
+    expression evaluated identically in both engines from those exact
+    integers — int->double conversion, + * / and sqrt are all IEEE
+    correctly-rounded, and the expression tree is mirrored
+    parenthesis-for-parenthesis in the oracle, so the resulting bits
+    (and the ppm floor) match bit-for-bit (q256's discipline).
+
+    Scale shape: ONE map-side-combinable (campaign) aggregate over the
+    fact scan — the JSON k extraction is pure Catalyst (get_json_object
+    -> bigint); the Wilson arithmetic runs on the campaign relation
+    (metadata-scale).  The final sort is output-sized."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    agg = ev.groupBy(
+        F.get_json_object("props", "$.k").cast("bigint").alias("campaign")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("s"),
+    )
+    z2 = F.lit(3.8416)
+    n = F.col("n").cast("double")
+    p = F.col("s").cast("double") / n
+    lb = (
+        p
+        + z2 / (2.0 * n)
+        - F.lit(1.96) * F.sqrt((p * (F.lit(1.0) - p) + z2 / (4.0 * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    return (
+        agg.select(
+            "campaign",
+            F.col("n").cast("bigint").alias("trials"),
+            F.col("s").cast("bigint").alias("successes"),
+            F.expr("s * 1000000 div n").cast("bigint").alias("raw_rate_ppm"),
+            F.floor(lb * F.lit(1000000.0)).cast("bigint").alias("wilson_lb_ppm"),
+        )
+        .orderBy(F.desc("wilson_lb_ppm"), "campaign")
+    )
+
+
+ORACLE_Q282 = """
+WITH agg AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS campaign,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+)
+SELECT campaign,
+       CAST(n AS BIGINT) AS trials,
+       CAST(s AS BIGINT) AS successes,
+       CAST(s * 1000000 // n AS BIGINT) AS raw_rate_ppm,
+       CAST(floor(
+         ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+          - 1.96 * sqrt(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                         + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+                        / CAST(n AS DOUBLE)))
+         / (1.0 + 3.8416 / CAST(n AS DOUBLE))
+         * 1000000.0
+       ) AS BIGINT) AS wilson_lb_ppm
+FROM agg
+ORDER BY wilson_lb_ppm DESC, campaign
+"""
+
+
+# q283: token dispersion audit — Fano factor over doc-id shards
+
+def q283_token_dispersion(spark, sf_dir):
+    """Template-token detector via dispersion: for every token with
+    corpus frequency >= 100, the FANO FACTOR (variance-to-mean ratio)
+    of its count across 64 deterministic doc-id shards, in exact ppm —
+    a Poisson-spread token scores ~1e6; boilerplate/template tokens
+    concentrate in few shards and score far higher.  This is Church's
+    burstiness signal reduced to integers: with shard sums S and
+    sum-of-squares SS over B=64 shards (absent shards counted as 0 —
+    they are: SS only ever ADDS mass, and both S and B are exact),
+    VMR_ppm = (B*SS - S^2) * 1e6 // (B*S).  Complements q87/q280
+    (frequency-based) and q126 (event-rate bursts): none measures
+    WHERE a token's mass sits.
+
+    Scale shape: one (token, shard) count shuffle with map-side
+    combine, one token re-aggregate of that cell relation; the >=100
+    support filter bounds the output to the frequent vocabulary and
+    the top-100 is TakeOrderedAndProject.  Zero floats anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            (F.col("doc_id") % 64).alias("shard"),
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok", "shard")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cells.groupBy("tok")
+        .agg(
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+            F.count(F.lit(1)).alias("n_shards"),
+        )
+        .where(F.col("s") >= 100)
+        .select(
+            "tok",
+            F.col("s").cast("bigint").alias("freq"),
+            F.col("n_shards").cast("bigint").alias("n_shards"),
+            F.expr("(64 * ss - s * s) * 1000000 div (64 * s)")
+            .cast("bigint")
+            .alias("fano_ppm"),
+        )
+        .orderBy(F.desc("fano_ppm"), "tok")
+        .limit(100)
+    )
+
+
+ORACLE_Q283 = """
+WITH cells AS (
+  SELECT tok, doc_id % 64 AS shard, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY tok, shard
+)
+SELECT tok,
+       CAST(sum(c) AS BIGINT) AS freq,
+       CAST(count(*) AS BIGINT) AS n_shards,
+       CAST((64 * sum(c * c) - sum(c) * sum(c)) * 1000000
+            // (64 * sum(c)) AS BIGINT) AS fano_ppm
+FROM cells
+GROUP BY tok
+HAVING sum(c) >= 100
+ORDER BY fano_ppm DESC, tok
+LIMIT 100
+"""
+
+
+# q284: multi-window SLO burn-rate alerting
+
+def q284_burn_rate_alerts(spark, sf_dir):
+    """Multi-window error-budget burn-rate alerting (the SRE-workbook
+    pattern): page only when BOTH the fast 1-hour window AND its
+    containing slow 6-hour window burn the 20% error budget faster
+    than their thresholds (fast > 1.4x budget, slow > 1.1x budget) —
+    the two-window AND is what suppresses both blips (fast trips,
+    slow doesn't) and stale pages (slow trips on history, fast has
+    recovered).  Ratios are exact integer ppm; no rates are floats.
+    Distinct from q126 (trailing-baseline spike z-test) and q187
+    (per-user rate caps): this gates on an absolute budget at two
+    simultaneous resolutions.
+
+    Scale shape: ONE fact-scan aggregate to 1-hour cells; the 6-hour
+    tier REAGGREGATES the hourly cells (hierarchical rollup — the
+    fact table is never scanned twice), and the fast->slow join keys
+    on the slow window over metadata-scale relations (broadcast).  At
+    100 TB this is the streaming-rollup cost model: hours/day x keys,
+    not rows."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.expr("unix_timestamp(ts) div 3600") * 3600).alias("fast_w")
+    ).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("errors"),
+    )
+    slow = (
+        hourly.groupBy((F.expr("fast_w div 21600") * 21600).alias("slow_w"))
+        .agg(F.sum("total").alias("s_total"), F.sum("errors").alias("s_errors"))
+    )
+    fast = hourly.select(
+        "fast_w",
+        (F.expr("fast_w div 21600") * 21600).alias("slow_w"),
+        "total",
+        "errors",
+        F.expr("errors * 1000000 div total").alias("fast_ppm"),
+    )
+    return (
+        fast.join(F.broadcast(slow), "slow_w")
+        .withColumn("slow_ppm", F.expr("s_errors * 1000000 div s_total"))
+        .where(
+            (F.col("fast_ppm") > 280000) & (F.col("slow_ppm") > 220000)
+        )
+        .select(
+            F.col("slow_w").cast("bigint").alias("slow_window_start"),
+            F.col("fast_w").cast("bigint").alias("fast_window_start"),
+            F.col("errors").cast("bigint").alias("fast_errors"),
+            F.col("total").cast("bigint").alias("fast_total"),
+            F.col("fast_ppm").cast("bigint").alias("fast_burn_ppm"),
+            F.col("slow_ppm").cast("bigint").alias("slow_burn_ppm"),
+        )
+        .orderBy("fast_window_start")
+    )
+
+
+ORACLE_Q284 = """
+WITH hourly AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS fast_w,
+         count(*) AS total,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+  FROM events GROUP BY 1
+),
+slow AS (
+  SELECT (fast_w // 21600) * 21600 AS slow_w,
+         sum(total) AS s_total, sum(errors) AS s_errors
+  FROM hourly GROUP BY 1
+)
+SELECT CAST(s.slow_w AS BIGINT) AS slow_window_start,
+       CAST(h.fast_w AS BIGINT) AS fast_window_start,
+       CAST(h.errors AS BIGINT) AS fast_errors,
+       CAST(h.total AS BIGINT) AS fast_total,
+       CAST(h.errors * 1000000 // h.total AS BIGINT) AS fast_burn_ppm,
+       CAST(s.s_errors * 1000000 // s.s_total AS BIGINT) AS slow_burn_ppm
+FROM hourly h JOIN slow s ON (h.fast_w // 21600) * 21600 = s.slow_w
+WHERE h.errors * 1000000 // h.total > 280000
+  AND s.s_errors * 1000000 // s.s_total > 220000
+ORDER BY fast_window_start
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -22384,6 +22616,9 @@ ORDER BY a.source
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q282_wilson_ranking": q282_wilson_ranking,
+    "q283_token_dispersion": q283_token_dispersion,
+    "q284_burn_rate_alerts": q284_burn_rate_alerts,
     "q279_sequential_stopping": q279_sequential_stopping,
     "q280_good_turing_spectrum": q280_good_turing_spectrum,
     "q281_effective_languages": q281_effective_languages,
@@ -22673,6 +22908,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q282_wilson_ranking": ORACLE_Q282,
+    "q283_token_dispersion": ORACLE_Q283,
+    "q284_burn_rate_alerts": ORACLE_Q284,
     "q279_sequential_stopping": ORACLE_Q279,
     "q280_good_turing_spectrum": ORACLE_Q280,
     "q281_effective_languages": ORACLE_Q281,
