@@ -21779,22 +21779,31 @@ ORDER BY max_streak
 # q275: running-peak max drawdown (integer-cents exact)
 
 def q275_max_drawdown(spark, sf_dir):
-    """Maximum drawdown per user over the running sum of purchase
-    values ordered by time: cumulative balance, its running peak
-    (cummax), and the largest peak-to-trough gap — the risk metric
-    every billing/fraud/treasury pipeline computes, and a double
-    window-on-window composition (cumsum feeding cummax) no earlier
-    query exercises.  All arithmetic is integer CENTS (value ->
-    DECIMAL(9,2) -> *100 -> BIGINT) so the running sums are exact and
-    both engines agree bit-for-bit; output is the top 20 users by
-    drawdown with (user, drawdown) deterministic tie-break.
+    """Maximum drawdown per user over a SIGNED cash flow ordered by
+    time — purchases credit the balance, error-flagged transactions
+    reverse (debit) their value, so the running sum genuinely rises
+    and falls: cumulative balance, its running peak (cummax), and the
+    largest peak-to-trough gap — the risk metric every billing/fraud/
+    treasury pipeline computes, and a double window-on-window
+    composition (cumsum feeding cummax) no earlier query exercises.
+    (An unsigned purchases-only flow would be monotone and the
+    drawdown identically zero — the signed flow is what makes the
+    operator non-degenerate, pytest-asserted.)  All arithmetic is
+    integer CENTS (value -> DECIMAL(9,2) -> *100 -> BIGINT) so the
+    running sums are exact and both engines agree bit-for-bit; output
+    is the top 20 users by drawdown with a deterministic tie-break.
 
     Scale shape: one user-key Exchange serves BOTH frame windows (same
     partitioning, same ordering — Spark plans consecutive Window
     nodes over a single sort); the top-20 is TakeOrderedAndProject
     (per-partition heap + 20-row driver merge), never a global sort."""
-    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
-    cents = (F.col("value").cast("decimal(9,2)") * 100).cast("bigint")
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "error")
+    )
+    cents = (
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(-1))
+        * (F.col("value").cast("decimal(9,2)") * 100).cast("bigint")
+    )
     wcum = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -21825,8 +21834,9 @@ def q275_max_drawdown(spark, sf_dir):
 ORACLE_Q275 = """
 WITH cents AS (
   SELECT user_id, ts, event_id,
-         CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase'
+         (CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+         * CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS c
+  FROM events WHERE event_type IN ('purchase', 'error')
 ),
 bal AS (
   SELECT user_id, ts, event_id,
