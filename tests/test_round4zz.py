@@ -1,0 +1,152 @@
+"""Independent Python replays for the round-4zz batch q288-q290
+(each already oracle-checked via tools/selfcheck.py at sf0.001 and
+sf0.01; these replays recompute the answers from raw parquet in pure
+Python and add non-vacuity assertions).
+
+Properties proven: one-way ANOVA moments are exact integers and the
+pinned float fold order reproduces Spark's f/eta2 bit-for-bit; the
+partition identity SS_between + SS_within = SS_total holds; bipartite
+k-core peeling is synchronous (round r is a pure function of round
+r-1) and monotone nonincreasing, and the peel removes real endpoints;
+Moore-Lewis in-domain scoring reproduces the integer-linearized
+likelihood-ratio weights, and the weight table genuinely separates
+tokens (non-constant w)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tdiv(a, b):
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_anova_gate(spark):
+    from watermark_remove_spark.queries import q288_anova_gate
+
+    (row,) = q288_anova_gate(spark, SF).collect()
+
+    mom = defaultdict(lambda: [0, 0, 0])
+    for et, val in duckdb.sql(
+        f"SELECT event_type, value FROM '{SF}/events.parquet'"
+    ).fetchall():
+        c = int(round(val * 100))
+        m = mom[et]
+        m[0] += 1
+        m[1] += c
+        m[2] += c * c
+    types = ["click", "error", "purchase", "signup", "view"]
+    assert sorted(mom) == types  # the closed set the pivot assumes
+    # pinned fold order: ((((click+error)+purchase)+signup)+view)
+    terms = 0.0
+    for t in types:
+        n, s, ss = mom[t]
+        assert n > 0
+        terms = terms + (float(s) * float(s) / float(n))
+    n_tot = sum(m[0] for m in mom.values())
+    s_tot = sum(m[1] for m in mom.values())
+    ss_tot = sum(m[2] for m in mom.values())
+    ssb = terms - float(s_tot) * float(s_tot) / float(n_tot)
+    ssw = float(ss_tot) - terms
+    exp = (
+        n_tot,
+        math.floor(1000.0 * ssb * float(n_tot - 5) / (ssw * 4.0)),
+        math.floor(1000000.0 * ssb / (ssb + ssw)),
+        s_tot // n_tot,
+    )
+    assert tuple(row) == exp
+    # partition identity (exact in the integer moments, up to float eps
+    # in the assembled halves)
+    sst = float(ss_tot) - float(s_tot) * float(s_tot) / float(n_tot)
+    assert abs((ssb + ssw) - sst) < 1e-6 * abs(sst)
+    assert row["f_milli"] >= 0 and 0 <= row["eta2_ppm"] <= 1000000
+
+
+def test_bipartite_kcore(spark):
+    from watermark_remove_spark.queries import q289_bipartite_kcore
+
+    got = [tuple(r) for r in q289_bipartite_kcore(spark, SF).collect()]
+
+    edges = set()
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        ts = [t for t in re.split(r"\s+", text.lower()) if t]
+        for i in range(len(ts) - 2):
+            edges.add((doc_id, f"{ts[i]} {ts[i+1]} {ts[i+2]}"))
+    df = Counter(g for _, g in edges)
+    band = {g for g, c in df.items() if 3 <= c <= 20}
+    e = {(d, g) for d, g in edges if g in band}
+
+    def census(e, r):
+        return (
+            r,
+            len({d for d, _ in e}),
+            len({g for _, g in e}),
+            len(e),
+        )
+
+    exp = [census(e, 0)]
+    for r in (1, 2, 3):
+        dd = Counter(d for d, _ in e)
+        td = Counter(g for _, g in e)
+        # SYNCHRONOUS: both degree maps read the same round r-1 edges
+        e = {(d, g) for d, g in e if dd[d] >= 3 and td[g] >= 3}
+        exp.append(census(e, r))
+    assert got == exp
+    # non-vacuous: the band is populated and the peel removes endpoints
+    assert exp[0][3] > 0
+    assert exp[3][3] < exp[0][3]  # the peel removed real edges
+    for a, b in zip(exp, exp[1:]):  # monotone nonincreasing census
+        assert b[1] <= a[1] and b[2] <= a[2] and b[3] <= a[3]
+
+
+def test_indomain_selection(spark):
+    from watermark_remove_spark.queries import q290_indomain_selection
+
+    got = [tuple(r) for r in q290_indomain_selection(spark, SF).collect()]
+
+    per_doc = Counter()
+    lang_of = {}
+    for doc_id, lang, text in duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        lang_of[doc_id] = lang
+        for t in re.split(r"\s+", text.lower()):
+            if t:
+                per_doc[(doc_id, t)] += 1
+    c_gen = Counter()
+    c_in = Counter()
+    for (d, t), c in per_doc.items():
+        c_gen[t] += c
+        if lang_of[d] == "en":
+            c_in[t] += c
+    n_gen = sum(c_gen.values())
+    n_in = sum(c_in.values())
+    v = len(c_gen)
+    w = {
+        t: (c_in[t] + 1) * (n_gen + v) * 1000 // ((c_gen[t] + 1) * (n_in + v))
+        for t in c_gen
+    }
+    raw = defaultdict(int)
+    ntok = defaultdict(int)
+    for (d, t), c in per_doc.items():
+        raw[d] += c * (w[t] - 1000)
+        ntok[d] += c
+    scored = [
+        (d, lang_of[d], ntok[d], _tdiv(raw[d], ntok[d])) for d in raw
+    ]
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    assert got == scored[:25]
+    # the LM weights genuinely separate tokens, and the selection is
+    # live: in-domain docs appear in the top-25
+    assert len(set(w.values())) > 1
+    assert any(lang == "en" for _, lang, _, _ in got)
+    assert all(a[3] >= b[3] for a, b in zip(got, got[1:]))

@@ -22961,6 +22961,338 @@ ORDER BY event_type
 """
 
 
+# q288: one-way ANOVA F gate across event types
+
+def q288_anova_gate(spark, sf_dir):
+    """One-way ANOVA over the five event types' value distributions
+    (exact cents): the F statistic and the eta-squared effect size —
+    the k-group generalization of q255/q261's two-sample tests, and
+    the metric-review gate that decides whether "event type explains
+    spend" before anyone ships per-type budgets.  The fifteen moments
+    (n, S, SS per type) are EXACT integers off ONE conditional
+    aggregate; because S_g^2 overflows int64, the between/within sums
+    of squares are assembled in float64 — with the five per-group
+    terms pivoted into ONE row and summed under EXPLICIT
+    parenthesization ((((t_click+t_error)+t_purchase)+t_signup)+
+    t_view), so the float fold order is pinned and both engines
+    produce identical bits (the q256 discipline extended to a k-term
+    sum; a groupBy-then-SUM of float terms would be order-
+    nondeterministic).  The five types are a closed set in this corpus
+    (pytest-asserted), so the pivot is total.
+
+    Scale shape: ONE map-side-combinable aggregate over the fact scan
+    produces the single 15-column row; everything after is scalar
+    arithmetic.  No window, no join, no second scan."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = []
+    for t in types:
+        cond = F.col("event_type") == t
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{t}"),
+            F.sum(F.when(cond, cents).otherwise(0)).cast("bigint").alias(f"s_{t}"),
+            F.sum(F.when(cond, cents * cents).otherwise(0))
+            .cast("bigint")
+            .alias(f"ss_{t}"),
+        ]
+    m = ev.agg(*aggs)
+    term = lambda t: (  # noqa: E731
+        f"(CAST(s_{t} AS DOUBLE) * CAST(s_{t} AS DOUBLE) / CAST(n_{t} AS DOUBLE))"
+    )
+    terms = f"(((({term('click')} + {term('error')}) + {term('purchase')}) + {term('signup')}) + {term('view')})"
+    n_tot = " + ".join(f"n_{t}" for t in types)
+    s_tot = " + ".join(f"s_{t}" for t in types)
+    ss_tot = " + ".join(f"ss_{t}" for t in types)
+    ssb = (
+        f"({terms} - CAST({s_tot} AS DOUBLE) * CAST({s_tot} AS DOUBLE)"
+        f" / CAST({n_tot} AS DOUBLE))"
+    )
+    ssw = f"(CAST({ss_tot} AS DOUBLE) - {terms})"
+    return m.select(
+        F.expr(n_tot).cast("bigint").alias("n_total"),
+        F.expr(f"CAST(floor(1000.0 * {ssb} * CAST(({n_tot}) - 5 AS DOUBLE)"
+               f" / ({ssw} * 4.0)) AS BIGINT)").alias("f_milli"),
+        F.expr(f"CAST(floor(1000000.0 * {ssb} / ({ssb} + {ssw})) AS BIGINT)")
+        .alias("eta2_ppm"),
+        F.expr(f"({s_tot}) div ({n_tot})").cast("bigint").alias("grand_mean_cents"),
+    )
+
+
+def _oracle_q288():
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = ", ".join(
+        f"""sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t},
+         sum(CASE WHEN event_type = '{t}' THEN c ELSE 0 END) AS s_{t},
+         sum(CASE WHEN event_type = '{t}' THEN c * c ELSE 0 END) AS ss_{t}"""
+        for t in types
+    )
+    term = lambda t: (  # noqa: E731
+        f"(CAST(s_{t} AS DOUBLE) * CAST(s_{t} AS DOUBLE) / CAST(n_{t} AS DOUBLE))"
+    )
+    terms = f"(((({term('click')} + {term('error')}) + {term('purchase')}) + {term('signup')}) + {term('view')})"
+    n_tot = " + ".join(f"n_{t}" for t in types)
+    s_tot = " + ".join(f"s_{t}" for t in types)
+    ss_tot = " + ".join(f"ss_{t}" for t in types)
+    ssb = (
+        f"({terms} - CAST({s_tot} AS DOUBLE) * CAST({s_tot} AS DOUBLE)"
+        f" / CAST({n_tot} AS DOUBLE))"
+    )
+    ssw = f"(CAST({ss_tot} AS DOUBLE) - {terms})"
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+m AS (SELECT {cols} FROM base)
+SELECT CAST({n_tot} AS BIGINT) AS n_total,
+       CAST(floor(1000.0 * {ssb} * CAST(({n_tot}) - 5 AS DOUBLE)
+                  / ({ssw} * 4.0)) AS BIGINT) AS f_milli,
+       CAST(floor(1000000.0 * {ssb} / ({ssb} + {ssw})) AS BIGINT) AS eta2_ppm,
+       CAST(({s_tot}) // ({n_tot}) AS BIGINT) AS grand_mean_cents
+FROM m
+"""
+
+
+# q289: bipartite k-core peeling over the doc-token graph
+
+def q289_bipartite_kcore(spark, sf_dir):
+    """Three synchronous rounds of bipartite k-core peeling (k=3) over
+    the document-TRIGRAM graph restricted to the mid-frequency band
+    (3 <= df <= 20): iteratively discard documents touching fewer than
+    3 surviving band trigrams and trigrams surviving in fewer than 3
+    documents — the dense-community extraction that topic-coherence
+    and template-mining pipelines run (a phrase that survives the core
+    is SHARED STRUCTURE, not incidental).  Trigrams, not unigrams: the
+    corpus's unigram vocabulary is tiny and saturated (every token's
+    df is huge), so the unigram graph has no mid-frequency band — the
+    trigram space is combinatorial and the band is populated at every
+    SF.  Each round is SYNCHRONOUS: round r keeps exactly the
+    endpoints whose degree in the round r-1 edge set is >= 3, so the
+    result is deterministic and engine-independent (asynchronous
+    peeling is order-dependent).  Emits the (docs, grams, edges)
+    census after rounds 0..3 — the convergence profile IS the output,
+    well-defined whether or not the core has stabilized by round 3
+    (q285's fixed-step discipline).
+
+    Scale shape: the df band filter bounds the edge relation before
+    any iteration (mid-frequency phrases x small df cap); each
+    round is two bounded-key degree aggregates + two semi joins on
+    fixed-width keys, localCheckpoint'ed so round r+1 never replays
+    round r's lineage.  Iteration count is FIXED (3), not data-driven
+    — no driver-side convergence loop."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok0 = docs.select("doc_id", F.explode(grams).alias("tok")).distinct()
+    band = (
+        tok0.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 3) & (F.col("df") <= 20))
+        .select("tok")
+    )
+    edges = tok0.join(band, "tok").localCheckpoint(eager=True)
+
+    def census(e, r):
+        return e.agg(
+            F.lit(r).cast("bigint").alias("round"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct("tok").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        )
+
+    out = census(edges, 0)
+    for r in (1, 2, 3):
+        keep_d = (
+            edges.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= 3).select("doc_id")
+        )
+        keep_t = (
+            edges.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= 3).select("tok")
+        )
+        edges = (
+            edges.join(keep_d, "doc_id", "left_semi")
+            .join(keep_t, "tok", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(census(edges, r))
+    return out.orderBy("round")
+
+
+ORACLE_Q289 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+tok0 AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tok
+    FROM toks WHERE len(ts) >= 3
+  )
+),
+band AS (
+  SELECT tok FROM tok0 GROUP BY tok
+  HAVING count(*) BETWEEN 3 AND 20
+),
+e0 AS (SELECT t.doc_id, t.tok FROM tok0 t JOIN band USING (tok)),
+d1 AS (SELECT doc_id FROM e0 GROUP BY 1 HAVING count(*) >= 3),
+t1 AS (SELECT tok FROM e0 GROUP BY 1 HAVING count(*) >= 3),
+e1 AS (SELECT e0.doc_id, e0.tok FROM e0
+       JOIN d1 USING (doc_id) JOIN t1 USING (tok)),
+d2 AS (SELECT doc_id FROM e1 GROUP BY 1 HAVING count(*) >= 3),
+t2 AS (SELECT tok FROM e1 GROUP BY 1 HAVING count(*) >= 3),
+e2 AS (SELECT e1.doc_id, e1.tok FROM e1
+       JOIN d2 USING (doc_id) JOIN t2 USING (tok)),
+d3 AS (SELECT doc_id FROM e2 GROUP BY 1 HAVING count(*) >= 3),
+t3 AS (SELECT tok FROM e2 GROUP BY 1 HAVING count(*) >= 3),
+e3 AS (SELECT e2.doc_id, e2.tok FROM e2
+       JOIN d3 USING (doc_id) JOIN t3 USING (tok))
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS round,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_edges FROM e0
+  UNION ALL
+  SELECT 1, count(DISTINCT doc_id), count(DISTINCT tok), count(*) FROM e1
+  UNION ALL
+  SELECT 2, count(DISTINCT doc_id), count(DISTINCT tok), count(*) FROM e2
+  UNION ALL
+  SELECT 3, count(DISTINCT doc_id), count(DISTINCT tok), count(*) FROM e3
+) ORDER BY round
+"""
+
+
+# q290: in-domain data selection (Moore-Lewis shape, integer-linearized)
+
+def q290_indomain_selection(spark, sf_dir):
+    """In-domain training-data selection in the Moore-Lewis shape:
+    rank every document by how much its unigram distribution resembles
+    the in-domain corpus (lang='en') versus the general corpus.  Each
+    token carries a LINEARIZED likelihood ratio in exact integer
+    x1000 units — w = (c_in+1)(N_gen+V)*1000 div ((c_gen+1)(N_in+V)),
+    add-one smoothed on both sides — and a document scores the
+    length-normalized sum of (w - 1000) over its token occurrences.
+    Near w ~= 1000 this is the first-order expansion of the
+    cross-entropy difference Moore-Lewis thresholds on; unlike the
+    log form it is EXACTLY reproducible cross-engine (ln() is not
+    correctly rounded in either engine's libm, so a log-based score
+    could flip orderings at the last ulp).  Distinct from q151 (binary
+    bigram hit-rate) and q61 (distinctive terms): this scores every
+    doc against a DOMAIN, the data-selection step that builds a
+    domain-adapted training mix.  Top-25 under a pinned total order.
+
+    Scale shape: ONE (lang-tagged) token count shuffle builds both
+    LMs; the weight table is vocabulary-scale and joins the per-doc
+    token counts on the fixed-width token key; per-doc folds are one
+    map-side-combinable aggregate.  Headroom: the x1000 product stays
+    under 2^63 past 10^9-token corpora; beyond that, drop the scale
+    factor or lift to DECIMAL(38,0)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_doc = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gen = per_doc.groupBy("tok").agg(F.sum("cnt").alias("c_gen"))
+    ind = (
+        per_doc.where(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("c_in"))
+    )
+    lm = gen.join(ind, "tok", "left").na.fill({"c_in": 0})
+    tot = lm.agg(
+        F.sum("c_gen").alias("n_gen"),
+        F.sum("c_in").alias("n_in"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = lm.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr(
+            "(c_in + 1) * (n_gen + v) * 1000 div ((c_gen + 1) * (n_in + v))"
+        ).alias("w_x1000"),
+    )
+    scored = (
+        per_doc.join(w, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * (F.col("w_x1000") - 1000)).alias("raw"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(
+                "(CASE WHEN raw >= 0 THEN 1 ELSE -1 END)"
+                " * (abs(raw) div n_tokens)"
+            ).cast("bigint").alias("score_x1000"),
+        )
+    )
+    return scored.orderBy(F.desc("score_x1000"), "doc_id").limit(25)
+
+
+ORACLE_Q290 = """
+WITH toks AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+per_doc AS (
+  SELECT doc_id, lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2, 3
+),
+lm AS (
+  SELECT tok, sum(cnt) AS c_gen,
+         sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS c_in
+  FROM per_doc GROUP BY tok
+),
+tot AS (
+  SELECT sum(c_gen) AS n_gen, sum(c_in) AS n_in, count(*) AS v FROM lm
+),
+w AS (
+  SELECT tok,
+         (c_in + 1) * (n_gen + v) * 1000 // ((c_gen + 1) * (n_in + v))
+           AS w_x1000
+  FROM lm, tot
+),
+scored AS (
+  SELECT p.doc_id, p.lang,
+         sum(p.cnt) AS n_tokens,
+         sum(p.cnt * (w.w_x1000 - 1000)) AS raw
+  FROM per_doc p JOIN w USING (tok)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((CASE WHEN raw >= 0 THEN 1 ELSE -1 END)
+            * (abs(raw) // n_tokens) AS BIGINT) AS score_x1000
+FROM scored
+ORDER BY score_x1000 DESC, doc_id
+LIMIT 25
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -22974,6 +23306,9 @@ ORDER BY event_type
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q288_anova_gate": q288_anova_gate,
+    "q289_bipartite_kcore": q289_bipartite_kcore,
+    "q290_indomain_selection": q290_indomain_selection,
     "q285_power_iteration_pca": q285_power_iteration_pca,
     "q286_simpsons_audit": q286_simpsons_audit,
     "q287_trend_r2_gate": q287_trend_r2_gate,
@@ -23269,6 +23604,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q288_anova_gate": _oracle_q288(),
+    "q289_bipartite_kcore": ORACLE_Q289,
+    "q290_indomain_selection": ORACLE_Q290,
     "q285_power_iteration_pca": ORACLE_Q285,
     "q286_simpsons_audit": ORACLE_Q286,
     "q287_trend_r2_gate": ORACLE_Q287,
