@@ -1,4 +1,4 @@
-"""Independent Python replays for the round-4zz batch q288-q290
+"""Independent Python replays for the round-4zz batch q288-q293
 (each already oracle-checked via tools/selfcheck.py at sf0.001 and
 sf0.01; these replays recompute the answers from raw parquet in pure
 Python and add non-vacuity assertions).
@@ -10,7 +10,11 @@ k-core peeling is synchronous (round r is a pure function of round
 r-1) and monotone nonincreasing, and the peel removes real endpoints;
 Moore-Lewis in-domain scoring reproduces the integer-linearized
 likelihood-ratio weights, and the weight table genuinely separates
-tokens (non-constant w)."""
+tokens (non-constant w); lead-lag CCF numerators are exact and
+calendar-aligned (shifted lags lose pairs); the jackknife pinned float
+fold reproduces Spark bit-for-bit and every bucket is occupied;
+total-variation drift is pure-integer with the absent-token mass term
+live."""
 
 from __future__ import annotations
 
@@ -150,3 +154,110 @@ def test_indomain_selection(spark):
     assert len(set(w.values())) > 1
     assert any(lang == "en" for _, lang, _, _ in got)
     assert all(a[3] >= b[3] for a, b in zip(got, got[1:]))
+
+
+def test_leadlag_xcorr(spark):
+    from watermark_remove_spark.queries import q291_leadlag_xcorr
+
+    got = [tuple(r) for r in q291_leadlag_xcorr(spark, SF).collect()]
+
+    hourly = defaultdict(lambda: [0, 0])
+    for ts, et in duckdb.sql(
+        f"""SELECT ts, event_type FROM '{SF}/events.parquet'
+            WHERE event_type IN ('error', 'purchase')"""
+    ).fetchall():
+        sec = int(ts.timestamp())
+        h = sec - sec % 3600
+        hourly[h][0] += et == "error"
+        hourly[h][1] += et == "purchase"
+    n = len(hourly)
+    sx = sum(x for x, _ in hourly.values())
+    sy = sum(y for _, y in hourly.values())
+    sxx = sum(x * x for x, _ in hourly.values())
+    syy = sum(y * y for _, y in hourly.values())
+    den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    exp = []
+    for lag in range(-6, 7):
+        np_ = num = 0
+        for h, (x, _) in hourly.items():
+            other = hourly.get(h + lag * 3600)
+            if other is not None:
+                np_ += 1
+                num += (n * x - sx) * (n * other[1] - sy)
+        exp.append((lag, np_, num, math.floor(1e6 * float(num) / den)))
+    assert got == exp
+    # calendar alignment is live: shifted lags really lose pairs, and
+    # the numerators are not degenerate
+    assert all(t[1] < n for t in got if t[0] != 0)
+    assert any(t[2] != 0 for t in got)
+
+
+def test_jackknife_ratio(spark):
+    from watermark_remove_spark.queries import q292_jackknife_ratio
+
+    (row,) = q292_jackknife_ratio(spark, SF).collect()
+
+    mom = [[0, 0] for _ in range(8)]
+    for uid, et in duckdb.sql(
+        f"SELECT user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        m = mom[uid % 8]
+        m[0] += 1
+        m[1] += et == "error"
+    N = sum(m[0] for m in mom)
+    E = sum(m[1] for m in mom)
+    thetas = [float(E - e) / float(N - ni) for ni, e in mom]
+    tsum = thetas[0]
+    for t in thetas[1:]:  # pinned left-to-right fold, as in the query
+        tsum = tsum + t
+    tbar = tsum / 8.0
+    ssq = (thetas[0] - tbar) * (thetas[0] - tbar)
+    for t in thetas[1:]:
+        ssq = ssq + (t - tbar) * (t - tbar)
+    exp = (
+        N,
+        E,
+        (E * 1000000) // N,
+        math.floor(1e6 * math.sqrt((7.0 / 8.0) * ssq)),
+    )
+    assert tuple(row) == exp
+    # every bucket contributes (no empty leave-out denominators), and
+    # the buckets genuinely disagree so the SE is non-degenerate
+    assert all(ni > 0 for ni, _ in mom)
+    assert row["jk_se_ppm"] > 0
+    assert 0 < row["theta_ppm"] < 1000000
+
+
+def test_source_tv_drift(spark):
+    from watermark_remove_spark.queries import q293_source_tv_drift
+
+    got = [tuple(r) for r in q293_source_tv_drift(spark, SF).collect()]
+
+    cells = Counter()
+    for src, text in duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        for t in re.split(r"\s+", text.lower()):
+            if t:
+                cells[(src, t)] += 1
+    ref = Counter()
+    ns = Counter()
+    for (s, t), c in cells.items():
+        ref[t] += c
+        ns[s] += c
+    N = sum(ns.values())
+    exp = []
+    for s in ns:
+        num = sum(
+            abs(cells.get((s, t), 0) * N - ct * ns[s]) for t, ct in ref.items()
+        )
+        tv = (1000000 * num) // (2 * ns[s] * N)
+        exp.append((s, ns[s], tv, (tv * ns[s]) // N))
+    exp.sort(key=lambda x: (-x[2], x[0]))
+    assert got == exp
+    # TV is a metric on distributions: strictly inside (0, 1) here,
+    # and the absent-token mass term is live (some source misses vocab)
+    assert all(0 < tv < 1000000 for _, _, tv, _ in got)
+    assert any(
+        (s, t) not in cells for s in ns for t in list(ref)[:50]
+    )

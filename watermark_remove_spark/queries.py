@@ -23293,6 +23293,305 @@ LIMIT 25
 """
 
 
+# q291: lead-lag cross-correlation of two event series
+
+def q291_leadlag_xcorr(spark, sf_dir):
+    """Cross-correlation between the HOURLY error-count series and the
+    hourly purchase-count series at calendar lags -6..+6 — the lead-lag
+    probe an SRE runs to answer "do error bursts LEAD purchase drops,
+    or trail them?" (q259 is the self-ACF of one series; this
+    correlates TWO series and the lag SIGN is the finding).  Integer-
+    exact numerators via the n-scaling trick: with n hours, Sx, Sy the
+    series sums, num_k = sum over calendar-lag-k pairs of
+    (n*x_t - Sx)(n*y_{t+k} - Sy) is an exact BIGINT; the normalizer
+    sqrt(den_x*den_y) is one IEEE-correctly-rounded sqrt, so
+    ccf_ppm = floor(1e6 * num_k / sqrt(den_x*den_y)) reproduces
+    bit-for-bit cross-engine.  Pairs are matched by CALENDAR hour
+    (epoch-hour arithmetic join), not row offset, so silent gaps in
+    either series never shift the alignment.  n_pairs is emitted per
+    lag so partial-overlap lags are visibly thinner.
+
+    Scale shape: the fact table collapses to one <=10^4-row hourly
+    series in ONE conditional map-side-combinable shuffle; the 13-lag
+    pair join, moment folds and divisions all run at series scale —
+    aggregate first, correlate the aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("event_type").isin("error", "purchase"))
+        .groupBy(
+            (F.unix_timestamp("ts") - (F.unix_timestamp("ts") % 3600))
+            .cast("bigint")
+            .alias("h")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    mom = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    lags = spark.range(-6, 7).select(F.col("id").cast("bigint").alias("lag"))
+    pairs = (
+        hourly.alias("a")
+        .join(lags)
+        .join(
+            hourly.alias("b"),
+            F.col("b.h") == F.col("a.h") + F.col("lag") * 3600,
+        )
+        .crossJoin(F.broadcast(mom))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("n") * F.col("a.x") - F.col("sx"))
+                * (F.col("n") * F.col("b.y") - F.col("sy"))
+            ).cast("bigint").alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(mom))
+        .select(
+            "lag",
+            "n_pairs",
+            "num",
+            F.expr(
+                "CAST(floor(1e6 * CAST(num AS DOUBLE) / sqrt("
+                "CAST(n * sxx - sx * sx AS DOUBLE)"
+                " * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+            ).alias("ccf_ppm"),
+        )
+        .orderBy("lag")
+    )
+
+
+ORACLE_Q291 = """
+WITH hourly AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT)
+          - CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS h,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events WHERE event_type IN ('error', 'purchase') GROUP BY 1
+),
+mom AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM hourly
+),
+lags AS (SELECT unnest(range(-6, 7)) AS lag),
+pairs AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum((n * a.x - sx) * (n * b.y - sy)) AS BIGINT) AS num
+  FROM hourly a, lags, mom
+  JOIN hourly b ON b.h = a.h + lag * 3600
+  GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs, num,
+       CAST(floor(1e6 * CAST(num AS DOUBLE) / sqrt(
+            CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS ccf_ppm
+FROM pairs, mom
+ORDER BY lag
+"""
+
+
+# q292: delete-one-bucket jackknife SE for a ratio metric
+
+def q292_jackknife_ratio(spark, sf_dir):
+    """Delete-one-bucket jackknife standard error for the corpus error
+    RATE (errors/events) over B=8 fixed user buckets — the resampling
+    uncertainty machinery an experimentation platform runs when the
+    metric is a RATIO (a per-row variance formula is wrong for ratios;
+    the delta method needs derivatives; the jackknife needs neither).
+    The 16 per-bucket moments (n_i, e_i) are exact BIGINTs off ONE
+    conditional aggregate; each leave-one-out estimate
+    theta_(i) = (E - e_i)/(N - n_i) and the variance
+    (B-1)/B * sum_i (theta_(i) - theta_bar)^2 are assembled in float64
+    with the 8-term sums EXPLICITLY parenthesized left-to-right in
+    bucket order (the q288 pinned-fold discipline), so both engines
+    produce identical bits.  Buckets are user_id % 8 (8, not 16: the smallest test corpus has only 15 distinct users, and an EMPTY bucket would degenerate its leave-out estimate to the full-sample ratio) — deterministic,
+    layout-independent, and the unit of independence (users, not
+    events — event-level jackknife would understate clustered
+    variance).
+
+    Scale shape: ONE map-side-combinable aggregate produces the single
+    16-column moment row; everything after is scalar float arithmetic
+    on the driver plan, zero further shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    b = 8
+    aggs = []
+    for i in range(b):
+        cond = F.col("user_id") % b == i
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{i}"),
+            F.sum(
+                F.when(cond & (F.col("event_type") == "error"), 1).otherwise(0)
+            ).cast("bigint").alias(f"e_{i}"),
+        ]
+    m = ev.agg(*aggs)
+    n_tot = " + ".join(f"n_{i}" for i in range(b))
+    e_tot = " + ".join(f"e_{i}" for i in range(b))
+    theta = lambda i: (  # noqa: E731
+        f"(CAST(({e_tot}) - e_{i} AS DOUBLE) / CAST(({n_tot}) - n_{i} AS DOUBLE))"
+    )
+    tsum = theta(0)
+    for i in range(1, b):
+        tsum = f"({tsum} + {theta(i)})"
+    tbar = f"({tsum} / 8.0)"
+    sq = lambda i: f"(({theta(i)} - {tbar}) * ({theta(i)} - {tbar}))"  # noqa: E731
+    ssq = sq(0)
+    for i in range(1, b):
+        ssq = f"({ssq} + {sq(i)})"
+    return m.select(
+        F.expr(n_tot).cast("bigint").alias("n_events"),
+        F.expr(e_tot).cast("bigint").alias("n_errors"),
+        F.expr(f"(({e_tot}) * 1000000) div ({n_tot})")
+        .cast("bigint")
+        .alias("theta_ppm"),
+        F.expr(
+            f"CAST(floor(1e6 * sqrt((7.0 / 8.0) * {ssq})) AS BIGINT)"
+        ).alias("jk_se_ppm"),
+    )
+
+
+def _oracle_q292():
+    b = 8
+    cols = ", ".join(
+        f"""sum(CASE WHEN user_id % {b} = {i} THEN 1 ELSE 0 END) AS n_{i},
+         sum(CASE WHEN user_id % {b} = {i} AND event_type = 'error'
+                  THEN 1 ELSE 0 END) AS e_{i}"""
+        for i in range(b)
+    )
+    n_tot = " + ".join(f"n_{i}" for i in range(b))
+    e_tot = " + ".join(f"e_{i}" for i in range(b))
+    theta = lambda i: (  # noqa: E731
+        f"(CAST(({e_tot}) - e_{i} AS DOUBLE) / CAST(({n_tot}) - n_{i} AS DOUBLE))"
+    )
+    tsum = theta(0)
+    for i in range(1, b):
+        tsum = f"({tsum} + {theta(i)})"
+    tbar = f"({tsum} / 8.0)"
+    sq = lambda i: f"(({theta(i)} - {tbar}) * ({theta(i)} - {tbar}))"  # noqa: E731
+    ssq = sq(0)
+    for i in range(1, b):
+        ssq = f"({ssq} + {sq(i)})"
+    return f"""
+WITH m AS (SELECT {cols} FROM events)
+SELECT CAST({n_tot} AS BIGINT) AS n_events,
+       CAST({e_tot} AS BIGINT) AS n_errors,
+       CAST((({e_tot}) * 1000000) // ({n_tot}) AS BIGINT) AS theta_ppm,
+       CAST(floor(1e6 * sqrt((7.0 / 8.0) * {ssq})) AS BIGINT) AS jk_se_ppm
+FROM m
+"""
+
+
+# q293: total-variation drift of per-source token distributions
+
+def q293_source_tv_drift(spark, sf_dir):
+    """Total-variation distance between each source's unigram
+    distribution and the corpus-wide distribution — the drift gate a
+    corpus curator runs before admitting a new feed into the training
+    mix (TV is the STRICTEST f-divergence bound: it directly bounds
+    how much any downstream expectation can shift).  Exact integer
+    numerator: TV(s) = sum_t |c_st * N - C_t * N_s| over 2*N_s*N, so
+    tv_ppm = (1e6 * num) div (2*N_s*N) touches no floats at all —
+    unlike chi-square (q167, which weights by 1/expected) or
+    inverse-Simpson (q281, which profiles ONE distribution), TV
+    compares each source against the pooled reference with a metric
+    that is exactly representable.  Also emits each source's
+    share-weighted contribution so a tiny exotic feed cannot dominate
+    the alert.  Headroom: c*N stays under 2^63 to ~10^9-token corpora
+    per source x 10^9 pooled; past that lift the products to
+    DECIMAL(38,0).
+
+    Scale shape: ONE (source, token) count shuffle; global token
+    counts REAGGREGATE the cells (hierarchical rollup — one corpus
+    scan); the |...| fold joins the vocabulary-scale cell table to the
+    vocabulary-scale reference on the fixed-width token key."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    cells = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ref = cells.groupBy("tok").agg(F.sum("c").alias("ct"))
+    per_src = cells.groupBy("source").agg(F.sum("c").alias("ns"))
+    tot = per_src.agg(F.sum("ns").alias("n"))
+    # a token absent from a source still contributes C_t * N_s to the
+    # numerator: fold the present-token part, then add the missing mass
+    # (N - sum of present C_t) * N_s.
+    present = (
+        cells.join(ref, "tok")
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(F.col("c") * F.col("n") - F.col("ct") * F.col("ns"))
+            ).cast("bigint").alias("num_present"),
+            F.sum(F.col("ct")).cast("bigint").alias("ct_present"),
+        )
+    )
+    return (
+        present.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "(1000000 * (num_present + (n - ct_present) * ns))"
+                " div (2 * ns * n)"
+            ).cast("bigint").alias("tv_ppm"),
+            F.expr(
+                "((1000000 * (num_present + (n - ct_present) * ns))"
+                " div (2 * ns * n) * ns) div n"
+            ).cast("bigint").alias("weighted_tv_ppm"),
+        )
+        .orderBy(F.desc("tv_ppm"), "source")
+    )
+
+
+ORACLE_Q293 = """
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+cells AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+ref AS (SELECT tok, sum(c) AS ct FROM cells GROUP BY tok),
+per_src AS (SELECT source, sum(c) AS ns FROM cells GROUP BY source),
+tot AS (SELECT sum(ns) AS n FROM per_src),
+present AS (
+  SELECT cells.source,
+         CAST(sum(abs(c * n - ct * ns)) AS BIGINT) AS num_present,
+         CAST(sum(ct) AS BIGINT) AS ct_present
+  FROM cells
+  JOIN ref USING (tok) JOIN per_src USING (source), tot
+  GROUP BY cells.source
+)
+SELECT source,
+       CAST(ns AS BIGINT) AS n_tokens,
+       CAST((1000000 * (num_present + (n - ct_present) * ns))
+            // (2 * ns * n) AS BIGINT) AS tv_ppm,
+       CAST(((1000000 * (num_present + (n - ct_present) * ns))
+            // (2 * ns * n) * ns) // n AS BIGINT) AS weighted_tv_ppm
+FROM present JOIN per_src USING (source), tot
+ORDER BY tv_ppm DESC, source
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -23306,6 +23605,9 @@ LIMIT 25
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q291_leadlag_xcorr": q291_leadlag_xcorr,
+    "q292_jackknife_ratio": q292_jackknife_ratio,
+    "q293_source_tv_drift": q293_source_tv_drift,
     "q288_anova_gate": q288_anova_gate,
     "q289_bipartite_kcore": q289_bipartite_kcore,
     "q290_indomain_selection": q290_indomain_selection,
@@ -23604,6 +23906,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q291_leadlag_xcorr": ORACLE_Q291,
+    "q292_jackknife_ratio": _oracle_q292(),
+    "q293_source_tv_drift": ORACLE_Q293,
     "q288_anova_gate": _oracle_q288(),
     "q289_bipartite_kcore": ORACLE_Q289,
     "q290_indomain_selection": ORACLE_Q290,
