@@ -261,3 +261,107 @@ def test_source_tv_drift(spark):
     assert any(
         (s, t) not in cells for s in ns for t in list(ref)[:50]
     )
+
+
+def test_capture_recapture(spark):
+    from watermark_remove_spark.queries import q294_capture_recapture
+
+    (row,) = q294_capture_recapture(spark, SF).collect()
+
+    rows = duckdb.sql(
+        f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+    ).fetchall()
+    secs = [int(ts.timestamp()) for _, ts in rows]
+    mid = (min(secs) + max(secs)) // 2
+    c1 = {u for (u, ts) in rows if int(ts.timestamp()) < mid}
+    c2 = {u for (u, ts) in rows if int(ts.timestamp()) >= mid}
+    n1, n2, m = len(c1), len(c2), len(c1 & c2)
+    seen = len(c1 | c2)
+    exp = (
+        n1, n2, m, seen,
+        (n1 * n2) // m,
+        ((n1 + 1) * (n2 + 1)) // (m + 1) - 1,
+        (m * 1000000) // n2,
+    )
+    assert tuple(row) == exp
+    # estimator sanity: at least every seen user is "estimated", and
+    # the recapture really overlaps without being total
+    assert row["chapman"] >= seen and row["lincoln_petersen"] >= seen
+    assert 0 < m < min(n1, n2) or m == min(n1, n2)
+    assert m > 0
+
+
+def test_cochran_armitage(spark):
+    from watermark_remove_spark.queries import q295_cochran_armitage
+
+    (row,) = q295_cochran_armitage(spark, SF).collect()
+
+    per_user = defaultdict(lambda: [0, 0])
+    for uid, et, val in duckdb.sql(
+        f"SELECT user_id, event_type, value FROM '{SF}/events.parquet'"
+    ).fetchall():
+        m = per_user[uid]
+        m[0] += 1
+        if et == "purchase" and val >= 95.0:
+            m[1] = 1
+    users = sorted((cnt, uid, resp) for uid, (cnt, resp) in per_user.items())
+    # ntile(10): first (N mod 10) buckets take ceil(N/10) rows
+    N = len(users)
+    base, extra = divmod(N, 10)
+    cells = [[0, 0] for _ in range(10)]
+    i = 0
+    for s in range(10):
+        size = base + (1 if s < extra else 0)
+        for _ in range(size):
+            cells[s][0] += 1
+            cells[s][1] += users[i][2]
+            i += 1
+    n = sum(c[0] for c in cells)
+    r = sum(c[1] for c in cells)
+    sr = sum(s * c[1] for s, c in enumerate(cells))
+    sn = sum(s * c[0] for s, c in enumerate(cells))
+    ssn = sum(s * s * c[0] for s, c in enumerate(cells))
+    t = n * sr - r * sn
+    v = r * (n - r) * (n * ssn - sn * sn)
+    exp = (
+        n, r, t, v,
+        math.floor(1000.0 * float(n) * float(t) * float(t) / float(v)),
+        (t > 0) - (t < 0),
+    )
+    assert tuple(row) == exp
+    # non-degenerate: responders and non-responders both exist, and
+    # the trend statistic is not identically zero
+    assert 0 < r < n and v > 0 and t != 0
+
+
+def test_diff_in_diff(spark):
+    from watermark_remove_spark.queries import q296_diff_in_diff
+
+    (row,) = q296_diff_in_diff(spark, SF).collect()
+
+    rows = duckdb.sql(
+        f"SELECT user_id, ts, event_type FROM '{SF}/events.parquet'"
+    ).fetchall()
+    secs = [int(ts.timestamp()) for _, ts, _ in rows]
+    mid = (min(secs) + max(secs)) // 2
+    cells = defaultdict(lambda: [0, 0])
+    for uid, ts, et in rows:
+        key = (uid % 2 == 1, int(ts.timestamp()) >= mid)
+        cells[key][0] += 1
+        cells[key][1] += et == "error"
+    rate = {k: (e * 1000000) // n for k, (n, e) in cells.items()}
+    did = (rate[(True, True)] - rate[(True, False)]) - (
+        rate[(False, True)] - rate[(False, False)]
+    )
+    exp = (
+        sum(n for n, _ in cells.values()),
+        rate[(False, False)],
+        rate[(False, True)],
+        rate[(True, False)],
+        rate[(True, True)],
+        did,
+        rate[(True, False)] - rate[(False, False)],
+    )
+    assert tuple(row) == exp
+    # all four design cells are populated — the DiD is well-defined
+    assert len(cells) == 4 and all(n > 0 for n, _ in cells.values())

@@ -23592,6 +23592,278 @@ ORDER BY tv_ppm DESC, source
 """
 
 
+# q294: capture-recapture population estimate (Chapman)
+
+def q294_capture_recapture(spark, sf_dir):
+    """Capture-recapture estimate of the TOTAL user population from
+    two observation windows — the coverage question a crawl operator
+    asks ("how many users/hosts exist that we have NOT yet seen?"),
+    answered with the Lincoln-Petersen/Chapman estimator ecology uses
+    for animal counts.  Capture 1 = users active before the timeline
+    midpoint, capture 2 = after; the overlap m is the recapture.
+    Chapman's (n1+1)(n2+1) div (m+1) - 1 is bias-corrected and never
+    divides by zero; both estimators and the recapture-coverage ratio
+    are EXACT integer arithmetic (no floats anywhere).  The midpoint
+    is (min+max) div 2 epoch-seconds — a pure function of the data,
+    no wall clock.
+
+    Scale shape: one min/max agg (map-side), one per-user
+    flag-OR aggregate, one final fold — two linear shuffles on the
+    fact table, output is a single row."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts")))
+         / F.lit(2)).cast("bigint").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.unix_timestamp("ts") < F.col("mid"), 1).otherwise(0)
+            ).alias("c1"),
+            F.max(
+                F.when(F.unix_timestamp("ts") >= F.col("mid"), 1).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    m = per_user.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("seen"),
+    )
+    return m.select(
+        "n1",
+        "n2",
+        "m",
+        "seen",
+        F.expr("(n1 * n2) div m").cast("bigint").alias("lincoln_petersen"),
+        F.expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1")
+        .cast("bigint")
+        .alias("chapman"),
+        F.expr("(m * 1000000) div n2").cast("bigint").alias("recapture_ppm"),
+    )
+
+
+ORACLE_Q294 = """
+WITH b AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid
+                  THEN 1 ELSE 0 END) AS c1,
+         max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid
+                  THEN 1 ELSE 0 END) AS c2
+  FROM events, b GROUP BY user_id
+),
+m AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * c2) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS seen
+  FROM per_user
+)
+SELECT n1, n2, m, seen,
+       CAST((n1 * n2) // m AS BIGINT) AS lincoln_petersen,
+       CAST(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS BIGINT) AS chapman,
+       CAST((m * 1000000) // n2 AS BIGINT) AS recapture_ppm
+FROM m
+"""
+
+
+# q295: Cochran-Armitage trend test (activity deciles -> conversion)
+
+def q295_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage test for TREND in conversion across ordered
+    activity deciles — the dose-response question behind "does more
+    engagement cause more purchases?", which a chi-square (q167) is
+    blind to because it ignores the ORDERING of the exposure levels.
+    Users are ranked into 10 deciles by event count under a pinned
+    total order (count, user_id) via ntile — both engines define ntile
+    identically (earlier buckets absorb remainders).  With scores
+    s_i = i-1, responders r_i, sizes n_i, totals R, N: the N-scaled
+    statistic T = N*Σs_i*r_i − R*Σs_i*n_i and the N²-scaled variance
+    V = R(N−R)(N*Σn_i*s_i² − (Σs_i*n_i)²) are EXACT BIGINTs off the
+    10-row decile table; z² = N·T²/V in milli-units via one pinned
+    float64 expression (N·T² overflows int64 at scale — converted
+    factor-by-factor to double FIRST, the q287 discipline).  The trend
+    SIGN is exact-integer from T alone.
+
+    Scale shape: one per-user agg, one 10-bucket window rank at
+    user-table scale, one 10-row moment fold — nothing after the first
+    shuffle touches the fact table again."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 95.0),
+                1,
+            ).otherwise(0)
+        ).alias("resp"),
+    )
+    w = Window.orderBy("cnt", "user_id")
+    dec = users.select(
+        (F.ntile(10).over(w) - 1).alias("s"), "resp"
+    )
+    cells = dec.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("resp").cast("bigint").alias("r_i"),
+    )
+    mom = cells.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("s") * F.col("r_i")).cast("bigint").alias("sr"),
+        F.sum(F.col("s") * F.col("n_i")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i"))
+        .cast("bigint")
+        .alias("ssn"),
+    )
+    return mom.select(
+        "n",
+        "r",
+        F.expr("n * sr - r * sn").cast("bigint").alias("t_scaled"),
+        F.expr("r * (n - r) * (n * ssn - sn * sn)")
+        .cast("bigint")
+        .alias("v_scaled"),
+        F.expr(
+            "CAST(floor(1000.0 * CAST(n AS DOUBLE)"
+            " * CAST(n * sr - r * sn AS DOUBLE)"
+            " * CAST(n * sr - r * sn AS DOUBLE)"
+            " / CAST(r * (n - r) * (n * ssn - sn * sn) AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias("z2_milli"),
+        F.expr(
+            "CASE WHEN n * sr - r * sn > 0 THEN 1"
+            " WHEN n * sr - r * sn < 0 THEN -1 ELSE 0 END"
+        ).cast("bigint").alias("trend_sign"),
+    )
+
+
+ORACLE_Q295 = """
+WITH users AS (
+  SELECT user_id, count(*) AS cnt,
+         max(CASE WHEN event_type = 'purchase' AND value >= 95.0
+                  THEN 1 ELSE 0 END) AS resp
+  FROM events GROUP BY user_id
+),
+dec AS (
+  SELECT ntile(10) OVER (ORDER BY cnt, user_id) - 1 AS s, resp FROM users
+),
+cells AS (
+  SELECT s, count(*) AS n_i, sum(resp) AS r_i FROM dec GROUP BY s
+),
+mom AS (
+  SELECT sum(n_i) AS n, sum(r_i) AS r, sum(s * r_i) AS sr,
+         sum(s * n_i) AS sn, sum(s * s * n_i) AS ssn
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+       CAST(n * sr - r * sn AS BIGINT) AS t_scaled,
+       CAST(r * (n - r) * (n * ssn - sn * sn) AS BIGINT) AS v_scaled,
+       CAST(floor(1000.0 * CAST(n AS DOUBLE)
+            * CAST(n * sr - r * sn AS DOUBLE)
+            * CAST(n * sr - r * sn AS DOUBLE)
+            / CAST(r * (n - r) * (n * ssn - sn * sn) AS DOUBLE))
+            AS BIGINT) AS z2_milli,
+       CAST(CASE WHEN n * sr - r * sn > 0 THEN 1
+                 WHEN n * sr - r * sn < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS trend_sign
+FROM mom
+"""
+
+
+# q296: difference-in-differences incident-impact estimate
+
+def q296_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimate of a rollout's effect on the
+    error rate: treated = odd user_id (the deterministic hash split an
+    experimentation platform assigns), periods split at the timeline
+    midpoint — DiD subtracts the control group's period-over-period
+    drift from the treated group's, the standard causal design when a
+    raw before/after would be confounded by seasonality.  The four
+    (group, period) cells are exact BIGINT (n, e) pairs off ONE
+    conditional aggregate; each rate in integer ppm with truncating
+    division pinned in both engines; did_ppm = (t2−t1)−(c2−c1) and the
+    parallel-trends pre-gap t1−c1 are then exact integer arithmetic —
+    no floats anywhere in the whole query.
+
+    Scale shape: one min/max agg + ONE map-side-combinable conditional
+    aggregate over the fact scan; the output is a single row."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts")))
+         / F.lit(2)).cast("bigint").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        (F.unix_timestamp("ts") >= F.col("mid")).alias("post"),
+        (F.col("event_type") == "error").cast("int").alias("err"),
+    )
+    aggs = []
+    for g, gname in ((False, "c"), (True, "t")):
+        for p, pname in ((False, "1"), (True, "2")):
+            cond = (F.col("treated") == g) & (F.col("post") == p)
+            aggs += [
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{gname}{pname}"),
+                F.sum(F.when(cond, F.col("err")).otherwise(0))
+                .cast("bigint")
+                .alias(f"e_{gname}{pname}"),
+            ]
+    m = tagged.agg(*aggs)
+    rate = lambda c: f"((e_{c} * 1000000) div n_{c})"  # noqa: E731
+    return m.select(
+        F.expr("n_c1 + n_c2 + n_t1 + n_t2").cast("bigint").alias("n_events"),
+        F.expr(rate("c1")).cast("bigint").alias("c1_ppm"),
+        F.expr(rate("c2")).cast("bigint").alias("c2_ppm"),
+        F.expr(rate("t1")).cast("bigint").alias("t1_ppm"),
+        F.expr(rate("t2")).cast("bigint").alias("t2_ppm"),
+        F.expr(
+            f"({rate('t2')} - {rate('t1')}) - ({rate('c2')} - {rate('c1')})"
+        ).cast("bigint").alias("did_ppm"),
+        F.expr(f"{rate('t1')} - {rate('c1')}")
+        .cast("bigint")
+        .alias("pretrend_gap_ppm"),
+    )
+
+
+def _oracle_q296():
+    cells = []
+    for g, gname in (("0", "c"), ("1", "t")):
+        for p, pname in (("<", "1"), (">=", "2")):
+            cond = (
+                f"user_id % 2 = {g} AND"
+                f" CAST(floor(epoch(ts)) AS BIGINT) {p} mid"
+            )
+            cells.append(
+                f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS n_{gname}{pname},"
+                f" sum(CASE WHEN {cond} AND event_type = 'error'"
+                f" THEN 1 ELSE 0 END) AS e_{gname}{pname}"
+            )
+    rate = lambda c: f"((e_{c} * 1000000) // n_{c})"  # noqa: E731
+    return f"""
+WITH b AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+m AS (SELECT {', '.join(cells)} FROM events, b)
+SELECT CAST(n_c1 + n_c2 + n_t1 + n_t2 AS BIGINT) AS n_events,
+       CAST({rate('c1')} AS BIGINT) AS c1_ppm,
+       CAST({rate('c2')} AS BIGINT) AS c2_ppm,
+       CAST({rate('t1')} AS BIGINT) AS t1_ppm,
+       CAST({rate('t2')} AS BIGINT) AS t2_ppm,
+       CAST(({rate('t2')} - {rate('t1')}) - ({rate('c2')} - {rate('c1')})
+            AS BIGINT) AS did_ppm,
+       CAST({rate('t1')} - {rate('c1')} AS BIGINT) AS pretrend_gap_ppm
+FROM m
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -23605,6 +23877,9 @@ ORDER BY tv_ppm DESC, source
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q294_capture_recapture": q294_capture_recapture,
+    "q295_cochran_armitage": q295_cochran_armitage,
+    "q296_diff_in_diff": q296_diff_in_diff,
     "q291_leadlag_xcorr": q291_leadlag_xcorr,
     "q292_jackknife_ratio": q292_jackknife_ratio,
     "q293_source_tv_drift": q293_source_tv_drift,
@@ -23906,6 +24181,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q294_capture_recapture": ORACLE_Q294,
+    "q295_cochran_armitage": ORACLE_Q295,
+    "q296_diff_in_diff": _oracle_q296(),
     "q291_leadlag_xcorr": ORACLE_Q291,
     "q292_jackknife_ratio": _oracle_q292(),
     "q293_source_tv_drift": ORACLE_Q293,
