@@ -365,3 +365,128 @@ def test_diff_in_diff(spark):
     assert tuple(row) == exp
     # all four design cells are populated — the DiD is well-defined
     assert len(cells) == 4 and all(n > 0 for n, _ in cells.values())
+
+
+def _trigrams(text):
+    ts = [t for t in re.split(r"\s+", text.lower()) if t]
+    return {f"{ts[i]} {ts[i+1]} {ts[i+2]}" for i in range(len(ts) - 2)}
+
+
+def test_crosslingual_anchors(spark):
+    from watermark_remove_spark.queries import q297_crosslingual_anchors
+
+    got = [tuple(r) for r in q297_crosslingual_anchors(spark, SF).collect()]
+
+    tri = {}
+    lang_of = {}
+    for doc_id, lang, text in duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        tri[doc_id] = _trigrams(text)
+        lang_of[doc_id] = lang
+    df = Counter()
+    langs = defaultdict(set)
+    for d, gs in tri.items():
+        for g in gs:
+            df[g] += 1
+            langs[g].add(lang_of[d])
+    anchors = {g for g, c in df.items() if 2 <= c <= 10 and len(langs[g]) >= 2}
+    by_anchor = defaultdict(list)
+    for d, gs in tri.items():
+        for g in gs & anchors:
+            by_anchor[g].append(d)
+    pairs = Counter()
+    for g, ds in by_anchor.items():
+        for i, d1 in enumerate(ds):
+            for d2 in ds:
+                if lang_of[d1] < lang_of[d2]:
+                    pairs[(d1, lang_of[d1], d2, lang_of[d2])] += 1
+    exp = sorted(
+        ((da, la, db, lb, c) for (da, la, db, lb), c in pairs.items()),
+        key=lambda t: (-t[4], t[0], t[2]),
+    )[:20]
+    assert got == exp
+    # the anchor band is populated and the df cap really bounds fan-out
+    assert len(anchors) > 0
+    assert all(len(ds) <= 10 for ds in by_anchor.values())
+    assert got[0][4] >= 1
+
+
+def test_compaction_binning(spark):
+    from watermark_remove_spark.queries import q298_compaction_binning
+
+    got = {r["source"]: tuple(r) for r in q298_compaction_binning(spark, SF).collect()}
+
+    files = defaultdict(list)
+    for src, doc_id, text in duckdb.sql(
+        f"SELECT source, doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        files[src].append((doc_id, len(text.encode())))
+    target = 2048
+    exp = {}
+    for src, fs in files.items():
+        fs.sort()
+        bins = defaultdict(lambda: [0, 0])
+        cum = 0
+        for _, b in fs:
+            bins[cum // target][0] += 1
+            bins[cum // target][1] += b
+            cum += b
+        total = sum(v[1] for v in bins.values())
+        exp[src] = (
+            src,
+            len(fs),
+            len(bins),
+            total,
+            max(v[1] for v in bins.values()),
+            (total * 1000000) // (len(bins) * target),
+        )
+    assert got == exp
+    # the packing is real: multiple bins per source, and bins are
+    # filled near target (fill > 50%) given files are far smaller
+    assert all(t[2] > 1 for t in got.values())
+    assert all(t[5] > 500000 for t in got.values())
+
+
+def test_min_window_proximity(spark):
+    from watermark_remove_spark.queries import q299_min_window_proximity
+
+    got = [tuple(r) for r in q299_min_window_proximity(spark, SF).collect()]
+
+    terms = ("scan", "window", "join")
+    exp_all = []
+    for doc_id, lang, text in duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        ts = [t for t in re.split(r"\s+", text.lower()) if t]
+        hits = [(i, t) for i, t in enumerate(ts) if t in terms]
+        last = {}
+        best = None
+        n_cand = 0
+        for pos, t in hits:
+            last[t] = pos
+            if len(last) == 3:
+                n_cand += 1
+                w = pos - min(last.values()) + 1
+                best = w if best is None else min(best, w)
+        if best is not None:
+            exp_all.append((doc_id, lang, best, n_cand))
+    exp_all.sort(key=lambda t: (t[2], t[0]))
+    assert got == exp_all[:20]
+    # brute-force check of the scan algorithm on the winning docs: the
+    # linear-scan min equals the true min over all position triples
+    by_doc = {
+        d: [t for t in re.split(r"\s+", txt.lower()) if t]
+        for d, txt in duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    }
+    for doc_id, _, win, _ in got[:5]:
+        ts = by_doc[doc_id]
+        ps = {t: [i for i, x in enumerate(ts) if x == t] for t in terms}
+        brute = min(
+            max(a, b, c) - min(a, b, c) + 1
+            for a in ps["scan"] for b in ps["window"] for c in ps["join"]
+        )
+        assert win == brute
+    assert got[0][2] >= 3  # a 3-term window is at least 3 tokens wide
