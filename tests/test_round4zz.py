@@ -490,3 +490,114 @@ def test_min_window_proximity(spark):
         )
         assert win == brute
     assert got[0][2] >= 3  # a 3-term window is at least 3 tokens wide
+
+
+def test_ewma_control_chart(spark):
+    from watermark_remove_spark.queries import q300_ewma_control_chart
+
+    got = [tuple(r) for r in q300_ewma_control_chart(spark, SF).collect()]
+
+    counts = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        counts[sec - sec % 3600] += 1
+    h_min, h_max = min(counts), max(counts)
+    series = {h: counts.get(h, 0) for h in range(h_min, h_max + 1, 3600)}
+    exp_all = []
+    for h, x in series.items():
+        if h < h_min + 8 * 3600:
+            continue
+        s_prev = sum(
+            series[h - k * 3600] * (1 << (8 - k)) for k in range(1, 9)
+        )
+        if s_prev <= 0:
+            continue
+        state = (
+            "spike" if 255 * x > 2 * s_prev
+            else "drop" if 510 * x < s_prev
+            else "ok"
+        )
+        exp_all.append((h, x, s_prev, (x * 255 * 1000000) // s_prev, state))
+    exp_all.sort(key=lambda t: (-t[3], t[0]))
+    assert got == exp_all[:20]
+    # dyadic weights sum to 255 and the chart is non-degenerate: the
+    # top entries really exceed the 2x spike gate
+    assert sum(1 << (8 - k) for k in range(1, 9)) == 255
+    assert got[0][4] == "spike" and got[0][3] > 2000000
+    states = {t[4] for t in exp_all}
+    assert "ok" in states  # the gate does not fire everywhere
+
+
+def test_source_overlap_jaccard(spark):
+    from watermark_remove_spark.queries import q301_source_overlap_jaccard
+
+    got = [tuple(r) for r in q301_source_overlap_jaccard(spark, SF).collect()]
+
+    sets = defaultdict(set)
+    for src, text in duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        sets[src] |= _trigrams(text)
+    exp = []
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b_ in srcs[i + 1:]:
+            inter = len(sets[a] & sets[b_])
+            if inter == 0:
+                continue
+            j = (inter * 1000000) // (len(sets[a]) + len(sets[b_]) - inter)
+            exp.append((a, b_, inter, len(sets[a]), len(sets[b_]), j))
+    exp.sort(key=lambda t: (-t[5], t[0], t[1]))
+    assert got == exp[:20]
+    # overlap exists but sources are far from identical
+    assert 0 < got[0][5] < 500000
+
+
+def test_rfm_segments(spark):
+    from watermark_remove_spark.queries import q302_rfm_segments
+
+    got = {r["segment"]: tuple(r) for r in q302_rfm_segments(spark, SF).collect()}
+
+    per_user = {}
+    t_max = 0
+    rows = duckdb.sql(
+        f"SELECT user_id, ts, event_type, value FROM '{SF}/events.parquet'"
+    ).fetchall()
+    for _, ts, _, _ in rows:
+        t_max = max(t_max, int(ts.timestamp()))
+    for uid, ts, et, val in rows:
+        if et != "purchase":
+            continue
+        sec = int(ts.timestamp())
+        u = per_user.setdefault(uid, [None, 0, 0])
+        u[0] = sec if u[0] is None else max(u[0], sec)
+        u[1] += 1
+        u[2] += int(round(val * 100))
+
+    def quintile(order):
+        N = len(order)
+        base, extra = divmod(N, 5)
+        out = {}
+        i = 0
+        for q in range(1, 6):
+            for _ in range(base + (1 if q <= extra else 0)):
+                out[order[i]] = q
+                i += 1
+        return out
+
+    uids = list(per_user)
+    rq = quintile(sorted(uids, key=lambda u: (-(t_max - per_user[u][0]), u)))
+    fq = quintile(sorted(uids, key=lambda u: (per_user[u][1], u)))
+    mq = quintile(sorted(uids, key=lambda u: (per_user[u][2], u)))
+    seg = defaultdict(lambda: [0, 0])
+    for u in uids:
+        k = rq[u] * 100 + fq[u] * 10 + mq[u]
+        seg[k][0] += 1
+        seg[k][1] += per_user[u][2]
+    exp = {k: (k, n, c, c // n) for k, (n, c) in seg.items()}
+    assert got == exp
+    # quintile codes live in the RFM lattice and multiple segments exist
+    assert all(111 <= k <= 555 for k in got)
+    assert len(got) > 1

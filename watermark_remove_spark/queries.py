@@ -24149,6 +24149,309 @@ LIMIT 20
 """
 
 
+# q300: dyadic-weight EWMA control chart (exact integers)
+
+def q300_ewma_control_chart(spark, sf_dir):
+    """EWMA control chart over the DENSE hourly event-count series
+    with DYADIC weights: the smoothed baseline for hour t is
+    s_prev = sum_{k=1..8} x_{t-k} * 2^(8-k) — i.e. alpha = 1/2
+    truncated at 8 taps, so every weight is a power of two and the
+    whole chart is EXACT integer arithmetic (the textbook
+    float-recursive EWMA is order-dependent and never bit-reproducible
+    across engines; the dyadic form is, and 8 taps leave < 0.4% of the
+    mass behind).  The series is DENSIFIED over an explicit generated
+    hour spine (min..max) with missing hours as x=0 — a silent hour IS
+    zero traffic, and treating it as a missing tap would silently
+    shorten the chart's memory exactly when a drop alert matters most.
+    Weights sum to 255, so the spike test is the cross-multiplied
+    comparison 255*x_t > 2*s_prev and the drop test 510*x_t < s_prev —
+    no division until the reported ratio_ppm.  Only hours with the
+    full 8-hour history (t >= min+8h) AND a live baseline (s_prev > 0)
+    are scored — a fully-dead 8-hour window is a feed-silence alarm
+    (q179's job), not a ratio.
+
+    Scale shape: the fact table collapses to one hourly series in ONE
+    map-side-combinable agg; the spine generation, 8-tap join, fold
+    and tests run at series scale (q291's aggregate-first
+    discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        (F.unix_timestamp("ts") - (F.unix_timestamp("ts") % 3600))
+        .cast("bigint")
+        .alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = obs.agg(
+        F.min("h").alias("h_min"), F.max("h").alias("h_max")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h_min"), F.col("h_max"), F.lit(3600))
+        ).alias("h")
+    )
+    hourly = (
+        spine.join(obs, "h", "left")
+        .select("h", F.coalesce("x", F.lit(0)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("b.h") >= F.col("a.h") - 8 * 3600)
+            & (F.col("b.h") <= F.col("a.h") - 3600),
+        )
+        .groupBy(F.col("a.h").alias("h"), F.col("a.x").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("taps"),
+            F.sum(
+                F.col("b.x")
+                * F.pow(
+                    F.lit(2.0),
+                    (8 - (F.col("a.h") - F.col("b.h")) / 3600).cast("int"),
+                ).cast("bigint")
+            ).cast("bigint").alias("s_prev"),
+        )
+        .where((F.col("taps") == 8) & (F.col("s_prev") > 0))
+    )
+    return (
+        scored.select(
+            "h",
+            "x",
+            "s_prev",
+            F.expr("(x * 255 * 1000000) div s_prev")
+            .cast("bigint")
+            .alias("ratio_ppm"),
+            F.expr(
+                "CASE WHEN 255 * x > 2 * s_prev THEN 'spike'"
+                " WHEN 510 * x < s_prev THEN 'drop' ELSE 'ok' END"
+            ).alias("state"),
+        )
+        .orderBy(F.desc("ratio_ppm"), "h")
+        .limit(20)
+    )
+
+
+ORACLE_Q300 = """
+WITH obs AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT)
+          - CAST(floor(epoch(ts)) AS BIGINT) % 3600) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(h) AS h_min, max(h) AS h_max FROM obs),
+spine AS (
+  SELECT unnest(range(h_min, h_max + 1, 3600)) AS h FROM b
+),
+hourly AS (
+  SELECT spine.h, coalesce(obs.x, 0) AS x
+  FROM spine LEFT JOIN obs ON obs.h = spine.h
+),
+scored AS (
+  SELECT a.h, a.x, count(*) AS taps,
+         CAST(sum(b.x * CAST(pow(2.0, 8 - (a.h - b.h) / 3600)
+                   AS BIGINT)) AS BIGINT) AS s_prev
+  FROM hourly a
+  JOIN hourly b ON b.h >= a.h - 8 * 3600 AND b.h <= a.h - 3600
+  GROUP BY a.h, a.x
+)
+SELECT h, x, s_prev,
+       CAST((x * 255 * 1000000) // s_prev AS BIGINT) AS ratio_ppm,
+       CASE WHEN 255 * x > 2 * s_prev THEN 'spike'
+            WHEN 510 * x < s_prev THEN 'drop' ELSE 'ok' END AS state
+FROM scored WHERE taps = 8 AND s_prev > 0
+ORDER BY ratio_ppm DESC, h
+LIMIT 20
+"""
+
+
+# q301: exact source-overlap Jaccard matrix
+
+def q301_source_overlap_jaccard(spark, sf_dir):
+    """Exact pairwise Jaccard similarity between the 20 sources'
+    trigram SETS — the feed-overlap audit a corpus curator runs before
+    paying for a new feed ("is src7 just src3 re-crawled?").  Distinct
+    from q16/q22 (DOC pairs, sampled/sketched) and q293 (distribution
+    distance): this is exact SET overlap at the SOURCE grain, where
+    exactness is affordable because the pair fan-out per trigram is
+    bounded by C(20,2)=190 — the (source, gram) distinct relation
+    self-joins on the gram key and can never blow up past
+    190x|vocab|.  jaccard_ppm = 1e6*inter div (|A|+|B|-inter), all
+    exact integers; top-20 pairs under a pinned total order.
+
+    Scale shape: one distinct shuffle to (source, gram), one
+    bounded-fan-out equi-join, one pair agg; per-source set sizes
+    REAGGREGATE the same relation (hierarchical rollup, one corpus
+    scan)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = docs.select("source", F.explode(grams).alias("g")).distinct()
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sg.alias("a"), sg.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("sz", "sz_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("sz", "sz_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
+            F.expr("(inter * 1000000) div (sz_a + sz_b - inter)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "src_a", "src_b")
+        .limit(20)
+    )
+
+
+ORACLE_Q301 = """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+sg AS (
+  SELECT DISTINCT source, g FROM (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+    FROM toks WHERE len(ts) >= 3
+  )
+),
+sizes AS (SELECT source, count(*) AS sz FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       CAST((inter * 1000000) // (sa.sz + sb.sz - inter) AS BIGINT)
+         AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY jaccard_ppm DESC, src_a, src_b
+LIMIT 20
+"""
+
+
+# q302: RFM quintile segmentation
+
+def q302_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation:
+    each purchasing user scored 1-5 on each axis via ntile quintiles
+    under PINNED total orders, segment code = 100r + 10f + m, then the
+    per-segment census — the lifecycle-marketing workhorse (who are
+    the 555 "champions", who is "at risk").  Recency is days since the
+    user's last purchase measured against the CORPUS max timestamp (a
+    pure function of the data, no wall clock), ordered DESC so quintile
+    5 = most recent; frequency = purchase count; monetary = exact cents
+    sum.  Every tie is broken by user_id so both engines bucket
+    identically (ntile on a non-total order would be
+    engine-dependent).
+
+    Scale shape: one per-user agg over the purchase slice, three
+    user-table-scale window ranks, one <=125-row census agg."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.max(F.unix_timestamp("ts")).cast("bigint").alias("t_max")
+    )
+    users = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            (F.max("t_max") - F.max(F.unix_timestamp("ts"))).alias("rec_secs"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("rec_secs"), F.col("user_id")))
+    fq = F.ntile(5).over(Window.orderBy(F.col("freq"), F.col("user_id")))
+    mq = F.ntile(5).over(Window.orderBy(F.col("cents"), F.col("user_id")))
+    scored = users.select(
+        "user_id",
+        "cents",
+        (r * 100 + fq * 10 + mq).cast("bigint").alias("segment"),
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.expr("sum(cents) div count(*)")
+            .cast("bigint")
+            .alias("avg_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_Q302 = """
+WITH anchor AS (
+  SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS t_max FROM events
+),
+users AS (
+  SELECT user_id,
+         t_max - CAST(floor(epoch(max(ts))) AS BIGINT) AS rec_secs,
+         count(*) AS freq,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events, anchor
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, t_max
+),
+scored AS (
+  SELECT user_id, cents,
+         ntile(5) OVER (ORDER BY rec_secs DESC, user_id) * 100
+         + ntile(5) OVER (ORDER BY freq, user_id) * 10
+         + ntile(5) OVER (ORDER BY cents, user_id) AS segment
+  FROM users
+)
+SELECT CAST(segment AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+FROM scored GROUP BY segment ORDER BY segment
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -24162,6 +24465,9 @@ LIMIT 20
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q300_ewma_control_chart": q300_ewma_control_chart,
+    "q301_source_overlap_jaccard": q301_source_overlap_jaccard,
+    "q302_rfm_segments": q302_rfm_segments,
     "q297_crosslingual_anchors": q297_crosslingual_anchors,
     "q298_compaction_binning": q298_compaction_binning,
     "q299_min_window_proximity": q299_min_window_proximity,
@@ -24469,6 +24775,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q300_ewma_control_chart": ORACLE_Q300,
+    "q301_source_overlap_jaccard": ORACLE_Q301,
+    "q302_rfm_segments": ORACLE_Q302,
     "q297_crosslingual_anchors": ORACLE_Q297,
     "q298_compaction_binning": ORACLE_Q298,
     "q299_min_window_proximity": ORACLE_Q299,
