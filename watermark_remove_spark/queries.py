@@ -24452,6 +24452,263 @@ FROM scored GROUP BY segment ORDER BY segment
 """
 
 
+# q303: business-day shipping latency histogram
+
+def q303_business_day_latency(spark, sf_dir):
+    """Order-to-ship latency in BUSINESS DAYS (Mon-Fri), the SLA
+    currency ops teams actually contract in — calendar-day latency
+    (q251) overstates weekend-spanning shipments by up to 2 days.
+    Computed in closed form, no calendar table and no iteration:
+    W(d) = weekdays in epoch-days [0, d) = (d div 7)*5 + L[d mod 7]
+    where L is the 8-entry lookup for a run starting on the epoch
+    anchor (1970-01-01 was a THURSDAY, so L = 0,1,2,2,2,3,4,5); the
+    business-day latency of a lineitem is W(ship+1) - W(order+1) —
+    weekdays in the half-open interval (order, ship].  Pure integer
+    arithmetic, identical lookup tables in both engines.  Restricted
+    to FORWARD shipments (ship >= order; the synthetic corpus also
+    contains backdated pairs) and summarized per ship year: volume,
+    exact mean business-day latency, and the worst case.
+
+    Scale shape: the formula is a map-side expression on the
+    orders-lineitem equi-join; ONE <=10-row year rollup after it."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lut = "array(0, 1, 2, 2, 2, 3, 4, 5)"
+    w = lambda col: (  # noqa: E731
+        f"(CAST(({col}) AS BIGINT) div 7) * 5"
+        f" + element_at({lut}, CAST(({col}) % 7 AS INT) + 1)"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.expr("CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)"))
+        .select(
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            F.expr(
+                "(" + w("datediff(l_shipdate, DATE'1970-01-01') + 1")
+                + ") - ("
+                + w("datediff(o_orderdate, DATE'1970-01-01') + 1") + ")"
+            ).cast("bigint").alias("biz_days"),
+        )
+    )
+    return (
+        j.groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("biz_days").cast("bigint").alias("total_biz_days"),
+            F.expr("sum(biz_days) div count(*)")
+            .cast("bigint")
+            .alias("avg_biz_days"),
+            F.max("biz_days").cast("bigint").alias("max_biz_days"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+ORACLE_Q303 = """
+WITH j AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         ((CAST(datediff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) + 1)
+          // 7) * 5
+         + ([0, 1, 2, 2, 2, 3, 4, 5])[
+             CAST((CAST(datediff('day', DATE '1970-01-01', l_shipdate)
+                   AS BIGINT) + 1) % 7 AS INT) + 1]
+         - ((CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+             + 1) // 7) * 5
+         - ([0, 1, 2, 2, 2, 3, 4, 5])[
+             CAST((CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                   AS BIGINT) + 1) % 7 AS INT) + 1]
+         AS biz_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+)
+SELECT ship_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(biz_days) AS BIGINT) AS total_biz_days,
+       CAST(sum(biz_days) // count(*) AS BIGINT) AS avg_biz_days,
+       CAST(max(biz_days) AS BIGINT) AS max_biz_days
+FROM j GROUP BY ship_year ORDER BY ship_year
+"""
+
+
+# q304: exact Gini coefficient via the rank formula
+
+def q304_gini_concentration(spark, sf_dir):
+    """Exact Gini coefficient of revenue concentration across users —
+    "what fraction of spend is carried by the whales", the
+    concentration number a monetization team tracks (HHI-style source
+    concentration is q125; Gini is the per-INDIVIDUAL inequality
+    measure).  Uses the rank formula G = Σ_i (2i − n − 1)·x_(i) /
+    (n·Σx) over spend sorted ascending under the pinned (spend,
+    user_id) total order — ONE distributed sort + rank instead of the
+    O(n²) pairwise |x_i − x_j| definition, and every term is an exact
+    BIGINT (gini in ppm by integer division).  Also emits the top-
+    decile revenue share (the Pareto check) off the same ranked pass.
+
+    Scale shape: one per-user agg, one global sort (the rank), one
+    moment fold — the rank formula is THE way to compute Gini at 10^9
+    users because it needs only a sort the engine already
+    parallelizes."""
+    ev = _t(spark, sf_dir, "events")
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "user_id")
+    ranked = spend.select(
+        "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.expr("(2 * i - 1) * cents")).cast("bigint").alias("ws"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(mom.select("n")))
+        .where(F.col("i") * 10 > F.col("n") * 9)
+        .agg(F.sum("cents").cast("bigint").alias("top_decile_cents"))
+    )
+    return mom.crossJoin(F.broadcast(top)).select(
+        "n",
+        "s",
+        F.expr("((ws - n * s) * 1000000) div (n * s)")
+        .cast("bigint")
+        .alias("gini_ppm"),
+        F.expr("(top_decile_cents * 1000000) div s")
+        .cast("bigint")
+        .alias("top_decile_share_ppm"),
+    )
+
+
+ORACLE_Q304 = """
+WITH spend AS (
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS i
+  FROM spend
+),
+mom AS (
+  SELECT count(*) AS n, sum(cents) AS s,
+         sum((2 * i - 1) * cents) AS ws
+  FROM ranked
+),
+top AS (
+  SELECT sum(cents) AS top_decile_cents FROM ranked, mom WHERE i * 10 > n * 9
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+       CAST(((ws - n * s) * 1000000) // (n * s) AS BIGINT) AS gini_ppm,
+       CAST((top_decile_cents * 1000000) // s AS BIGINT)
+         AS top_decile_share_ppm
+FROM mom, top
+"""
+
+
+# q305: decile gains / lift table
+
+def q305_gains_lift_table(spark, sf_dir):
+    """Decile gains-and-lift table for an activity-based targeting
+    score: rank users by event count (descending, pinned tie order),
+    cut into ntile deciles, and report each decile's cumulative
+    capture of high-value buyers (max purchase value >= 97) plus the
+    lift over random targeting — THE evaluation artifact a marketing
+    data scientist ships with any propensity score ("the top 2 deciles
+    capture X% of buyers at Y times random").  capture_ppm and
+    lift_milli are exact integer rationals: lift = (cum_buyers *
+    n_total) / (total_buyers * cum_users) cross-multiplied into
+    integer milli-units, no floats.
+
+    Scale shape: one per-user agg, one user-scale ntile, one 10-row
+    census + 10-row cumulative window — everything after the first
+    shuffle is decile-scale."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 97.0),
+                1,
+            ).otherwise(0)
+        ).alias("buyer"),
+    )
+    dec = users.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("cnt"), F.col("user_id")))
+        .alias("decile"),
+        "buyer",
+    )
+    cells = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("buyer").cast("bigint").alias("n_buyers"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = cells.agg(
+        F.sum("n_users").alias("nt"), F.sum("n_buyers").alias("bt")
+    )
+    return (
+        cells.select(
+            "decile",
+            "n_users",
+            "n_buyers",
+            F.sum("n_users").over(wc).cast("bigint").alias("cum_users"),
+            F.sum("n_buyers").over(wc).cast("bigint").alias("cum_buyers"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_buyers",
+            F.expr("(cum_buyers * 1000000) div bt")
+            .cast("bigint")
+            .alias("capture_ppm"),
+            F.expr("(cum_buyers * nt * 1000) div (bt * cum_users)")
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_Q305 = """
+WITH users AS (
+  SELECT user_id, count(*) AS cnt,
+         max(CASE WHEN event_type = 'purchase' AND value >= 97.0
+                  THEN 1 ELSE 0 END) AS buyer
+  FROM events GROUP BY user_id
+),
+dec AS (
+  SELECT ntile(10) OVER (ORDER BY cnt DESC, user_id) AS decile, buyer
+  FROM users
+),
+cells AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(buyer) AS BIGINT) AS n_buyers
+  FROM dec GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_users, n_buyers,
+         sum(n_users) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS cum_users,
+         sum(n_buyers) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS cum_buyers
+  FROM cells
+),
+tot AS (SELECT sum(n_users) AS nt, sum(n_buyers) AS bt FROM cells)
+SELECT decile, n_users, n_buyers,
+       CAST((cum_buyers * 1000000) // bt AS BIGINT) AS capture_ppm,
+       CAST((cum_buyers * nt * 1000) // (bt * cum_users) AS BIGINT)
+         AS lift_milli
+FROM cum, tot
+ORDER BY decile
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -24465,6 +24722,9 @@ FROM scored GROUP BY segment ORDER BY segment
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q303_business_day_latency": q303_business_day_latency,
+    "q304_gini_concentration": q304_gini_concentration,
+    "q305_gains_lift_table": q305_gains_lift_table,
     "q300_ewma_control_chart": q300_ewma_control_chart,
     "q301_source_overlap_jaccard": q301_source_overlap_jaccard,
     "q302_rfm_segments": q302_rfm_segments,
@@ -24775,6 +25035,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q303_business_day_latency": ORACLE_Q303,
+    "q304_gini_concentration": ORACLE_Q304,
+    "q305_gains_lift_table": ORACLE_Q305,
     "q300_ewma_control_chart": ORACLE_Q300,
     "q301_source_overlap_jaccard": ORACLE_Q301,
     "q302_rfm_segments": ORACLE_Q302,
