@@ -709,3 +709,109 @@ def test_gains_lift_table(spark):
     assert any(t[4] >= 1000 for t in got)
     assert got[-1][3] == 1000000
     assert all(a[3] <= b[3] for a, b in zip(got, got[1:]))
+
+
+def test_share_of_parent(spark):
+    from watermark_remove_spark.queries import q306_share_of_parent
+
+    got = [tuple(r) for r in q306_share_of_parent(spark, SF).collect()]
+
+    nat = {
+        ck: (nn, rn)
+        for ck, nn, rn in duckdb.sql(
+            f"""SELECT c_custkey, n_name, r_name
+                FROM '{SF}/customer.parquet'
+                JOIN '{SF}/nation.parquet' ON c_nationkey = n_nationkey
+                JOIN '{SF}/region.parquet' ON n_regionkey = r_regionkey"""
+        ).fetchall()
+    }
+    cents = defaultdict(int)
+    for ck, tp in duckdb.sql(
+        f"SELECT o_custkey, o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        nn, rn = nat[ck]
+        cents[(rn, nn)] += int(round(tp * 100))
+    region = defaultdict(int)
+    for (rn, _), c in cents.items():
+        region[rn] += c
+    world = sum(region.values())
+    exp = sorted(
+        (
+            rn, nn, c,
+            (c * 1000000) // region[rn],
+            (region[rn] * 1000000) // world,
+        )
+        for (rn, nn), c in cents.items()
+    )
+    assert got == exp
+    # shares are a genuine decomposition: nations of a region sum to
+    # ~1e6 ppm (truncation loses < n_nations ppm), regions likewise
+    for rn in region:
+        s = sum(t[3] for t in got if t[0] == rn)
+        k = sum(1 for t in got if t[0] == rn)
+        assert 1000000 - k <= s <= 1000000
+    rshares = {t[0]: t[4] for t in got}
+    assert 1000000 - len(rshares) <= sum(rshares.values()) <= 1000000
+
+
+def test_front_coding_advisor(spark):
+    from watermark_remove_spark.queries import q307_front_coding_advisor
+
+    got = {r["source"]: tuple(r) for r in q307_front_coding_advisor(spark, SF).collect()}
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    urls = defaultdict(list)
+    for src, doc_id in duckdb.sql(
+        f"SELECT source, doc_id FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        urls[src].append(
+            f"{src}.example.com/a{doc_id % 5}/b{doc_id % 7}/doc{doc_id}"
+        )
+    exp = {}
+    for src, us in urls.items():
+        us.sort()
+        raw = sum(len(u) for u in us)
+        saved = sum(lcp(a, b) for a, b in zip(us, us[1:]))
+        exp[src] = (
+            src, len(us), raw, saved,
+            ((raw - saved) * 1000000) // raw,
+        )
+    assert got == exp
+    # front coding genuinely pays on sorted URLs: > 40% saved
+    assert all(t[4] < 600000 for t in got.values())
+    assert all(0 < t[3] < t[2] for t in got.values())
+
+
+def test_dow_hour_residuals(spark):
+    from watermark_remove_spark.queries import q308_dow_hour_residuals
+
+    got = [tuple(r) for r in q308_dow_hour_residuals(spark, SF).collect()]
+
+    cells = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        cells[((sec // 86400 + 4) % 7, (sec // 3600) % 24)] += 1
+    rows_ = Counter()
+    cols_ = Counter()
+    for (d, h), c in cells.items():
+        rows_[d] += c
+        cols_[h] += c
+    n = sum(cells.values())
+    scored = [
+        (d, h, c, (c * n * 1000000) // (rows_[d] * cols_[h]) - 1000000)
+        for (d, h), c in cells.items()
+    ]
+    scored.sort(key=lambda t: (-abs(t[3]), t[0], t[1]))
+    assert got == scored[:20]
+    # the independence test is two-sided in practice: both excess and
+    # deficit cells appear among the top residuals
+    assert any(t[3] > 0 for t in got) and any(t[3] < 0 for t in got)

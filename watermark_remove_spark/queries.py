@@ -24709,6 +24709,265 @@ ORDER BY decile
 """
 
 
+# q306: hierarchical share-of-parent revenue decomposition
+
+def q306_share_of_parent(spark, sf_dir):
+    """Share-of-parent revenue decomposition over the geography
+    hierarchy: each nation's revenue as a share of ITS REGION and each
+    region's share of the world — the drill-down ratio pair every
+    OLAP dashboard needs (a plain rollup (q06/q30) gives the levels;
+    the share-of-PARENT join is what turns them into percentages a
+    human reads).  Revenue in exact cents; shares in truncating
+    integer ppm.  The region totals REAGGREGATE the nation cells and
+    the world total reaggregates the regions — three cascaded
+    aggregates over ONE fact-scan result, never three scans.
+
+    Scale shape: one fact-side agg keyed by nationkey, then
+    dimension-scale broadcast joins (nation/region are tiny); the
+    cascade after the first shuffle is 25-row arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    per_cust = orders.select(F.col("o_custkey"), cents.alias("c"))
+    per_nation = (
+        per_cust.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("c").alias("cents"))
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_name", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("r_name", "n_name", "cents")
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.sum("cents").alias("region_cents")
+    )
+    world = per_region.agg(F.sum("region_cents").alias("world_cents"))
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .crossJoin(F.broadcast(world))
+        .select(
+            "r_name",
+            "n_name",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.expr("(cents * 1000000) div region_cents")
+            .cast("bigint")
+            .alias("share_of_region_ppm"),
+            F.expr("(region_cents * 1000000) div world_cents")
+            .cast("bigint")
+            .alias("region_share_ppm"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_Q306 = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+per_region AS (
+  SELECT r_name, sum(cents) AS region_cents FROM per_nation GROUP BY 1
+),
+world AS (SELECT sum(region_cents) AS world_cents FROM per_region)
+SELECT p.r_name, p.n_name, CAST(p.cents AS BIGINT) AS cents,
+       CAST((p.cents * 1000000) // region_cents AS BIGINT)
+         AS share_of_region_ppm,
+       CAST((region_cents * 1000000) // world_cents AS BIGINT)
+         AS region_share_ppm
+FROM per_nation p JOIN per_region USING (r_name), world
+ORDER BY r_name, n_name
+"""
+
+
+# q307: front-coding advisor via adjacent-LCP economics
+
+def q307_front_coding_advisor(spark, sf_dir):
+    """Front-coding economics for the sorted URL index: in key order,
+    each key stores only its suffix after the longest common prefix
+    (LCP) with its predecessor — the sorted-string-table layout every
+    LSM/term-dictionary uses.  URLs are synthesized deterministically
+    from doc fields (the q140 corpus convention), sorted per source
+    partition, and the adjacent LCP is computed EXACTLY by exploding
+    candidate prefix lengths 1..min(len) and keeping the longest k
+    with substr equality — engine-portable (no LCP builtin exists in
+    either engine) and linear in key length.  Per source: key count,
+    raw bytes, saved bytes (sum of LCPs), and the front-coded
+    compression ratio in ppm — the number that decides whether the
+    index block format is worth it.
+
+    Scale shape: sort + lag within each source partition (ONE window
+    Exchange), LCP fan-out bounded by key length (~40), one rollup;
+    q182/q169 price dictionary and varint coding — this prices the
+    third classic layout."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.col("source"),
+        F.lit(".example.com/a"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/b"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+    )
+    w = Window.partitionBy("source").orderBy("url")
+    adj = docs.select("source", url.alias("url")).withColumn(
+        "prev", F.lag("url").over(w)
+    )
+    lcp = adj.withColumn(
+        "lcp",
+        F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+            F.coalesce(
+                F.expr(
+                    "array_max(filter(transform("
+                    "sequence(1, least(length(url), length(prev))),"
+                    " k -> CASE WHEN substring(url, 1, k) ="
+                    " substring(prev, 1, k) THEN k ELSE 0 END),"
+                    " x -> x > 0))"
+                ),
+                F.lit(0),
+            )
+        ),
+    )
+    return (
+        lcp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.length("url")).cast("bigint").alias("raw_bytes"),
+            F.sum("lcp").cast("bigint").alias("saved_bytes"),
+        )
+        .select(
+            "source",
+            "n_keys",
+            "raw_bytes",
+            "saved_bytes",
+            F.expr("((raw_bytes - saved_bytes) * 1000000) div raw_bytes")
+            .cast("bigint")
+            .alias("coded_ratio_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q307 = """
+WITH urls AS (
+  SELECT source,
+         source || '.example.com/a' || CAST(doc_id % 5 AS VARCHAR)
+           || '/b' || CAST(doc_id % 7 AS VARCHAR)
+           || '/doc' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+adj AS (
+  SELECT source, url,
+         lag(url) OVER (PARTITION BY source ORDER BY url) AS prev
+  FROM urls
+),
+lcp AS (
+  SELECT source, url,
+         CASE WHEN prev IS NULL THEN 0 ELSE coalesce(
+           (SELECT max(k) FROM unnest(range(1,
+                least(length(url), length(prev)) + 1)) AS t(k)
+            WHERE substring(url, 1, CAST(k AS INT))
+                  = substring(prev, 1, CAST(k AS INT))), 0)
+         END AS lcp
+  FROM adj
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(length(url)) AS BIGINT) AS raw_bytes,
+       CAST(sum(lcp) AS BIGINT) AS saved_bytes,
+       CAST(((sum(length(url)) - sum(lcp)) * 1000000)
+            // sum(length(url)) AS BIGINT) AS coded_ratio_ppm
+FROM lcp GROUP BY source ORDER BY source
+"""
+
+
+# q308: weekday-hour traffic independence residuals
+
+def q308_dow_hour_residuals(spark, sf_dir):
+    """Weekday × hour-of-day traffic interaction residuals: compare
+    each (dow, hour) cell's observed event count against the
+    independence expectation rowsum·colsum/total, entirely in
+    CROSS-MULTIPLIED integers — resid_ppm = obs·total·1e6 div
+    (rowsum·colsum) − 1e6 — the capacity-planning question "is Monday
+    9am special, or just Monday times 9am?" (q180 scores entities
+    against their own seasonal baseline; this decomposes the GLOBAL
+    calendar interaction).  dow/hour are derived from epoch seconds
+    ((d+4) mod 7 with the Thursday anchor, q303's discipline) so both
+    engines bucket identically with zero timezone surface.  Top-20
+    cells by absolute residual under a pinned order.
+
+    Scale shape: ONE map-side-combinable (dow, hour) agg — 168 cells
+    — then marginals REAGGREGATE the cells; everything after the
+    first shuffle is 168-row arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.select(
+        F.expr(
+            "((CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) + 4) % 7)"
+        ).alias("dow"),
+        F.expr(
+            "CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT) % 24"
+        ).alias("hour"),
+    ).groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    rows_ = cells.groupBy("dow").agg(F.sum("obs").alias("row_n"))
+    cols_ = cells.groupBy("hour").agg(F.sum("obs").alias("col_n"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    scored = (
+        cells.join(F.broadcast(rows_), "dow")
+        .join(F.broadcast(cols_), "hour")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "obs",
+            F.expr("(obs * n * 1000000) div (row_n * col_n) - 1000000")
+            .cast("bigint")
+            .alias("resid_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.abs(F.col("resid_ppm")).desc(), "dow", "hour"
+    ).limit(20)
+
+
+ORACLE_Q308 = """
+WITH cells AS (
+  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7) AS dow,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (SELECT dow, sum(obs) AS row_n FROM cells GROUP BY dow),
+cols_ AS (SELECT hour, sum(obs) AS col_n FROM cells GROUP BY hour),
+tot AS (SELECT sum(obs) AS n FROM cells)
+SELECT dow, hour, obs,
+       CAST((obs * n * 1000000) // (row_n * col_n) - 1000000 AS BIGINT)
+         AS resid_ppm
+FROM cells JOIN rows_ USING (dow) JOIN cols_ USING (hour), tot
+ORDER BY abs((obs * n * 1000000) // (row_n * col_n) - 1000000) DESC,
+         dow, hour
+LIMIT 20
+"""
+
+
 # REGISTRY ORDER IS THE DRIVER'S CHECK ORDER.  The driver's
 # correctness harness verified exactly the FIRST 50 entries in round 3
 # (q51-q56 landed in the same commit as the checked q50 and were
@@ -24722,6 +24981,9 @@ ORDER BY decile
 # r02/r03 driver rows.  NEW QUERIES ALWAYS GO AT THE HEAD.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new this session — never driver-checked, first in line
+    "q306_share_of_parent": q306_share_of_parent,
+    "q307_front_coding_advisor": q307_front_coding_advisor,
+    "q308_dow_hour_residuals": q308_dow_hour_residuals,
     "q303_business_day_latency": q303_business_day_latency,
     "q304_gini_concentration": q304_gini_concentration,
     "q305_gains_lift_table": q305_gains_lift_table,
@@ -25035,6 +25297,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # mirrors QUERIES order (see the registry-order comment above)
 ORACLES: dict[str, str] = {
+    "q306_share_of_parent": ORACLE_Q306,
+    "q307_front_coding_advisor": ORACLE_Q307,
+    "q308_dow_hour_residuals": ORACLE_Q308,
     "q303_business_day_latency": ORACLE_Q303,
     "q304_gini_concentration": ORACLE_Q304,
     "q305_gains_lift_table": ORACLE_Q305,
