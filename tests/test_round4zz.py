@@ -815,3 +815,108 @@ def test_dow_hour_residuals(spark):
     # the independence test is two-sided in practice: both excess and
     # deficit cells appear among the top residuals
     assert any(t[3] > 0 for t in got) and any(t[3] < 0 for t in got)
+
+
+def _qvecs(sf=None):
+    out = {}
+    labels = {}
+    for vid, emb, lab in duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{sf or SF}/embeddings.parquet'"
+    ).fetchall():
+        out[vid] = [int(round(float(x) * 128)) for x in emb]
+        labels[vid] = lab
+    return out, labels
+
+
+def test_mmr_retrieval(spark):
+    from watermark_remove_spark.queries import q309_mmr_retrieval
+
+    got = [tuple(r) for r in q309_mmr_retrieval(spark, SF).collect()]
+
+    qv, _ = _qvecs()
+    q0 = qv[0]
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    dq = {v: dot(q0, qv[v]) for v in qv if v != 0}
+    cand = sorted(dq, key=lambda v: (-dq[v], v))[:12]
+    sel = []
+    exp = []
+    for step in range(1, 6):
+        best = None
+        for v in cand:
+            if v in sel:
+                continue
+            pen = max((dot(qv[v], qv[s]) for s in sel), default=0)
+            score = dq[v] - pen
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, pen, score)
+        _, v, pen, score = best
+        sel.append(v)
+        exp.append((step, v, dq[v], pen if sel[:-1] else 0, score))
+    assert got == exp
+    # diversification really changed the order: the MMR selection is
+    # not simply the top-5 by relevance
+    top5 = sorted(dq, key=lambda v: (-dq[v], v))[:5]
+    assert [t[1] for t in got] != top5
+    # penalties are live from step 2 on (may be negative — the max
+    # pair dot of a near-orthogonal candidate set can be below zero)
+    assert all(t[3] != 0 for t in got[1:])
+
+
+def test_centroid_coherence(spark):
+    from watermark_remove_spark.queries import q310_centroid_coherence
+
+    got = [tuple(r) for r in q310_centroid_coherence(spark, SF).collect()]
+
+    qv, labels = _qvecs()
+    by_label = defaultdict(list)
+    for v, vec in qv.items():
+        by_label[labels[v]].append(vec)
+
+    def sdiv(s, n):
+        q = (abs(s) * 1024) // n
+        return q if s >= 0 else -q
+
+    mu = {
+        lab: [sdiv(sum(col), len(vecs)) for col in zip(*vecs)]
+        for lab, vecs in by_label.items()
+    }
+    census = Counter()
+    for v, vec in qv.items():
+        best = None
+        for lab in sorted(mu):
+            d2 = sum((a * 1024 - m) ** 2 for a, m in zip(vec, mu[lab]))
+            if best is None or (d2, lab) < best[:2]:
+                best = (d2, lab)
+        census[(labels[v], best[1])] += 1
+    n = sum(census.values())
+    hit = sum(c for (a, b), c in census.items() if a == b)
+    coh = (hit * 1000000) // n
+    exp = sorted((a, b, c, coh) for (a, b), c in census.items())
+    assert got == exp
+    # labels carry real spatial signal: coherence beats 2x random
+    n_labels = len(mu)
+    assert coh > 2 * 1000000 // n_labels
+    # and the audit is non-trivial: misassignments exist
+    assert any(a != b for a, b, _, _ in exp)
+
+
+def test_forecast_revenue(spark):
+    from watermark_remove_spark.queries import q311_forecast_revenue
+
+    (row,) = q311_forecast_revenue(spark, SF).collect()
+
+    n = rev = 0
+    for sd, disc, qty, ep in duckdb.sql(
+        f"SELECT l_shipdate, l_discount, l_quantity, l_extendedprice FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        if (
+            sd.year == 1996
+            and 0.05 <= disc <= 0.07
+            and qty < 24
+        ):
+            n += 1
+            rev += int(round(ep * 100)) * int(round(disc * 100))
+    assert tuple(row) == (n, rev)
+    # the predicate stack is selective but non-empty
+    assert 0 < n
