@@ -920,3 +920,103 @@ def test_forecast_revenue(spark):
     assert tuple(row) == (n, rev)
     # the predicate stack is selective but non-empty
     assert 0 < n
+
+
+def test_gate_cooccurrence(spark):
+    from watermark_remove_spark.queries import q312_gate_cooccurrence
+
+    got = {r["mask"]: tuple(r) for r in q312_gate_cooccurrence(spark, SF).collect()}
+
+    census = Counter()
+    for n_chars, text in duckdb.sql(
+        f"SELECT n_chars, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        ts = [t for t in re.split(r"\s+", text.lower()) if t]
+        mask = (
+            (8 if n_chars < 250 else 0)
+            + (4 if len(set(ts)) * 10 < len(ts) * 7 else 0)
+            + (2 if sum(len(t) for t in ts) * 10 > len(ts) * 55 else 0)
+            + (1 if not ({"scan", "column", "window"} & set(ts)) else 0)
+        )
+        census[mask] += 1
+    n = sum(census.values())
+    exp = {m: (m, c, (c * 1000000) // n) for m, c in census.items()}
+    assert got == exp
+    # the census is a partition of the corpus and more than one gate
+    # combination actually occurs
+    assert sum(t[1] for t in got.values()) == n
+    assert len(got) > 1
+
+
+def test_inversion_count(spark):
+    from watermark_remove_spark.queries import q313_inversion_count
+
+    (row,) = q313_inversion_count(spark, SF).collect()
+
+    docs = []
+    for doc_id, n_chars, text in duckdb.sql(
+        f"SELECT doc_id, n_chars, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        ts = [t for t in re.split(r"\s+", text.lower()) if t]
+        docs.append((doc_id, n_chars, len(set(ts))))
+    r1 = {
+        d: i + 1
+        for i, (d, _, _) in enumerate(sorted(docs, key=lambda x: (x[1], x[0])))
+    }
+    r2 = {
+        d: i + 1
+        for i, (d, _, _) in enumerate(sorted(docs, key=lambda x: (x[2], x[0])))
+    }
+    ids = [d for d, _, _ in docs]
+    inv = sum(
+        1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (r1[a] < r1[b]) != (r2[a] < r2[b])
+    )
+    n = len(ids)
+    total = n * (n - 1) // 2
+    exp = (n, total, inv, ((total - 2 * inv) * 1000000) // total)
+    assert tuple(row) == exp
+    # the grid decomposition equals the O(n^2) brute force (above) and
+    # the two rankings are correlated but NOT identical
+    assert 0 < inv < total // 2
+
+
+def test_runs_test(spark):
+    from watermark_remove_spark.queries import q314_runs_test
+
+    (row,) = q314_runs_test(spark, SF).collect()
+
+    daily = defaultdict(lambda: [0, 0])
+    for ts, et in duckdb.sql(
+        f"SELECT ts, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        d = int(ts.timestamp()) // 86400
+        daily[d][0] += 1
+        daily[d][1] += et == "error"
+    days = sorted(
+        daily.items(), key=lambda kv: (kv[1][1] / kv[1][0], kv[0])
+    )
+    n = len(days)
+    m_ev, m_err = days[(n + 1) // 2 - 1][1][0], days[(n + 1) // 2 - 1][1][1]
+    seq = [
+        (d, 1 if e * m_ev > m_err * t else 0)
+        for d, (t, e) in sorted(daily.items())
+    ]
+    n1 = sum(h for _, h in seq)
+    r = 1 + sum(1 for (_, a), (_, b) in zip(seq, seq[1:]) if a != b)
+    n2 = n - n1
+    er = (float(n) + 2.0 * float(n1) * float(n2)) / float(n)
+    var = (
+        2.0 * float(n1) * float(n2)
+        * (2.0 * float(n1) * float(n2) - float(n))
+        / (float(n) * float(n) * float(n - 1))
+    )
+    z = math.floor(1000.0 * (float(r) - er) / math.sqrt(var))
+    exp = (n, n1, n2, r, n + 2 * n1 * n2, n, z)
+    assert tuple(row) == exp
+    # both classes occur and the run structure is non-degenerate
+    # (neither a single run nor perfect alternation)
+    assert 0 < n1 < n
+    assert 1 < r < n
