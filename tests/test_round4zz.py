@@ -1020,3 +1020,108 @@ def test_runs_test(spark):
     # (neither a single run nor perfect alternation)
     assert 0 < n1 < n
     assert 1 < r < n
+
+
+def test_relational_division(spark):
+    from watermark_remove_spark.queries import q315_relational_division
+
+    got = [tuple(r) for r in q315_relational_division(spark, SF).collect()]
+
+    per_cust = defaultdict(lambda: [set(), 0, 0])
+    classes = set()
+    for ck, pr, tp in duckdb.sql(
+        f"SELECT o_custkey, o_orderpriority, o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        classes.add(pr)
+        u = per_cust[ck]
+        u[0].add(pr)
+        u[1] += 1
+        u[2] += int(round(tp * 100))
+    exp = sorted(
+        (ck, n, c) for ck, (ps, n, c) in per_cust.items() if ps == classes
+    )
+    assert got == exp
+    # the division is selective: some but not all customers qualify,
+    # and it agrees with the double-NOT-EXISTS formulation
+    assert 0 < len(exp) < len(per_cust)
+    nn = duckdb.sql(
+        f"""SELECT count(*) FROM (
+              SELECT DISTINCT o_custkey FROM '{SF}/orders.parquet' o1
+              WHERE NOT EXISTS (
+                SELECT 1 FROM (SELECT DISTINCT o_orderpriority p
+                               FROM '{SF}/orders.parquet') c
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM '{SF}/orders.parquet' o2
+                  WHERE o2.o_custkey = o1.o_custkey
+                    AND o2.o_orderpriority = c.p)))"""
+    ).fetchone()[0]
+    assert nn == len(exp)
+
+
+def test_vocab_turnover(spark):
+    from watermark_remove_spark.queries import q316_vocab_turnover
+
+    got = {r["source"]: tuple(r) for r in q316_vocab_turnover(spark, SF).collect()}
+
+    docs = defaultdict(list)
+    for src, doc_id, text in duckdb.sql(
+        f"SELECT source, doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        docs[src].append((doc_id, text))
+    exp = {}
+    for src, ds in docs.items():
+        ds.sort()
+        n = len(ds)
+        first = (n + 1) // 2  # ntile(2): first bucket takes the extra
+        tops = []
+        for half in (ds[:first], ds[first:]):
+            cnt = Counter()
+            for _, text in half:
+                for t in re.split(r"\s+", text.lower()):
+                    if t:
+                        cnt[t] += 1
+            top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+            tops.append({t for t, _ in top})
+        a, b = tops
+        inter = len(a & b)
+        j = (inter * 1000000) // (len(a) + len(b) - inter)
+        exp[src] = (src, len(a), len(b), inter, j, 1000000 - j)
+    assert got == exp
+    # head vocabularies always overlap; turnover is live somewhere
+    # (tiny sources may rotate nothing, so per-source >0 is too strong)
+    assert all(t[3] > 0 for t in got.values())
+    assert any(t[5] > 0 for t in got.values())
+    assert all(0 <= t[5] < 1000000 for t in got.values())
+
+
+def test_degree_assortativity(spark):
+    from watermark_remove_spark.queries import q317_degree_assortativity
+
+    (row,) = q317_degree_assortativity(spark, SF).collect()
+
+    by_type = defaultdict(list)
+    for eid, ts, uid, et in duckdb.sql(
+        f"SELECT event_id, ts, user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_type[et].append((ts, eid, uid))
+    edges = []
+    for et, rows in by_type.items():
+        rows.sort()
+        for (_, _, u), (_, _, v) in zip(rows, rows[1:]):
+            if u != v:
+                edges.append((u, v))
+    od = Counter(u for u, _ in edges)
+    idg = Counter(v for _, v in edges)
+    m = len(edges)
+    sx = sum(od[u] for u, _ in edges)
+    sy = sum(idg[v] for _, v in edges)
+    sxy = sum(od[u] * idg[v] for u, v in edges)
+    sxx = sum(od[u] * od[u] for u, _ in edges)
+    syy = sum(idg[v] * idg[v] for _, v in edges)
+    r = math.floor(
+        1000.0 * float(m * sxy - sx * sy)
+        / math.sqrt(float(m * sxx - sx * sx) * float(m * syy - sy * sy))
+    )
+    assert tuple(row) == (m, sx, sy, m * sxy - sx * sy, r)
+    # a correlation, so bounded; and the graph is non-trivial
+    assert -1000 <= r <= 1000 and m > 100
