@@ -1125,3 +1125,92 @@ def test_degree_assortativity(spark):
     assert tuple(row) == (m, sx, sy, m * sxy - sx * sy, r)
     # a correlation, so bounded; and the graph is non-trivial
     assert -1000 <= r <= 1000 and m > 100
+
+
+def test_sigma_day_gate(spark):
+    from watermark_remove_spark.queries import q318_sigma_day_gate
+
+    got = [tuple(r) for r in q318_sigma_day_gate(spark, SF).collect()]
+
+    daily = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        daily[int(ts.timestamp()) // 86400] += 1
+    n = len(daily)
+    s = sum(daily.values())
+    ss = sum(x * x for x in daily.values())
+    exp = sorted(
+        (d, x, n * x - s, "high" if n * x - s > 0 else "low")
+        for d, x in daily.items()
+        if (n * x - s) ** 2 > 4 * (n * ss - s * s)
+    )
+    assert got == exp
+    # the gate is selective: it fires, but on a strict minority of days
+    assert 0 < len(exp) < n // 4
+    # and every flagged day really clears 2 sigma in float terms
+    mu = s / n
+    var = ss / n - mu * mu
+    for d, x, _, _ in exp:
+        assert (x - mu) ** 2 > 4 * var * 0.999999
+
+
+def test_seasonal_mase(spark):
+    from watermark_remove_spark.queries import q319_seasonal_mase
+
+    (row,) = q319_seasonal_mase(spark, SF).collect()
+
+    from datetime import date
+
+    daily = Counter()
+    for (od,) in duckdb.sql(
+        f"SELECT o_orderdate FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        daily[(od.date() - date(1970, 1, 1)).days] += 1
+    n = m7 = m1 = 0
+    for d, x in daily.items():
+        if d - 7 in daily and d - 1 in daily:
+            n += 1
+            m7 += abs(x - daily[d - 7])
+            m1 += abs(x - daily[d - 1])
+    exp = (n, m7, m1, (m7 * 1000) // m1)
+    assert tuple(row) == exp
+    # both MAEs are live and the comparison is meaningful
+    assert n > 100 and m7 > 0 and m1 > 0
+
+
+def test_margin_audit(spark):
+    from watermark_remove_spark.queries import q320_margin_audit
+
+    got = {r["label"]: tuple(r) for r in q320_margin_audit(spark, SF).collect()}
+
+    qv, labels = _qvecs()
+    per_label = defaultdict(lambda: [0, 0, None, 0])
+    for pid in qv:
+        if pid % 17 != 0:
+            continue
+        d_same = d_other = None
+        for v in qv:
+            if v == pid:
+                continue
+            d2 = sum((a - b) ** 2 for a, b in zip(qv[pid], qv[v]))
+            if labels[v] == labels[pid]:
+                d_same = d2 if d_same is None else min(d_same, d2)
+            else:
+                d_other = d2 if d_other is None else min(d_other, d2)
+        m = d_other - d_same
+        row = per_label[labels[pid]]
+        row[0] += 1
+        row[1] += d_other <= d_same
+        row[2] = m if row[2] is None else min(row[2], m)
+        row[3] += m
+    exp = {}
+    for lab, (np_, nv, worst, tot) in per_label.items():
+        sign = 1 if tot >= 0 else -1
+        exp[lab] = (lab, np_, nv, worst, sign * (abs(tot) // np_))
+    assert got == exp
+    # the audit is informative: violations exist somewhere (the label
+    # space is noisy, q310 showed ~36% coherence) but not everywhere
+    total_v = sum(t[2] for t in got.values())
+    total_p = sum(t[1] for t in got.values())
+    assert 0 < total_v < total_p
