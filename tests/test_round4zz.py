@@ -1214,3 +1214,106 @@ def test_margin_audit(spark):
     total_v = sum(t[2] for t in got.values())
     total_p = sum(t[1] for t in got.values())
     assert 0 < total_v < total_p
+
+
+def test_range_count_index(spark):
+    from watermark_remove_spark.queries import q321_range_count_index
+
+    got = [tuple(r) for r in q321_range_count_index(spark, SF).collect()]
+
+    pts = [
+        (int(q), int(round(d * 100)))
+        for q, d in duckdb.sql(
+            f"SELECT l_quantity, l_discount FROM '{SF}/lineitem.parquet'"
+        ).fetchall()
+    ]
+    rects = [
+        (1, 1, 10, 0, 2),
+        (2, 11, 25, 0, 10),
+        (3, 26, 50, 5, 10),
+        (4, 1, 50, 3, 3),
+        (5, 20, 30, 2, 6),
+        (6, 40, 50, 0, 1),
+    ]
+    exp = [
+        (rid, sum(1 for q, d in pts if a1 <= q <= a2 and b1 <= d <= b2))
+        for rid, a1, a2, b1, b2 in rects
+    ]
+    assert got == exp
+    # the workload partitions meaningfully: every rectangle is
+    # non-empty and none covers the whole fact table
+    assert all(0 < c < len(pts) for _, c in got)
+
+
+def test_median_order_ci(spark):
+    from watermark_remove_spark.queries import q322_median_order_ci
+
+    (row,) = q322_median_order_ci(spark, SF).collect()
+
+    vals = sorted(
+        (int(round(v * 100)), e)
+        for e, v in duckdb.sql(
+            f"""SELECT event_id, value FROM '{SF}/events.parquet'
+                WHERE event_type = 'purchase'"""
+        ).fetchall()
+    )
+    n = len(vals)
+    mrk = (n + 1) // 2
+    lrk = max(1, math.floor((n - 1.96 * math.sqrt(n)) / 2.0))
+    hrk = min(n, math.ceil((n + 2.0 + 1.96 * math.sqrt(n)) / 2.0))
+    exp = (
+        n,
+        vals[mrk - 1][0],
+        vals[lrk - 1][0],
+        vals[hrk - 1][0],
+        lrk,
+        hrk,
+    )
+    assert tuple(row) == exp
+    # the CI is a genuine interval around the median
+    assert row["ci_lo_cents"] <= row["median_cents"] <= row["ci_hi_cents"]
+    assert row["lo_rank"] < mrk < row["hi_rank"]
+
+
+def test_pvm_bridge(spark):
+    from watermark_remove_spark.queries import q323_pvm_bridge
+
+    (row,) = q323_pvm_bridge(spark, SF).collect()
+
+    yearly = defaultdict(lambda: [0, 0])
+    for sd, pk, qty, ep in duckdb.sql(
+        f"SELECT l_shipdate, l_partkey, l_quantity, l_extendedprice FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        if sd.year in (1996, 1997):
+            u = yearly[(sd.year, pk)]
+            u[0] += int(qty)
+            u[1] += int(round(ep * 100))
+    parts = {pk for _, pk in yearly}
+    nb = vol = pr = chg = resid = new = gone = 0
+    for pk in parts:
+        a = yearly.get((1996, pk))
+        b = yearly.get((1997, pk))
+        if a and b:
+            q1, r1 = a
+            q2, r2 = b
+            u1 = (r1 * 100) // q1
+            u2 = (r2 * 100) // q2
+            nb += 1
+            vol += (q2 - q1) * u1
+            pr += (u2 - u1) * q2
+            chg += r2 - r1
+            resid += (r2 * 100 - r1 * 100) - ((q2 - q1) * u1 + (u2 - u1) * q2)
+        elif b:
+            new += b[1]
+        else:
+            gone += a[1]
+    assert tuple(row) == (nb, vol, pr, chg, resid, new, gone)
+    # the bridge identity holds exactly in u-units:
+    # 100*change = volume + price + residual
+    assert 100 * row["change_cents"] == (
+        row["volume_cc"] + row["price_cc"] + row["trunc_residual_cc"]
+    )
+    # and the truncation residual is small relative to the change
+    assert abs(row["trunc_residual_cc"]) < abs(100 * row["change_cents"]) or \
+        row["change_cents"] == 0
+    assert nb > 0
