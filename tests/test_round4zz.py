@@ -1317,3 +1317,105 @@ def test_pvm_bridge(spark):
     assert abs(row["trunc_residual_cc"]) < abs(100 * row["change_cents"]) or \
         row["change_cents"] == 0
     assert nb > 0
+
+
+def test_greedy_set_cover(spark):
+    from watermark_remove_spark.queries import q324_greedy_set_cover
+
+    got = [tuple(r) for r in q324_greedy_set_cover(spark, SF).collect()]
+
+    inc = defaultdict(set)
+    nd = 0
+    for doc_id, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        nd += 1
+        for t in set(re.split(r"\s+", text.lower())) - {""}:
+            inc[t].add(doc_id)
+    cand = {t: ds for t, ds in inc.items() if len(ds) >= 10}
+    covered = set()
+    exp = []
+    for r in range(1, 6):
+        best = None
+        for t in sorted(cand):
+            gain = len(cand[t] - covered)
+            if best is None or (-gain, t) < best[0]:
+                best = ((-gain, t), t, gain)
+        if best is None or best[2] == 0 and len(covered) == nd:
+            break
+        _, t, gain = best
+        if gain == 0 and len(covered) == nd:
+            break
+        covered |= cand[t]
+        exp.append((r, t, gain, len(covered), (len(covered) * 1000000) // nd))
+        if len(covered) == nd:
+            break
+    assert got == exp
+    # greedy gains are nonincreasing and coverage is monotone
+    assert all(a[2] >= b[2] for a, b in zip(got, got[1:]))
+    assert all(a[3] < b[3] for a, b in zip(got, got[1:]))
+    assert got[-1][4] > 900000  # the probe set really covers the corpus
+
+
+def test_budget_packing(spark):
+    from watermark_remove_spark.queries import q325_budget_packing
+
+    got = {r["lang"]: tuple(r) for r in q325_budget_packing(spark, SF).collect()}
+
+    scored = []
+    for doc_id, lang, text in duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        ts = [t for t in re.split(r"\s+", text.lower()) if t]
+        scored.append(
+            (doc_id, lang, len(ts), (len(set(ts)) * 1000000) // len(ts))
+        )
+    budget = sum(n for _, _, n, _ in scored) // 5
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    census = defaultdict(lambda: [0, 0])
+    before = 0
+    for _, lang, n, _ in scored:
+        if before >= budget:
+            break
+        census[lang][0] += 1
+        census[lang][1] += n
+        before += n
+    used = sum(v[1] for v in census.values())
+    exp = {
+        lang: (lang, c, t, (used * 1000000) // budget)
+        for lang, (c, t) in census.items()
+    }
+    assert got == exp
+    # the greedy fill lands within one doc of the budget line
+    max_doc = max(n for _, _, n, _ in scored)
+    assert budget <= used < budget + max_doc
+    assert len(got) > 1  # the selection is not a single-language fill
+
+
+def test_kcenter_seeding(spark):
+    from watermark_remove_spark.queries import q326_kcenter_seeding
+
+    got = [tuple(r) for r in q326_kcenter_seeding(spark, SF).collect()]
+
+    qv, _ = _qvecs()
+    seeds = [0]
+    exp = [(1, 0, None)]
+    for step in range(2, 6):
+        best = None
+        for v in qv:
+            if v in seeds:
+                continue
+            mind = min(
+                sum((a - b) ** 2 for a, b in zip(qv[v], qv[s]))
+                for s in seeds
+            )
+            if best is None or (-mind, v) < best[0]:
+                best = ((-mind, v), v, mind)
+        _, v, mind = best
+        seeds.append(v)
+        exp.append((step, v, mind))
+    assert got == exp
+    # covering radii are nonincreasing (the Gonzalez invariant)
+    radii = [t[2] for t in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert radii[-1] > 0  # seeds are genuinely distinct points
