@@ -1543,3 +1543,91 @@ def test_weighted_jaccard(spark):
     assert got == exp[:20]
     # weighted Jaccard <= set-Jaccard-like bound and is non-degenerate
     assert all(0 < t[4] < 1000000 for t in got)
+
+
+def test_duplicate_payment_audit(spark):
+    from watermark_remove_spark.queries import q330_duplicate_payment_audit
+
+    got = [tuple(r) for r in q330_duplicate_payment_audit(spark, SF).collect()]
+
+    base = []
+    for uid, eid, val, ts in duckdb.sql(
+        f"""SELECT user_id, event_id, value, ts FROM '{SF}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchall():
+        base.append(
+            (uid, eid, int(round(val * 100)) // 100, int(ts.timestamp()))
+        )
+    pairs = []
+    for i, (u1, e1, d1, s1) in enumerate(base):
+        for u2, e2, d2, s2 in base:
+            if u1 == u2 and d1 == d2 and e1 < e2 and abs(s1 - s2) <= 7 * 86400:
+                pairs.append((u1, e1, e2, d1, abs(s1 - s2)))
+    pairs.sort(key=lambda t: (t[4], t[0], t[1], t[2]))
+    assert got == pairs[:20]
+    # the blocking really binds: flagged pairs are a tiny fraction of
+    # all same-user purchase pairs
+    n_purch = len(base)
+    assert 0 < len(pairs) < n_purch
+    assert all(t[4] <= 7 * 86400 for t in got)
+
+
+def test_partition_sizing_advisor(spark):
+    from watermark_remove_spark.queries import (
+        _Q331_TABLES,
+        q331_partition_sizing_advisor,
+    )
+
+    got = {r["table_name"]: tuple(r) for r in q331_partition_sizing_advisor(spark, SF).collect()}
+
+    target = 1 << 20
+    exp = {}
+    for tbl, scols, nfixed, key in _Q331_TABLES:
+        rows = duckdb.sql(
+            f"SELECT {', '.join(scols)}, {key} FROM '{SF}/{tbl}.parquet'"
+        ).fetchall()
+        n = len(rows)
+        est = sum(
+            sum(len(str(r[i]).encode()) for i in range(len(scols)))
+            + nfixed * 8
+            for r in rows
+        )
+        hot = max(Counter(r[-1] for r in rows).values())
+        exp[tbl] = (
+            tbl, n, est,
+            (est + target - 1) // target,
+            (hot * 1000000) // n,
+        )
+    assert got == exp
+    # the advisor differentiates byte estimates (at sf0.001 every
+    # table still fits one 1 MiB partition — the ceil is exercised at
+    # larger SFs), and the skew signal is live
+    assert len({t[2] for t in got.values()}) == len(got)
+    assert all(t[3] >= 1 and t[4] > 0 for t in got.values())
+
+
+def test_hoover_index(spark):
+    from watermark_remove_spark.queries import q332_hoover_index
+
+    (row,) = q332_hoover_index(spark, SF).collect()
+
+    spend = Counter()
+    for uid, val in duckdb.sql(
+        f"""SELECT user_id, value FROM '{SF}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchall():
+        spend[uid] += int(round(val * 100))
+    n = len(spend)
+    x = sum(spend.values())
+    dev = sum(abs(n * c - x) for c in spend.values())
+    above = sum(1 for c in spend.values() if n * c > x)
+    exp = (n, x, dev, above, (dev * 1000000) // (2 * n * x))
+    assert tuple(row) == exp
+    # Hoover lies in [0, 1) and is consistent with Gini: H <= G for
+    # any distribution (Hoover is the max vertical gap of the Lorenz
+    # curve; Gini is twice the area)
+    xs = sorted(spend.values())
+    ws = sum((2 * (i + 1) - 1) * c for i, c in enumerate(xs))
+    gini_ppm = ((ws - n * x) * 1000000) // (n * x)
+    assert 0 < row["hoover_ppm"] <= gini_ppm + 1
+    assert 0 < above < n
