@@ -1631,3 +1631,113 @@ def test_hoover_index(spark):
     gini_ppm = ((ws - n * x) * 1000000) // (n * x)
     assert 0 < row["hoover_ppm"] <= gini_ppm + 1
     assert 0 < above < n
+
+
+def test_delta_bitpack_advisor(spark):
+    from watermark_remove_spark.queries import q333_delta_bitpack_advisor
+
+    got = {r["column_name"]: tuple(r) for r in q333_delta_bitpack_advisor(spark, SF).collect()}
+
+    specs = {
+        "events_ts_sec": (
+            f"SELECT CAST(floor(epoch(ts)) AS BIGINT), event_id FROM '{SF}/events.parquet'"
+        ),
+        "lineitem_orderkey": (
+            f"SELECT l_orderkey, l_linenumber FROM '{SF}/lineitem.parquet'"
+        ),
+        "orders_orderdate_day": (
+            f"SELECT datediff('day', DATE '1970-01-01', o_orderdate), o_orderkey FROM '{SF}/orders.parquet'"
+        ),
+        "orders_orderkey": (
+            f"SELECT o_orderkey, o_orderkey FROM '{SF}/orders.parquet'"
+        ),
+    }
+    exp = {}
+    for label, sql in specs.items():
+        vals = sorted(duckdb.sql(sql).fetchall())
+        widths = [
+            max(1, (b[0] - a[0]).bit_length())
+            for a, b in zip(vals, vals[1:])
+        ]
+        n = len(widths)
+        tot = sum(widths)
+        exp[label] = (
+            label, n, max(widths), (tot * 1000) // n, tot,
+            ((n * 64 - tot) * 1000000) // (n * 64),
+        )
+    assert got == exp
+    # sorted-delta packing genuinely pays: every column saves > 60%
+    assert all(t[5] > 600000 for t in got.values())
+    # the dense key (orderkey) packs tighter than the timestamp
+    assert got["orders_orderkey"][3] <= got["events_ts_sec"][3]
+
+
+def test_sourcing_coverage(spark):
+    from watermark_remove_spark.queries import q334_sourcing_coverage
+
+    got = [tuple(r) for r in q334_sourcing_coverage(spark, SF).collect()]
+
+    cells = Counter()
+    for pk, sk in duckdb.sql(
+        f"SELECT l_partkey, l_suppkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        cells[(pk, sk)] += 1
+    by_part = defaultdict(list)
+    for (pk, sk), n in cells.items():
+        by_part[pk].append((-n, sk, n))
+    hist = Counter()
+    for pk, rows in by_part.items():
+        rows.sort()
+        tot = sum(n for _, _, n in rows)
+        cum = 0
+        for k, (_, _, n) in enumerate(rows, 1):
+            cum += n
+            if cum * 2 >= tot:
+                hist[k] += 1
+                break
+    np_ = sum(hist.values())
+    exp = sorted(
+        (k, c, (c * 1000000) // np_) for k, c in hist.items()
+    )
+    assert got == exp
+    # the profile is a partition over parts with a real spread of k
+    assert sum(t[1] for t in got) == len(by_part)
+    assert len(got) > 1 and got[0][0] >= 1
+
+
+def test_cohort_payback(spark):
+    from watermark_remove_spark.queries import q335_cohort_payback
+
+    got = {r["cohort"]: tuple(r) for r in q335_cohort_payback(spark, SF).collect()}
+
+    first = {}
+    orders = duckdb.sql(
+        f"SELECT o_custkey, o_orderdate, o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    for ck, od, _ in orders:
+        m = od.year * 12 + od.month
+        first[ck] = min(first.get(ck, m), m)
+    sizes = Counter(first.values())
+    rev = defaultdict(int)
+    for ck, od, tp in orders:
+        cohort = first[ck]
+        age = od.year * 12 + od.month - cohort
+        rev[(cohort, age)] += int(round(tp * 100))
+    exp = {}
+    for cohort, nu in sizes.items():
+        ages = sorted(a for c, a in rev if c == cohort)
+        cum = 0
+        payback = None
+        total = 0
+        for a in ages:
+            cum += rev[(cohort, a)]
+            if payback is None and cum >= nu * 50_000_000:
+                payback = a
+            total = cum
+        exp[cohort] = (cohort, nu, total, payback)
+    assert got == exp
+    # payback is informative: some cohorts pay back, later/smaller
+    # ones may not, and payback ages vary
+    pb = [t[3] for t in got.values() if t[3] is not None]
+    assert len(pb) > 0
+    assert len(set(pb)) > 1
