@@ -1741,3 +1741,117 @@ def test_cohort_payback(spark):
     pb = [t[3] for t in got.values() if t[3] is not None]
     assert len(pb) > 0
     assert len(set(pb)) > 1
+
+
+def test_markov_path_ranking(spark):
+    from watermark_remove_spark.queries import q336_markov_path_ranking
+
+    got = [tuple(r) for r in q336_markov_path_ranking(spark, SF).collect()]
+
+    by_user = defaultdict(list)
+    for uid, ts, eid, et in duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_user[uid].append((ts, eid, et))
+    big = Counter()
+    for rows in by_user.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            big[(a, b)] += 1
+    rsum = Counter()
+    for (a, _), c in big.items():
+        rsum[a] += c
+    paths = []
+    for (s0, s1), c1 in big.items():
+        if s0 != "view":
+            continue
+        for (t1, s2), c2 in big.items():
+            if t1 != s1:
+                continue
+            for (t2, s3), c3 in big.items():
+                if t2 != s2:
+                    continue
+                num = c1 * c2 * c3
+                den = rsum[s0] * rsum[s1] * rsum[s2]
+                paths.append(
+                    (
+                        f"{s0}>{s1}>{s2}>{s3}",
+                        num,
+                        den,
+                        math.floor(1000000.0 * num / den),
+                    )
+                )
+    paths.sort(key=lambda t: (-(t[1] / t[2]), t[0]))
+    assert got == paths[:10]
+    # probabilities are genuine conditionals: the top path's ppm is
+    # below 1e6 and the full path set sums to ~1 per 2-step prefix
+    assert 0 < got[0][3] < 1000000
+    assert got[0][3] >= got[-1][3]
+
+
+def test_copeland_ranking(spark):
+    from watermark_remove_spark.queries import q337_copeland_ranking
+
+    got = [tuple(r) for r in q337_copeland_ranking(spark, SF).collect()]
+
+    docs = defaultdict(list)
+    for src, doc_id, nc in duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        docs[src].append((nc, doc_id))
+    med = {}
+    for src, rows in docs.items():
+        rows.sort()
+        med[src] = rows[(len(rows) + 1) // 2 - 1][0]
+    exp = []
+    for s in med:
+        wins = sum(1 for t in med if t != s and med[s] > med[t])
+        losses = sum(1 for t in med if t != s and med[s] < med[t])
+        exp.append((s, med[s], wins, losses, wins - losses))
+    exp.sort(key=lambda t: (-t[4], t[0]))
+    assert got == exp
+    # the tournament is total: wins + losses + ties = n - 1 per source
+    n = len(exp)
+    assert all(t[2] + t[3] <= n - 1 for t in got)
+    # and scores span a real range (no universal tie)
+    assert got[0][4] > got[-1][4]
+
+
+def test_graph_topology_panel(spark):
+    from watermark_remove_spark.queries import q338_graph_topology_panel
+
+    (row,) = q338_graph_topology_panel(spark, SF).collect()
+
+    by_type = defaultdict(list)
+    for eid, ts, uid, et in duckdb.sql(
+        f"SELECT event_id, ts, user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_type[et].append((ts, eid, uid))
+    edges = set()
+    for rows in by_type.values():
+        rows.sort()
+        for (_, _, u), (_, _, v) in zip(rows, rows[1:]):
+            if u != v:
+                edges.add((u, v))
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    n = len(nodes)
+    ne = len(edges)
+    mutual = sum(1 for u, v in edges if (v, u) in edges)
+    od = Counter(u for u, _ in edges)
+    idg = Counter(v for _, v in edges)
+    degs = sorted((od.get(u, 0), u) for u in nodes)
+    s = sum(d for d, _ in degs)
+    ws = sum((2 * (i + 1) - 1) * d for i, (d, _) in enumerate(degs))
+    exp = (
+        n, ne,
+        (ne * 1000000) // (n * (n - 1)),
+        (mutual * 1000000) // ne,
+        max(od.values()),
+        max(idg.values()),
+        ((ws - n * s) * 1000000) // (n * s),
+    )
+    assert tuple(row) == exp
+    # panel sanity: density in (0,1), reciprocity in (0,1], gini >= 0
+    assert 0 < row["density_ppm"] < 1000000
+    assert 0 < row["reciprocity_ppm"] <= 1000000
+    assert row["outdeg_gini_ppm"] >= 0
