@@ -1855,3 +1855,136 @@ def test_graph_topology_panel(spark):
     assert 0 < row["density_ppm"] < 1000000
     assert 0 < row["reciprocity_ppm"] <= 1000000
     assert row["outdeg_gini_ppm"] >= 0
+
+
+def test_ranking_weight_sensitivity(spark):
+    from watermark_remove_spark.queries import q339_ranking_weight_sensitivity
+
+    got = {r["weighting"]: tuple(r) for r in q339_ranking_weight_sensitivity(spark, SF).collect()}
+
+    per_supp = defaultdict(lambda: [0, 0, 0, 0])
+    odates = dict(duckdb.sql(
+        f"SELECT o_orderkey, o_orderdate FROM '{SF}/orders.parquet'"
+    ).fetchall())
+    for sk, ok, ep, rf, sd in duckdb.sql(
+        f"""SELECT l_suppkey, l_orderkey, l_extendedprice, l_returnflag,
+                   l_shipdate FROM '{SF}/lineitem.parquet'"""
+    ).fetchall():
+        u = per_supp[sk]
+        u[0] += int(round(ep * 100))
+        u[1] += rf == "R"
+        u[2] += (sd.date() - odates[ok].date()).days
+        u[3] += 1
+    metrics = {
+        sk: (rev, (r * 1000000) // n, lag // n if lag >= 0 else -((-lag + n - 1) // n))
+        for sk, (rev, r, lag, n) in per_supp.items()
+    }
+    # duckdb // floors; python // floors too — but Spark div truncates.
+    # lag sums are positive in this corpus (ship after order on
+    # average), so floor == trunc; assert that precondition:
+    assert all(lag >= 0 for _, (_, _, lag, _) in [(k, v) for k, v in per_supp.items()])
+    metrics = {
+        sk: (rev, (r * 1000000) // n, lag // n)
+        for sk, (rev, r, lag, n) in per_supp.items()
+    }
+    sks = sorted(metrics)
+    r_rev = {sk: i + 1 for i, sk in enumerate(
+        sorted(sks, key=lambda k: (-metrics[k][0], k)))}
+    r_ret = {sk: i + 1 for i, sk in enumerate(
+        sorted(sks, key=lambda k: (metrics[k][1], k)))}
+    r_lag = {sk: i + 1 for i, sk in enumerate(
+        sorted(sks, key=lambda k: (metrics[k][2], k)))}
+
+    def top10(w1, w2, w3):
+        scored = sorted(
+            (w1 * r_rev[k] + w2 * r_ret[k] + w3 * r_lag[k], k) for k in sks
+        )
+        return scored[:10]
+    base = top10(1, 1, 1)
+    base_set = {k for _, k in base}
+    exp = {}
+    for label, w in (("balanced", (1, 1, 1)), ("quality", (1, 3, 1)),
+                     ("speed", (1, 1, 3))):
+        t = top10(*w)
+        exp[label] = (
+            label, t[0][1], t[0][0],
+            sum(1 for _, k in t if k in base_set),
+        )
+    assert got == exp
+    # the baseline overlaps itself fully; reweighting moves the list
+    assert got["balanced"][3] == 10
+    assert got["quality"][3] <= 10 and got["speed"][3] <= 10
+
+
+def test_topic_shift_audit(spark):
+    from watermark_remove_spark.queries import q340_topic_shift_audit
+
+    got = [tuple(r) for r in q340_topic_shift_audit(spark, SF).collect()]
+
+    exp_all = []
+    for doc_id, lang, text in duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        ts = [t for t in re.split(r"\s+", text.lower()) if t]
+        if len(ts) < 2:
+            continue
+        cut = [i for i in range(len(ts)) if i * 2 < len(ts)]
+        a = Counter(ts[: len(cut)])
+        b = Counter(ts[len(cut):])
+        dot = sum(a[t] * b[t] for t in a)
+        na2 = sum(c * c for c in a.values())
+        nb2 = sum(c * c for c in b.values())
+        exp_all.append(
+            (doc_id, lang, dot, (dot * dot * 1000000) // (na2 * nb2))
+        )
+    exp_all.sort(key=lambda t: (t[3], t[0]))
+    assert got == exp_all[:20]
+    # divergence is a real spectrum: the flagged docs are far below
+    # the corpus median cosine
+    med = sorted(t[3] for t in exp_all)[len(exp_all) // 2]
+    assert got[-1][3] < med
+    assert all(t[2] >= 0 for t in got)
+
+
+def test_fill_rate_census(spark):
+    from watermark_remove_spark.queries import q341_fill_rate_census
+
+    got = {(r["order_month"], r["fill_class"]): tuple(r) for r in q341_fill_rate_census(spark, SF).collect()}
+
+    from datetime import datetime
+
+    cutoff = datetime(1998, 1, 1)
+    per_order = {}
+    odate = {}
+    for ok, od in duckdb.sql(
+        f"SELECT o_orderkey, o_orderdate FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        if od < cutoff:
+            odate[ok] = od
+    for ok, sd in duckdb.sql(
+        f"SELECT l_orderkey, l_shipdate FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        if ok in odate:
+            u = per_order.setdefault(ok, [0, 0])
+            u[0] += 1
+            u[1] += sd < cutoff
+    cells = defaultdict(lambda: [0, 0, 0])
+    for ok, (n, sh) in per_order.items():
+        m = odate[ok].year * 12 + odate[ok].month
+        cls = "full" if sh == n else ("none" if sh == 0 else "partial")
+        c = cells[(m, cls)]
+        c[0] += 1
+        c[1] += sh
+        c[2] += n
+    exp = {
+        k: (k[0], k[1], c, (sh * 1000000) // n)
+        for k, (c, sh, n) in cells.items()
+    }
+    assert got == exp
+    # the census is non-degenerate: all three classes occur, and
+    # early months are fuller than late months
+    classes = {k[1] for k in got}
+    assert classes == {"full", "partial", "none"}
+    months = sorted({k[0] for k in got})
+    first_full = got.get((months[0], "full"), (0, 0, 0, 0))[2]
+    assert first_full > 0
