@@ -2105,3 +2105,106 @@ def test_kd_median_grid(spark):
     # every leaf holds between 1/32 and 1/2 of the mass
     assert len(got) == 8
     assert all(31250 <= t[2] <= 500000 for t in got.values())
+
+
+def test_histogram_resolution_advisor(spark):
+    from watermark_remove_spark.queries import q345_histogram_resolution_advisor
+
+    got = {r["depth"]: tuple(r) for r in q345_histogram_resolution_advisor(spark, SF).collect()}
+
+    vals = sorted(
+        (int(round(v * 100)), e)
+        for e, v in duckdb.sql(
+            f"""SELECT event_id, value FROM '{SF}/events.parquet'
+                WHERE event_type = 'purchase'"""
+        ).fetchall()
+    )
+    n = len(vals)
+    exp = {}
+    for depth in (4, 8, 16, 32):
+        buckets = defaultdict(list)
+        for rk, (c, _) in enumerate(vals):
+            buckets[(rk * depth) // n].append(c)
+        area = sum((max(b) - min(b)) * len(b) for b in buckets.values())
+        exp[depth] = [depth, area, area + 1024 * depth]
+    best = min(c for _, _, c in exp.values())
+    exp = {d: (d, a, c, c == best) for d, (d_, a, c) in exp.items()}
+    assert got == exp
+    # the cost model genuinely trades off: area shrinks with depth,
+    # overhead grows, and exactly one depth is chosen
+    areas = [got[d][1] for d in (4, 8, 16, 32)]
+    assert areas == sorted(areas, reverse=True)
+    assert sum(1 for t in got.values() if t[3]) == 1
+
+
+def test_bullwhip_ratio(spark):
+    from watermark_remove_spark.queries import q346_bullwhip_ratio
+
+    got = {r["m"]: tuple(r) for r in q346_bullwhip_ratio(spark, SF).collect()}
+
+    od = Counter()
+    sh = Counter()
+    for (d,) in duckdb.sql(
+        f"SELECT o_orderdate FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        if d.day <= 28:
+            od[(d.year * 12 + d.month, d.day)] += 1
+    for (d,) in duckdb.sql(
+        f"SELECT l_shipdate FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        if d.day <= 28:
+            sh[(d.year * 12 + d.month, d.day)] += 1
+    months = {m for m, _ in od} | {m for m, _ in sh}
+
+    def var(c, m):
+        xs = [c.get((m, dd), 0) for dd in range(1, 29)]
+        return 28 * sum(x * x for x in xs) - sum(xs) ** 2
+    exp = {}
+    for m in months:
+        vo = var(od, m)
+        vs = var(sh, m)
+        if vo > 0:
+            exp[m] = (m, vo, vs, (vs * 1000) // vo)
+    assert got == exp
+    # amplification is real: shipments (6 lines/order) are noisier
+    # than orders in most months
+    amp = [t[3] for t in got.values()]
+    assert sum(1 for a in amp if a > 1000) > len(amp) // 2
+
+
+def test_heaps_doubling(spark):
+    from watermark_remove_spark.queries import q347_heaps_doubling
+
+    got = {r["lang"]: tuple(r) for r in q347_heaps_doubling(spark, SF).collect()}
+
+    streams = defaultdict(list)
+    for doc_id, lang, text in sorted(
+        duckdb.sql(
+            f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ):
+        for t in re.split(r"\s+", text.lower()):
+            if t:
+                streams[lang].append(t)
+    exp = {}
+    for lang, toks in streams.items():
+        n = len(toks)
+        seen = set()
+        v = {}
+        for i, t in enumerate(toks, 1):
+            seen.add(t)
+            if i == n // 4:
+                v[1] = len(seen)
+            if i == n // 2:
+                v[2] = len(seen)
+        v[3] = len(seen)
+        exp[lang] = (
+            lang, n, v[1], v[2], v[3],
+            (v[2] * 1000000) // v[1],
+            (v[3] * 1000000) // v[2],
+        )
+    assert got == exp
+    # growth is sublinear everywhere (Heaps) and the saturated corpus
+    # shows ratios far below doubling
+    assert all(1000000 <= t[5] < 2000000 for t in got.values())
+    assert all(1000000 <= t[6] < 2000000 for t in got.values())
