@@ -2323,3 +2323,119 @@ def test_sessionization_sweep(spark):
     assert counts == sorted(counts, reverse=True) and counts[0] > counts[-1]
     singles = [got[t][3] for t in (300, 900, 1800, 3600)]
     assert singles[0] >= singles[-1]
+
+
+def test_predicate_ordering(spark):
+    from watermark_remove_spark.queries import q351_predicate_ordering
+
+    (row,) = q351_predicate_ordering(spark, SF).collect()
+
+    masks = Counter()
+    for n_chars, text in duckdb.sql(
+        f"SELECT n_chars, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        ts = [t for t in re.split(r"\s+", text.lower()) if t]
+        m = (
+            (8 if n_chars >= 250 else 0)
+            + (4 if len(set(ts)) * 10 >= len(ts) * 7 else 0)
+            + (2 if sum(len(t) for t in ts) * 10 <= len(ts) * 55 else 0)
+            + (1 if {"scan", "column", "window"} & set(ts) else 0)
+        )
+        masks[m] += 1
+    nn = sum(masks.values())
+
+    def surv(bits_needed):
+        return sum(
+            c for m, c in masks.items()
+            if all(m & b for b in bits_needed)
+        )
+    p_len = surv([8])
+    pp_lt = surv([8, 4])
+    pp_ltm = surv([8, 4, 2])
+    p_core = surv([1])
+    pp_ct = surv([1, 4])
+    pp_ctm = surv([1, 4, 2])
+    naive = 1 * nn**3 + p_len * 4 * nn**2 + pp_lt * 4 * nn + pp_ltm * 8
+    alt = 8 * nn**3 + p_core * 4 * nn**2 + pp_ct * 4 * nn + pp_ctm * 1
+    sign = 1 if naive >= alt else -1
+    saving = sign * (abs(naive - alt) * 1000000 // naive)
+    assert tuple(row) == (nn, naive, alt, saving)
+    # the cheap-first cascade really wins on this gate ladder
+    assert naive < alt and saving < 0
+
+
+def test_copula_grid(spark):
+    from watermark_remove_spark.queries import q352_copula_grid
+
+    got = {(r["qi"], r["pi"]): tuple(r) for r in q352_copula_grid(spark, SF).collect()}
+
+    base = duckdb.sql(
+        f"""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT),
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    n = len(base)
+
+    def quintiles(key, other):
+        order = sorted(
+            range(n), key=lambda i: (base[i][key], base[i][other],
+                                     base[i][0], base[i][1])
+        )
+        out = [0] * n
+        b, extra = divmod(n, 5)
+        i = 0
+        for qq in range(1, 6):
+            for _ in range(b + (1 if qq <= extra else 0)):
+                out[order[i]] = qq
+                i += 1
+        return out
+    qi = quintiles(2, 3)
+    pi = quintiles(3, 2)
+    census = Counter(zip(qi, pi))
+    exp = {
+        k: (k[0], k[1], c, _tdiv((c * 25 - n) * 1000000, n))
+        for k, c in census.items()
+    }
+    assert got == exp
+    # marginals are uniform by construction: each row/col sums to n/5
+    for q in range(1, 6):
+        assert sum(t[2] for (a, _), t in got.items() if a == q) in (
+            n // 5, n // 5 + 1
+        )
+    assert len(got) == 25
+
+
+def test_persistence_baseline(spark):
+    from watermark_remove_spark.queries import q353_persistence_baseline
+
+    (row,) = q353_persistence_baseline(spark, SF).collect()
+
+    active = set()
+    for uid, ts in duckdb.sql(
+        f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        active.add((uid, int(ts.timestamp()) // 86400))
+    d0 = min(d for _, d in active)
+    d1 = max(d for _, d in active)
+    users = {u for u, _ in active}
+    tp = fp = fn = tn = 0
+    for u in users:
+        prev = None
+        for d in range(d0, d1 + 1):
+            a = (u, d) in active
+            if prev is not None:
+                tp += a and prev
+                fp += (not a) and prev
+                fn += a and (not prev)
+                tn += (not a) and (not prev)
+            prev = a
+    tot = tp + fp + fn + tn
+    exp = (
+        tp, fp, fn, tn,
+        ((tp + tn) * 1000000) // tot,
+        ((fp + tn) * 1000000) // tot,
+    )
+    assert tuple(row) == exp
+    # all four confusion cells are populated — the baseline makes
+    # real mistakes in both directions
+    assert tp > 0 and fp > 0 and fn > 0 and tn > 0
