@@ -2439,3 +2439,107 @@ def test_persistence_baseline(spark):
     # all four confusion cells are populated — the baseline makes
     # real mistakes in both directions
     assert tp > 0 and fp > 0 and fn > 0 and tn > 0
+
+
+def test_vshape_pattern_scan(spark):
+    from watermark_remove_spark.queries import q354_vshape_pattern_scan
+
+    got = [tuple(r) for r in q354_vshape_pattern_scan(spark, SF).collect()]
+
+    counts = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        counts[sec - sec % 3600] += 1
+    h0, h1 = min(counts), max(counts)
+    series = [(h, counts.get(h, 0)) for h in range(h0, h1 + 1, 3600)]
+    exp = []
+    for i in range(2, len(series) - 2):
+        m2, m1, x, p1, p2 = (
+            series[i - 2][1], series[i - 1][1], series[i][1],
+            series[i + 1][1], series[i + 2][1],
+        )
+        if m2 > m1 > x < p1 < p2:
+            exp.append((series[i][0], x, (m2 - x) + (p2 - x)))
+    exp.sort(key=lambda t: (-t[2], t[0]))
+    assert got == exp[:10]
+    # real V shapes exist and the strictness rules out plateaus
+    assert len(got) > 0
+    assert all(t[2] >= 4 for t in got)  # two strict drops + two rises
+
+
+def test_littles_law_gap(spark):
+    from watermark_remove_spark.queries import q355_littles_law_gap
+
+    (row,) = q355_littles_law_gap(spark, SF).collect()
+
+    by_user = defaultdict(list)
+    for uid, ts, eid in duckdb.sql(
+        f"SELECT user_id, ts, event_id FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_user[uid].append((int(ts.timestamp()), eid))
+    sessions = []
+    t0 = t1 = None
+    for rows in by_user.values():
+        rows.sort()
+        cur = [rows[0][0]]
+        for (s, _), (ps, _) in zip(rows[1:], rows):
+            if s - ps > 1800:
+                sessions.append((min(cur), max(cur)))
+                cur = [s]
+            else:
+                cur.append(s)
+        sessions.append((min(cur), max(cur)))
+        t0 = min(t0, rows[0][0]) if t0 is not None else rows[0][0]
+        t1 = max(t1, rows[-1][0]) if t1 is not None else rows[-1][0]
+    total_dur = sum(e - s for s, e in sessions)
+    span = t1 - t0
+    open_sum = 0
+    n_ticks = 0
+    for tick in range(t0, t1 + 1, 3600):
+        n_ticks += 1
+        open_sum += sum(1 for s, e in sessions if s <= tick < e)
+    l_exact = (total_dur * 1000) // span
+    l_sampled = (open_sum * 1000) // n_ticks
+    sign = 1 if l_sampled >= l_exact else -1
+    exp = (
+        len(sessions), l_exact, l_sampled,
+        sign * abs(l_sampled - l_exact),
+    )
+    assert tuple(row) == exp
+    # the sampled estimator is in the right ballpark (within 50% of
+    # exact) but not exact — the gap is the finding
+    assert l_exact > 0
+    assert abs(l_sampled - l_exact) * 2 < l_exact or l_sampled == l_exact
+
+
+def test_dimension_utilization(spark):
+    from watermark_remove_spark.queries import q356_dimension_utilization
+
+    got = {r["dimension"]: tuple(r) for r in q356_dimension_utilization(spark, SF).collect()}
+
+    specs = [
+        ("customer", "c_custkey", "orders", "o_custkey"),
+        ("nation", "n_nationkey", "customer", "c_nationkey"),
+        ("part", "p_partkey", "lineitem", "l_partkey"),
+        ("region", "r_regionkey", "nation", "n_regionkey"),
+        ("supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ]
+    exp = {}
+    for dim, dkey, fact, fkey in specs:
+        total = duckdb.sql(
+            f"SELECT count(*) FROM '{SF}/{dim}.parquet'"
+        ).fetchone()[0]
+        ref = duckdb.sql(
+            f"""SELECT count(*) FROM '{SF}/{dim}.parquet'
+                WHERE {dkey} IN (SELECT {fkey} FROM '{SF}/{fact}.parquet')"""
+        ).fetchone()[0]
+        exp[dim] = (
+            dim, total, ref, total - ref, (ref * 1000000) // total
+        )
+    assert got == exp
+    # at this SF every dimension is fully referenced — the honest
+    # result (the operator's job is to MEASURE that, not assume it)
+    assert len(got) == 5
+    assert all(0 < t[4] <= 1000000 and t[3] >= 0 for t in got.values())
