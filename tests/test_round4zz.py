@@ -2543,3 +2543,114 @@ def test_dimension_utilization(spark):
     # result (the operator's job is to MEASURE that, not assume it)
     assert len(got) == 5
     assert all(0 < t[4] <= 1000000 and t[3] >= 0 for t in got.values())
+
+
+def test_growth_accounting(spark):
+    from watermark_remove_spark.queries import q357_growth_accounting
+
+    got = {r["d"]: tuple(r) for r in q357_growth_accounting(spark, SF).collect()}
+
+    active = set()
+    for uid, ts in duckdb.sql(
+        f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        active.add((uid, int(ts.timestamp()) // 86400))
+    d0 = min(d for _, d in active)
+    d1 = max(d for _, d in active)
+    users = {u for u, _ in active}
+    exp = {}
+    for d in range(d0, d1 + 1):
+        cnt = Counter()
+        for u in users:
+            a = (u, d) in active
+            prior = [dd for (uu, dd) in active if uu == u and dd < d]
+            prev_last = max(prior) if prior else None
+            if a and prev_last is None:
+                cnt["new"] += 1
+            elif a and d - prev_last > 7:
+                cnt["resurrected"] += 1
+            elif a:
+                cnt["retained"] += 1
+            elif prev_last == d - 1:
+                cnt["newly_dormant"] += 1
+        qr = (
+            ((cnt["new"] + cnt["resurrected"]) * 1000) // cnt["newly_dormant"]
+            if cnt["newly_dormant"] else None
+        )
+        exp[d] = (
+            d, cnt["new"], cnt["retained"], cnt["resurrected"],
+            cnt["newly_dormant"], qr,
+        )
+    assert got == exp
+    # accounting identities: day 1 is all-new, and every active
+    # user-day lands in exactly one state (totals tie out)
+    first = got[d0]
+    assert first[2] == first[3] == 0 and first[1] > 0
+    for d in range(d0, d1 + 1):
+        n_active_day = sum(1 for (u, dd) in active if dd == d)
+        assert got[d][1] + got[d][2] + got[d][3] == n_active_day
+
+
+def test_attach_rate_matrix(spark):
+    from watermark_remove_spark.queries import q358_attach_rate_matrix
+
+    got = {(r["cat_a"], r["cat_b"]): tuple(r) for r in q358_attach_rate_matrix(spark, SF).collect()}
+
+    oc = set()
+    for ok, pk in duckdb.sql(
+        f"SELECT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        oc.add((ok, pk % 8))
+    orders = defaultdict(set)
+    for ok, c in oc:
+        orders[ok].add(c)
+    no = len(orders)
+    nw = Counter()
+    nboth = Counter()
+    for ok, cats in orders.items():
+        for c in cats:
+            nw[c] += 1
+        for c1 in cats:
+            for c2 in cats:
+                if c1 != c2:
+                    nboth[(c1, c2)] += 1
+    exp = {
+        (a, b): (
+            a, b, c,
+            (c * 1000000) // nw[a],
+            (c * no * 1000) // (nw[a] * nw[b]),
+        )
+        for (a, b), c in nboth.items()
+    }
+    assert got == exp
+    # the matrix is near-complete and attach rates are genuine
+    # conditionals (between 0 and 1e6)
+    assert len(got) >= 50
+    assert all(0 < t[3] <= 1000000 for t in got.values())
+
+
+def test_quantile_treatment_effects(spark):
+    from watermark_remove_spark.queries import q359_quantile_treatment_effects
+
+    got = {r["k"]: tuple(r) for r in q359_quantile_treatment_effects(spark, SF).collect()}
+
+    groups = {True: [], False: []}
+    for ck, tp, ok in duckdb.sql(
+        f"SELECT o_custkey, o_totalprice, o_orderkey FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        groups[ck % 2 == 1].append((int(round(tp * 100)), ok))
+    for g in groups.values():
+        g.sort()
+    exp = {}
+    for k in range(1, 10):
+        qs = {}
+        for t, g in groups.items():
+            n = len(g)
+            rk = max(1, (n * k) // 10)
+            qs[t] = g[rk - 1][0]
+        exp[k] = (k, qs[False], qs[True], qs[True] - qs[False])
+    assert got == exp
+    # quantiles are monotone in k within each group
+    evens = [got[k][1] for k in range(1, 10)]
+    odds = [got[k][2] for k in range(1, 10)]
+    assert evens == sorted(evens) and odds == sorted(odds)
