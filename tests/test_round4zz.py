@@ -2788,3 +2788,94 @@ def test_transition_stationarity(spark):
     # synthetic corpus (TV well below 1/2) — which is the finding
     assert all(0 <= t[3] < 500000 for t in got.values())
     assert len(got) == 5
+
+
+def test_var_expected_shortfall(spark):
+    from watermark_remove_spark.queries import q363_var_expected_shortfall
+
+    (row,) = q363_var_expected_shortfall(spark, SF).collect()
+
+    from datetime import date
+
+    daily = defaultdict(int)
+    for od, tp in duckdb.sql(
+        f"SELECT o_orderdate, o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        daily[(od.date() - date(1970, 1, 1)).days] += int(round(tp * 100))
+    ranked = sorted((rev, d) for d, rev in daily.items())
+    n = len(ranked)
+    k = max(1, (n * 5) // 100)
+    var95 = ranked[k - 1][0]
+    tail = [rev for rev, _ in ranked[:k]]
+    exp = (n, var95, k, sum(tail) // k)
+    assert tuple(row) == exp
+    # coherence: ES is at most VaR (it averages the days at or below)
+    assert row["es_cents"] <= row["var95_cents"]
+    assert row["n_tail"] == k and k >= 1
+
+
+def test_synthetic_control(spark):
+    from watermark_remove_spark.queries import q364_synthetic_control
+
+    (row,) = q364_synthetic_control(spark, SF).collect()
+
+    reg = dict(duckdb.sql(
+        f"""SELECT c_custkey, n_regionkey FROM '{SF}/customer.parquet'
+            JOIN '{SF}/nation.parquet' ON c_nationkey = n_nationkey"""
+    ).fetchall())
+    months = []
+    for ck, od in duckdb.sql(
+        f"SELECT o_custkey, o_orderdate FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        months.append((reg[ck] == 0, od.year * 12 + od.month))
+    mid = (min(m for _, m in months) + max(m for _, m in months)) // 2
+    t_pre = sum(1 for t, m in months if t and m <= mid)
+    t_post = sum(1 for t, m in months if t and m > mid)
+    c_pre = sum(1 for t, m in months if not t and m <= mid)
+    c_post = sum(1 for t, m in months if not t and m > mid)
+    sign = 1 if t_post * c_pre >= c_post * t_pre else -1
+    lift = sign * (abs(t_post * c_pre - c_post * t_pre) * 1000000
+                   // (c_post * t_pre))
+    assert tuple(row) == (t_pre, t_post, c_pre, c_post, lift)
+    # all four cells populated; lift is a small relative number on
+    # this untreated synthetic corpus (|lift| < 50%)
+    assert min(t_pre, t_post, c_pre, c_post) > 0
+    assert abs(row["lift_ppm"]) < 500000
+
+
+def test_rare_token_runs(spark):
+    from watermark_remove_spark.queries import q365_rare_token_runs
+
+    got = [tuple(r) for r in q365_rare_token_runs(spark, SF).collect()]
+
+    streams = {}
+    langs = {}
+    vocab = Counter()
+    for doc_id, lang, text in duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        ts = [t for t in re.split(r"\s+", text.lower()) if t]
+        streams[doc_id] = ts
+        langs[doc_id] = lang
+        vocab.update(ts)
+    ranked = sorted(vocab.items(), key=lambda kv: (kv[1], kv[0]))
+    med_c = ranked[(len(ranked) + 1) // 2 - 1][1]
+    rare = {t for t, c in vocab.items() if c < med_c}
+    exp_all = []
+    for doc_id, ts in streams.items():
+        best = cur = total = 0
+        for t in ts:
+            if t in rare:
+                cur += 1
+                total += 1
+                best = max(best, cur)
+            else:
+                cur = 0
+        if total > 0:
+            exp_all.append((doc_id, langs[doc_id], best, total))
+    exp_all.sort(key=lambda t: (-t[2], t[0]))
+    assert got == exp_all[:20]
+    # runs dominate aggregates: the top doc's run exceeds what its
+    # overall rare-token share would suggest (run >= 3)
+    assert got[0][2] >= 3
+    assert all(t[2] <= t[3] for t in got)
