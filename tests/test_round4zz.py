@@ -2879,3 +2879,107 @@ def test_rare_token_runs(spark):
     # overall rare-token share would suggest (run >= 3)
     assert got[0][2] >= 3
     assert all(t[2] <= t[3] for t in got)
+
+
+def test_panel_persistence(spark):
+    from watermark_remove_spark.queries import q366_panel_persistence
+
+    (row,) = q366_panel_persistence(spark, SF).collect()
+
+    counts = Counter()
+    for uid, ts in duckdb.sql(
+        f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        counts[(uid, int(ts.timestamp()) // 86400)] += 1
+    d0 = min(d for _, d in counts)
+    d1 = max(d for _, d in counts)
+    users = {u for u, _ in counts}
+    m = sx = sy = sxy = sxx = syy = 0
+    for u in users:
+        for d in range(d0 + 1, d1 + 1):
+            xp = counts.get((u, d - 1), 0)
+            y = counts.get((u, d), 0)
+            m += 1
+            sx += xp
+            sy += y
+            sxy += xp * y
+            sxx += xp * xp
+            syy += y * y
+    r = math.floor(
+        1000.0 * float(m * sxy - sx * sy)
+        / math.sqrt(float(m * sxx - sx * sx) * float(m * syy - sy * sy))
+    )
+    assert tuple(row) == (m, m * sxy - sx * sy, r)
+    # a correlation: bounded, and the pair count ties to the grid
+    assert -1000 <= r <= 1000
+    assert m == len(users) * (d1 - d0)
+
+
+def test_vocab_exclusivity(spark):
+    from watermark_remove_spark.queries import q367_vocab_exclusivity
+
+    got = {r["source"]: tuple(r) for r in q367_vocab_exclusivity(spark, SF).collect()}
+
+    cells = Counter()
+    for src, text in duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        for t in re.split(r"\s+", text.lower()):
+            if t:
+                cells[(src, t)] += 1
+    spread = Counter()
+    for (_, t) in cells:
+        spread[t] += 1
+    exp = {}
+    per_src = defaultdict(lambda: [0, 0, 0, 0])
+    for (s, t), c in cells.items():
+        u = per_src[s]
+        u[0] += 1
+        u[2] += c
+        if spread[t] == 1:
+            u[1] += 1
+            u[3] += c
+    for s, (v, ev_, mass, em) in per_src.items():
+        exp[s] = (s, v, ev_, (ev_ * 1000000) // v, (em * 1000000) // mass)
+    assert got == exp
+    # the saturated unigram space means exclusivity is LOW everywhere
+    # — the honest measurement (and exactly why trigram anchors were
+    # needed in q297)
+    assert all(t[3] < 200000 for t in got.values())
+    assert sum(t[2] for t in got.values()) == sum(
+        1 for t, n in spread.items() if n == 1
+    )
+
+
+def test_rollup_boundary_leakage(spark):
+    from watermark_remove_spark.queries import q368_rollup_boundary_leakage
+
+    got = {r["m"]: tuple(r) for r in q368_rollup_boundary_leakage(spark, SF).collect()}
+
+    from datetime import date
+
+    daily = defaultdict(int)
+    for od, tp in duckdb.sql(
+        f"SELECT o_orderdate, o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        d = (od.date() - date(1970, 1, 1)).days
+        m = od.year * 12 + od.month
+        daily[(d, m)] += int(round(tp * 100))
+    wk_months = defaultdict(set)
+    for (d, m) in daily:
+        wk_months[(d + 3) // 7].add(m)
+    exp = defaultdict(lambda: [0, 0])
+    for (d, m), rev in daily.items():
+        e = exp[m]
+        e[0] += rev
+        if len(wk_months[(d + 3) // 7]) > 1:
+            e[1] += rev
+    exp = {
+        m: (m, r, s, (s * 1000000) // r) for m, (r, s) in exp.items()
+    }
+    assert got == exp
+    # Monday-anchored weeks: epoch day 4 (Mon 1970-01-05) starts week
+    # 1 under (d+3) div 7 — verify the anchor, and leakage is real
+    # but partial in a typical month
+    assert (4 + 3) // 7 == 1 and (3 + 3) // 7 == 0
+    assert any(0 < t[3] < 1000000 for t in got.values())
