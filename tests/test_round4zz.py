@@ -2983,3 +2983,95 @@ def test_rollup_boundary_leakage(spark):
     # but partial in a typical month
     assert (4 + 3) // 7 == 1 and (3 + 3) // 7 == 0
     assert any(0 < t[3] < 1000000 for t in got.values())
+
+
+def test_mean_of_means_bias(spark):
+    from watermark_remove_spark.queries import q369_mean_of_means_bias
+
+    (row,) = q369_mean_of_means_bias(spark, SF).collect()
+
+    per_src = defaultdict(lambda: [0, 0])
+    for src, text in duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        nt = len([t for t in re.split(r"\s+", text.lower()) if t])
+        u = per_src[src]
+        u[0] += 1
+        u[1] += nt
+    nd = sum(u[0] for u in per_src.values())
+    tk = sum(u[1] for u in per_src.values())
+    true_m = (tk * 1000) // nd
+    src_means = [(u[1] * 1000) // u[0] for u in per_src.values()]
+    mom = sum(src_means) // len(src_means)
+    exp = (
+        nd, true_m, mom, mom - true_m,
+        max(max(src_means) - true_m, true_m - min(src_means)),
+    )
+    assert tuple(row) == exp
+    # the bias is bounded by the worst single-source deviation, and
+    # source means genuinely vary
+    assert abs(row["bias_milli"]) <= row["worst_src_dev_milli"]
+    assert len(set(src_means)) > 1
+
+
+def test_behavioral_stereotypy(spark):
+    from watermark_remove_spark.queries import q370_behavioral_stereotypy
+
+    got = [tuple(r) for r in q370_behavioral_stereotypy(spark, SF).collect()]
+
+    by_user = defaultdict(list)
+    for uid, ts, eid, et in duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_user[uid].append((ts, eid, et))
+    exp = []
+    for uid, rows in by_user.items():
+        rows.sort()
+        bigs = [
+            (a, b) for (_, _, a), (_, _, b) in zip(rows, rows[1:])
+        ]
+        if not bigs:
+            continue
+        nt = len(bigs)
+        nd = len(set(bigs))
+        exp.append((uid, nt, nd, (nd * 1000000) // min(nt, 25)))
+    exp.sort(key=lambda t: (t[3], t[0]))
+    assert got == exp[:15]
+    # repertoire share is a genuine fraction and the clamp binds for
+    # long histories (n_trans > 25 for the flagged users here)
+    assert all(0 < t[3] <= 1000000 for t in got)
+    assert all(t[2] <= min(t[1], 25) for t in got)
+
+
+def test_risk_pooling(spark):
+    from watermark_remove_spark.queries import q371_risk_pooling
+
+    (row,) = q371_risk_pooling(spark, SF).collect()
+
+    from datetime import date
+
+    reg = dict(duckdb.sql(
+        f"""SELECT c_custkey, n_regionkey FROM '{SF}/customer.parquet'
+            JOIN '{SF}/nation.parquet' ON c_nationkey = n_nationkey"""
+    ).fetchall())
+    rd = Counter()
+    for ck, od in duckdb.sql(
+        f"SELECT o_custkey, o_orderdate FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        rd[(reg[ck], (od.date() - date(1970, 1, 1)).days)] += 1
+    d0 = min(d for _, d in rd)
+    d1 = max(d for _, d in rd)
+    regions = {r for r, _ in rd}
+    n = d1 - d0 + 1
+    sum_var = 0
+    for r in regions:
+        xs = [rd.get((r, d), 0) for d in range(d0, d1 + 1)]
+        sum_var += n * sum(x * x for x in xs) - sum(xs) ** 2
+    tot = [sum(rd.get((r, d), 0) for r in regions) for d in range(d0, d1 + 1)]
+    pooled = n * sum(x * x for x in tot) - sum(tot) ** 2
+    exp = (n, sum_var, pooled, (pooled * 1000) // sum_var)
+    assert tuple(row) == exp
+    # the decomposition is consistent: pooled = sum + 2*cross-cov, so
+    # the ratio is positive; independence would give ~1000 milli
+    assert row["pooling_ratio_milli"] > 0
+    assert row["sum_var"] > 0 and row["pooled_var"] > 0
