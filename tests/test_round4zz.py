@@ -3075,3 +3075,129 @@ def test_risk_pooling(spark):
     # the ratio is positive; independence would give ~1000 milli
     assert row["pooling_ratio_milli"] > 0
     assert row["sum_var"] > 0 and row["pooled_var"] > 0
+
+
+def test_demand_taxonomy(spark):
+    from watermark_remove_spark.queries import q372_demand_taxonomy
+
+    got = {r["klass"]: tuple(r) for r in q372_demand_taxonomy(spark, SF).collect()}
+
+    from datetime import date
+
+    pd_ = defaultdict(lambda: defaultdict(int))
+    for pk, sd, q in duckdb.sql(
+        f"SELECT l_partkey, l_shipdate, l_quantity FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        pd_[pk][(sd.date() - date(1970, 1, 1)).days] += int(q)
+    census = defaultdict(lambda: [0, 0])
+    for pk, days in pd_.items():
+        nd = len(days)
+        span = max(days) - min(days) + 1
+        ss = sum(days.values())
+        ss2 = sum(v * v for v in days.values())
+        if nd == 1:
+            k = "single"
+        else:
+            inter = 100 * span > 132 * nd
+            err = 100 * (nd * ss2 - ss * ss) > 49 * ss * ss
+            k = ("lumpy" if err else "intermittent") if inter else \
+                ("erratic" if err else "smooth")
+        c = census[k]
+        c[0] += 1
+        c[1] += ss
+    np_ = sum(c[0] for c in census.values())
+    exp = {
+        k: (k, c, q, (c * 1000000) // np_)
+        for k, (c, q) in census.items()
+    }
+    assert got == exp
+    # the taxonomy partitions the parts and the dominant class carries
+    # most of the quantity mass
+    assert sum(t[1] for t in got.values()) == len(pd_)
+    assert len(got) >= 2
+
+
+def test_capacitated_assignment(spark):
+    from watermark_remove_spark.queries import q373_capacitated_assignment
+
+    got = {r["reviewer"]: tuple(r) for r in q373_capacitated_assignment(spark, SF).collect()}
+
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    prefmap = {"en": 0, "fr": 1, "de": 2, "es": 3}
+    base = [
+        (d, prefmap.get(lang), md5_i64_py(f"assign#{d}"))
+        for d, lang in docs
+    ]
+    n = len(base)
+    caps = {r: n // 4 + (1 if r < n % 4 else 0) for r in range(4)}
+    placed = {}
+    preferred = set()
+    for r in range(4):
+        cand = sorted(
+            (h, d) for d, p, h in base if p == r
+        )
+        for _, d in cand[: caps[r]]:
+            placed[d] = r
+            preferred.add(d)
+    rem = {r: caps[r] - sum(1 for d, rr in placed.items() if rr == r)
+           for r in range(4)}
+    leftovers = sorted(
+        (h, d) for d, p, h in base if d not in placed
+    )
+    boundaries = []
+    lo = 0
+    for r in range(4):
+        boundaries.append((r, lo, lo + rem[r]))
+        lo += rem[r]
+    for i, (_, d) in enumerate(leftovers):
+        for r, lo_, hi in boundaries:
+            if lo_ <= i < hi:
+                placed[d] = r
+    exp = {}
+    for r in range(4):
+        assigned = [d for d, rr in placed.items() if rr == r]
+        np_ = sum(1 for d in assigned if d in preferred)
+        exp[r] = (
+            r, len(assigned), np_, caps[r],
+            (len(assigned) * 1000000) // caps[r],
+        )
+    assert got == exp
+    # conservation: every doc is placed exactly once and fills sum to n
+    assert sum(t[1] for t in got.values()) == n
+    assert all(t[1] <= t[3] for t in got.values())
+    # preference honoring is real but capacity-bounded
+    assert sum(t[2] for t in got.values()) > 0
+
+
+def test_twoway_fe_anomalies(spark):
+    from watermark_remove_spark.queries import q374_twoway_fe_anomalies
+
+    got = [tuple(r) for r in q374_twoway_fe_anomalies(spark, SF).collect()]
+
+    counts = Counter()
+    for uid, ts in duckdb.sql(
+        f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        counts[(uid, int(ts.timestamp()) // 86400)] += 1
+    d0 = min(d for _, d in counts)
+    d1 = max(d for _, d in counts)
+    users = sorted({u for u, _ in counts})
+    days = list(range(d0, d1 + 1))
+    U, D = len(users), len(days)
+    su = {u: sum(counts.get((u, d), 0) for d in days) for u in users}
+    sd = {d: sum(counts.get((u, d), 0) for u in users) for d in days}
+    G = sum(counts.values())
+    cells = [
+        (u, d, counts.get((u, d), 0),
+         U * D * counts.get((u, d), 0) - U * su[u] - D * sd[d] + G)
+        for u in users for d in days
+    ]
+    cells.sort(key=lambda t: (-abs(t[3]), t[0], t[1]))
+    assert got == cells[:10]
+    # balanced-design identity: residuals sum to zero over the grid
+    assert sum(t[3] for t in cells) == 0
+    assert got[0][3] != 0
