@@ -3201,3 +3201,108 @@ def test_twoway_fe_anomalies(spark):
     # balanced-design identity: residuals sum to zero over the grid
     assert sum(t[3] for t in cells) == 0
     assert got[0][3] != 0
+
+
+def test_variance_ratio(spark):
+    from watermark_remove_spark.queries import q375_variance_ratio
+
+    (row,) = q375_variance_ratio(spark, SF).collect()
+
+    from datetime import date
+
+    obs = Counter()
+    for (od,) in duckdb.sql(
+        f"SELECT o_orderdate FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        obs[(od.date() - date(1970, 1, 1)).days] += 1
+    d0, d1 = min(obs), max(obs)
+    xs = [obs.get(d, 0) for d in range(d0, d1 + 1)]
+    n1 = len(xs)
+    s1 = sum(xs)
+    ss1 = sum(x * x for x in xs)
+    sums5 = [sum(xs[i - 4 : i + 1]) for i in range(4, n1)]
+    n5 = len(sums5)
+    s5s = sum(sums5)
+    ss5 = sum(s * s for s in sums5)
+    v1 = n1 * ss1 - s1 * s1
+    v5 = n5 * ss5 - s5s * s5s
+    vr = (v5 * n1 * n1 * 1000) // (v1 * n5 * n5 * 5)
+    assert tuple(row) == (n1, n5, v1, v5, vr)
+    # VR is positive and in a sane band around the random-walk 1000
+    assert 0 < row["vr5_milli"] < 5000
+
+
+def test_newsvendor_stocking(spark):
+    from watermark_remove_spark.queries import q376_newsvendor_stocking
+
+    got = {r["cat"]: tuple(r) for r in q376_newsvendor_stocking(spark, SF).collect()}
+
+    from datetime import date
+
+    cd = Counter()
+    for pk, sd, q in duckdb.sql(
+        f"SELECT l_partkey, l_shipdate, l_quantity FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        cd[(pk % 8, (sd.date() - date(1970, 1, 1)).days)] += int(q)
+    d0 = min(d for _, d in cd)
+    d1 = max(d for _, d in cd)
+    exp = {}
+    for cat in range(8):
+        xs = sorted(
+            (cd.get((cat, d), 0), d) for d in range(d0, d1 + 1)
+        )
+        n = len(xs)
+        s_star = xs[max(1, (n * 3) // 4) - 1][0]
+        s_mean = sum(q for q, _ in xs) // n
+        cost_star = sum(
+            3 * max(q - s_star, 0) + max(s_star - q, 0) for q, _ in xs
+        )
+        cost_mean = sum(
+            3 * max(q - s_mean, 0) + max(s_mean - q, 0) for q, _ in xs
+        )
+        exp[cat] = (
+            cat, s_star, s_mean, cost_star, cost_mean,
+            cost_mean - cost_star,
+        )
+    assert got == exp
+    # newsvendor optimality: the critical-fractile stock never costs
+    # more than the naive mean stock (the quantile minimizes the
+    # piecewise-linear cost over the empirical distribution); with
+    # bursty zero-heavy demand the mean can sit ABOVE the fractile,
+    # so no stock-ordering assertion is made
+    assert all(t[5] >= 0 for t in got.values())
+    assert any(t[5] > 0 for t in got.values())
+
+
+def test_cohort_halflife(spark):
+    from watermark_remove_spark.queries import q377_cohort_halflife
+
+    got = {r["cohort"]: tuple(r) for r in q377_cohort_halflife(spark, SF).collect()}
+
+    days = set()
+    for uid, ts in duckdb.sql(
+        f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        days.add((uid, int(ts.timestamp()) // 86400))
+    first = {}
+    for u, d in days:
+        first[u] = min(first.get(u, d), d)
+    sizes = Counter(first.values())
+    act = defaultdict(set)
+    for u, d in days:
+        act[(first[u], d - first[u])].add(u)
+    exp = {}
+    for cohort, size in sizes.items():
+        offs = sorted(
+            off for (c, off), us in act.items()
+            if c == cohort and off > 0 and len(us) * 2 <= size
+        )
+        hl = offs[0] if offs else None
+        exp[cohort] = (cohort, size, hl, hl is None)
+    assert got == exp
+    # at least one cohort exists; half-life semantics: where defined,
+    # activity at that offset really is at or below half
+    assert got
+    for cohort, (c, size, hl, cen) in exp.items():
+        if hl is not None:
+            assert len(act[(cohort, hl)]) * 2 <= size
