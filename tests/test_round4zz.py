@@ -3306,3 +3306,86 @@ def test_cohort_halflife(spark):
     for cohort, (c, size, hl, cen) in exp.items():
         if hl is not None:
             assert len(act[(cohort, hl)]) * 2 <= size
+
+
+def test_terminal_digit_audit(spark):
+    from watermark_remove_spark.queries import q378_terminal_digit_audit
+
+    (row,) = q378_terminal_digit_audit(spark, SF).collect()
+
+    obs = Counter()
+    for (v,) in duckdb.sql(
+        f"""SELECT value FROM '{SF}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchall():
+        obs[int(round(v * 100)) % 100] += 1
+    n = sum(obs.values())
+    dev2 = sum((100 * c - n) ** 2 for c in obs.values())
+    top = min((-c, d) for d, c in obs.items())[1]
+    bot = min((c, d) for d, c in obs.items())[1]
+    exp = (len(obs), n, (dev2 * 1000) // (100 * n), top, bot)
+    assert tuple(row) == exp
+    # on uniform synthetic data the negative control holds: the
+    # statistic stays near its ~99-cell expectation (no digit craze)
+    assert row["chi2_milli"] < 100 * 99 * 10  # loose upper guard
+    assert 0 <= row["top_digit"] <= 99 and 0 <= row["bottom_digit"] <= 99
+
+
+def test_trigger_interval_advisor(spark):
+    from watermark_remove_spark.queries import q379_trigger_interval_advisor
+
+    got = {r["t"]: tuple(r) for r in q379_trigger_interval_advisor(spark, SF).collect()}
+
+    secs = [
+        int(ts.timestamp())
+        for (ts,) in duckdb.sql(
+            f"SELECT ts FROM '{SF}/events.parquet'"
+        ).fetchall()
+    ]
+    exp = {}
+    for t in (60, 300, 900, 3600):
+        waits = [((s + t - 1) // t) * t - s for s in secs]
+        batches = len({(s + t - 1) // t for s in secs})
+        tw = sum(waits)
+        exp[t] = [t, batches, tw, (tw * 1000) // len(secs),
+                  tw + 100 * batches]
+    best = min(c[-1] for c in exp.values())
+    exp = {t: (*c, c[-1] == best) for t, c in exp.items()}
+    assert got == exp
+    # the trade is real: wait grows with T, batches shrink, and
+    # exactly one candidate wins
+    waits = [got[t][2] for t in (60, 300, 900, 3600)]
+    batches = [got[t][1] for t in (60, 300, 900, 3600)]
+    assert waits == sorted(waits) and batches == sorted(batches, reverse=True)
+    assert sum(1 for t in got.values() if t[5]) == 1
+
+
+def test_watermark_sizing_advisor(spark):
+    from watermark_remove_spark.queries import q380_watermark_sizing_advisor
+
+    got = {r["w"]: tuple(r) for r in q380_watermark_sizing_advisor(spark, SF).collect()}
+
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+
+    rows = duckdb.sql(
+        f"SELECT event_id, ts FROM '{SF}/events.parquet'"
+    ).fetchall()
+    delays = [md5_i64_py(f"late#{eid}") % 600 for eid, _ in rows]
+    secs = [int(ts.timestamp()) for _, ts in rows]
+    span = max(secs) - min(secs)
+    n = len(rows)
+    exp = {}
+    for w in (0, 60, 300, 600):
+        dropped = sum(1 for d in delays if d > w)
+        state = (w * n) // max(span, 1)
+        exp[w] = [w, dropped, (dropped * 1000000) // n, state,
+                  dropped * 1000 + state]
+    best = min(c[-1] for c in exp.values())
+    exp = {w: (*c, c[-1] == best) for w, c in exp.items()}
+    assert got == exp
+    # completeness-vs-state: drops are monotone nonincreasing in W,
+    # state monotone nondecreasing, W=600 drops nothing
+    ds = [got[w][1] for w in (0, 60, 300, 600)]
+    st = [got[w][3] for w in (0, 60, 300, 600)]
+    assert ds == sorted(ds, reverse=True) and st == sorted(st)
+    assert got[600][1] == 0
