@@ -3389,3 +3389,119 @@ def test_watermark_sizing_advisor(spark):
     st = [got[w][3] for w in (0, 60, 300, 600)]
     assert ds == sorted(ds, reverse=True) and st == sorted(st)
     assert got[600][1] == 0
+
+
+def test_assortment_collateral(spark):
+    from watermark_remove_spark.queries import q381_assortment_collateral
+
+    got = {r["pct"]: tuple(r) for r in q381_assortment_collateral(spark, SF).collect()}
+
+    rev = defaultdict(int)
+    orders_of = defaultdict(set)
+    torders = set()
+    trev = 0
+    for pk, ok, ep in duckdb.sql(
+        f"SELECT l_partkey, l_orderkey, l_extendedprice FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        c = int(round(ep * 100))
+        rev[pk] += c
+        trev += c
+        orders_of[pk].add(ok)
+        torders.add(ok)
+    ranked = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+    np_ = len(ranked)
+    exp = {}
+    for pct in (10, 25, 50):
+        cut = [pk for i, (pk, _) in enumerate(ranked, 1)
+               if i * 100 <= np_ * pct]
+        rl = sum(rev[pk] for pk in cut)
+        oa = set().union(*(orders_of[pk] for pk in cut)) if cut else set()
+        exp[pct] = (
+            pct, len(cut),
+            (rl * 1000000) // trev,
+            len(oa),
+            (len(oa) * 1000000) // len(torders),
+        )
+    assert got == exp
+    # the collateral asymmetry IS the finding: cutting half the parts
+    # loses a minority of revenue but touches a much larger share of
+    # orders than its revenue share
+    assert got[50][2] < 500000
+    assert got[50][4] > got[50][2]
+
+
+def test_price_band_migration(spark):
+    from watermark_remove_spark.queries import q382_price_band_migration
+
+    got = {(r["band_96"], r["band_97"]): tuple(r) for r in q382_price_band_migration(spark, SF).collect()}
+
+    yearly = defaultdict(lambda: [0, 0])
+    for pk, sd, q, ep in duckdb.sql(
+        f"SELECT l_partkey, l_shipdate, l_quantity, l_extendedprice FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        if sd.year in (1996, 1997):
+            u = yearly[(sd.year, pk)]
+            u[0] += int(q)
+            u[1] += int(round(ep * 100))
+    units = {
+        k: (r * 100) // q for k, (q, r) in yearly.items()
+    }
+
+    def bands(year):
+        items = sorted(
+            ((u, pk) for (y, pk), u in units.items() if y == year)
+        )
+        n = len(items)
+        base, extra = divmod(n, 5)
+        out = {}
+        i = 0
+        for b in range(1, 6):
+            for _ in range(base + (1 if b <= extra else 0)):
+                out[items[i][1]] = b
+                i += 1
+        return out
+    b96 = bands(1996)
+    b97 = bands(1997)
+    census = Counter(
+        (b96[pk], b97[pk]) for pk in set(b96) & set(b97)
+    )
+    n = sum(census.values())
+    exp = {
+        k: (k[0], k[1], c, (c * 1000000) // n) for k, c in census.items()
+    }
+    assert got == exp
+    # bands genuinely migrate: off-diagonal mass exists, and the
+    # matrix covers most of the 5x5 lattice
+    assert any(a != b for (a, b) in got)
+    assert len(got) >= 15
+
+
+def test_shingle_width_sweep(spark):
+    from watermark_remove_spark.queries import q383_shingle_width_sweep
+
+    got = {r["w"]: tuple(r) for r in q383_shingle_width_sweep(spark, SF).collect()}
+
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    exp = {}
+    for w in (3, 5, 9):
+        df = Counter()
+        for doc_id, text in texts:
+            ts = [t for t in re.split(r"\s+", text.lower()) if t]
+            grams = {
+                " ".join(ts[i : i + w]) for i in range(len(ts) - w + 1)
+            }
+            for g in grams:
+                df[g] += 1
+        band = [c for c in df.values() if 3 <= c <= 20]
+        exp[w] = (
+            w, len(df), len(band),
+            sum(c * (c - 1) // 2 for c in band),
+        )
+    assert got == exp
+    # the trade is monotone on this corpus: wider shingles mean fewer
+    # banded candidates and fewer pairs
+    pairs = [got[w][3] for w in (3, 5, 9)]
+    assert pairs == sorted(pairs, reverse=True)
+    assert got[3][3] > 0
