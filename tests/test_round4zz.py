@@ -3505,3 +3505,106 @@ def test_shingle_width_sweep(spark):
     pairs = [got[w][3] for w in (3, 5, 9)]
     assert pairs == sorted(pairs, reverse=True)
     assert got[3][3] > 0
+
+
+def test_direct_standardization(spark):
+    from watermark_remove_spark.queries import q384_direct_standardization
+
+    (row,) = q384_direct_standardization(spark, SF).collect()
+
+    users = defaultdict(lambda: [0, 0])
+    for uid, et in duckdb.sql(
+        f"SELECT user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        u = users[uid]
+        u[0] += 1
+        u[1] += et == "error"
+    order = sorted(users, key=lambda u: (users[u][0], u))
+    N = len(order)
+    base, extra = divmod(N, 10)
+    strat = {}
+    i = 0
+    for s in range(1, 11):
+        for _ in range(base + (1 if s <= extra else 0)):
+            strat[order[i]] = s
+            i += 1
+    cells = defaultdict(lambda: [0, 0])
+    sizes = Counter()
+    for u, (n, e) in users.items():
+        t = u % 2 == 1
+        c = cells[(t, strat[u])]
+        c[0] += n
+        c[1] += e
+        sizes[strat[u]] += n
+
+    def crude(t):
+        n = sum(c[0] for (tt, _), c in cells.items() if tt == t)
+        e = sum(c[1] for (tt, _), c in cells.items() if tt == t)
+        return (e * 1000000) // n
+
+    def std(t):
+        num = den = 0
+        for (tt, s), (n, e) in cells.items():
+            if tt == t:
+                num += ((e * 1000000) // n) * sizes[s]
+                den += sizes[s]
+        return num // den
+    exp = (
+        crude(True), crude(False), crude(True) - crude(False),
+        std(True), std(False), std(True) - std(False),
+    )
+    assert tuple(row) == exp
+    # standardization is a genuine reweighting: both adjusted rates
+    # stay within the span of the crude rates' stratum components
+    assert 0 < row["std_t"] < 1000000 and 0 < row["std_c"] < 1000000
+
+
+def test_load_duration_curve(spark):
+    from watermark_remove_spark.queries import q385_load_duration_curve
+
+    got = {r["k"]: r["load_at_decile"] for r in q385_load_duration_curve(spark, SF).collect()}
+
+    obs = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        obs[sec - sec % 3600] += 1
+    h0, h1 = min(obs), max(obs)
+    xs = sorted(
+        (obs.get(h, 0) for h in range(h0, h1 + 1, 3600)), reverse=True
+    )
+    n = len(xs)
+    exp = {
+        k: xs[max(1, (n * k) // 10) - 1] for k in range(1, 10)
+    }
+    exp[0] = (sum(xs) * 1000000) // (n * max(xs))
+    assert got == exp
+    # the curve is nonincreasing and the load factor is a genuine
+    # fraction below peak
+    curve = [got[k] for k in range(1, 10)]
+    assert curve == sorted(curve, reverse=True)
+    assert 0 < got[0] < 1000000
+
+
+def test_line_fragmentation(spark):
+    from watermark_remove_spark.queries import q386_line_fragmentation
+
+    (row,) = q386_line_fragmentation(spark, SF).collect()
+
+    groups = Counter()
+    for ok, pk in duckdb.sql(
+        f"SELECT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall():
+        groups[(ok, pk)] += 1
+    n_lines = sum(groups.values())
+    frag = sum(1 for k in groups.values() if k > 1)
+    excess = sum(k - 1 for k in groups.values() if k > 1)
+    exp = (
+        n_lines, len(groups), frag, excess,
+        (excess * 1000000) // n_lines, max(groups.values()),
+    )
+    assert tuple(row) == exp
+    # fragmentation exists on this corpus and the accounting ties out
+    assert frag > 0
+    assert row["n_lines"] == row["n_groups"] + row["excess_lines"]
