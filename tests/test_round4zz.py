@@ -3608,3 +3608,115 @@ def test_line_fragmentation(spark):
     # fragmentation exists on this corpus and the accounting ties out
     assert frag > 0
     assert row["n_lines"] == row["n_groups"] + row["excess_lines"]
+
+
+def test_attribution_lookback(spark):
+    from watermark_remove_spark.queries import q387_attribution_lookback
+
+    got = {r["lb"]: tuple(r) for r in q387_attribution_lookback(spark, SF).collect()}
+
+    by_user = defaultdict(list)
+    for uid, ts, eid, et in duckdb.sql(
+        f"""SELECT user_id, ts, event_id, event_type
+            FROM '{SF}/events.parquet'
+            WHERE event_type IN ('view', 'purchase')"""
+    ).fetchall():
+        by_user[uid].append((int(ts.timestamp()), eid, et))
+    purchases = []
+    for rows in by_user.values():
+        rows.sort()
+        last_view = None
+        for sec, _, et in rows:
+            if et == "view":
+                last_view = sec
+            else:
+                purchases.append((sec, last_view))
+    exp = {}
+    for lb in (3600, 21600, 86400, 604800):
+        credited = sum(
+            1 for sec, lv in purchases
+            if lv is not None and sec - lv <= lb
+        )
+        exp[lb] = (
+            lb, len(purchases), credited,
+            (credited * 1000000) // len(purchases),
+        )
+    assert got == exp
+    # the knob matters: credit is monotone in the window and moves
+    # materially between 1h and 7d
+    cr = [got[lb][2] for lb in (3600, 21600, 86400, 604800)]
+    assert cr == sorted(cr)
+    assert cr[-1] > cr[0]
+
+
+def test_new_returning_mix(spark):
+    from watermark_remove_spark.queries import q388_new_returning_mix
+
+    got = {r["m"]: tuple(r) for r in q388_new_returning_mix(spark, SF).collect()}
+
+    first = {}
+    rows = duckdb.sql(
+        f"SELECT o_custkey, o_orderdate, o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    for ck, od, _ in rows:
+        m = od.year * 12 + od.month
+        first[ck] = min(first.get(ck, m), m)
+    mix = defaultdict(lambda: [0, 0])
+    for ck, od, tp in rows:
+        m = od.year * 12 + od.month
+        c = int(round(tp * 100))
+        mix[m][0 if m == first[ck] else 1] += c
+    exp = {
+        m: (m, n, r, (n * 1000000) // (n + r))
+        for m, (n, r) in mix.items()
+    }
+    assert got == exp
+    # lifecycle arc: the first month is all-new; late months are
+    # mostly returning
+    months = sorted(got)
+    assert got[months[0]][3] == 1000000
+    assert got[months[-1]][3] < 500000
+
+
+def test_renewal_diagnostics(spark):
+    from watermark_remove_spark.queries import q389_renewal_diagnostics
+
+    (row,) = q389_renewal_diagnostics(spark, SF).collect()
+
+    by_user = defaultdict(list)
+    for uid, ts, eid in duckdb.sql(
+        f"""SELECT user_id, ts, event_id FROM '{SF}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchall():
+        by_user[uid].append((int(ts.timestamp()), eid))
+    gaps = []
+    pairs = []
+    for rows in by_user.values():
+        rows.sort()
+        prev = None
+        prev_gap = None
+        for (s, _), (ps, _) in zip(rows[1:], rows):
+            g = s - ps
+            gaps.append((g, s))
+            if prev_gap is not None:
+                pairs.append((prev_gap, g))
+            prev_gap = g
+    n = len(gaps)
+    s = sum(g for g, _ in gaps)
+    med = sorted(g for g, _ in gaps)[(n + 1) // 2 - 1]
+    m = len(pairs)
+    sx = sum(a for a, _ in pairs)
+    sy = sum(b for _, b in pairs)
+    sxy = sum(a * b for a, b in pairs)
+    sxx = sum(a * a for a, _ in pairs)
+    syy = sum(b * b for _, b in pairs)
+    r = math.floor(
+        1000.0 * float(m * sxy - sx * sy)
+        / math.sqrt(float(m * sxx - sx * sx) * float(m * syy - sy * sy))
+    )
+    exp = (n, (s * 1000) // n, med, (s * 1000) // (n * med), r)
+    assert tuple(row) == exp
+    # a right-skewed gap distribution: mean exceeds median, and the
+    # autocorrelation is a bounded correlation
+    assert row["mean_over_median_milli"] > 1000
+    assert -1000 <= row["gap_autocorr_milli"] <= 1000
