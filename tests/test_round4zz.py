@@ -3720,3 +3720,108 @@ def test_renewal_diagnostics(spark):
     # autocorrelation is a bounded correlation
     assert row["mean_over_median_milli"] > 1000
     assert -1000 <= row["gap_autocorr_milli"] <= 1000
+
+
+def test_peak_shaving(spark):
+    from watermark_remove_spark.queries import q390_peak_shaving
+
+    (row,) = q390_peak_shaving(spark, SF).collect()
+
+    obs = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        obs[sec - sec % 3600] += 1
+    h0, h1 = min(obs), max(obs)
+    xs = sorted(obs.get(h, 0) for h in range(h0, h1 + 1, 3600))
+    n = len(xs)
+    cap = xs[max(1, (n * 95) // 100) - 1]
+    peak = max(xs)
+    exp = (
+        peak, cap,
+        sum(max(x - cap, 0) for x in xs),
+        sum(1 for x in xs if x > cap),
+        ((peak - cap) * 1000000) // peak,
+    )
+    assert tuple(row) == exp
+    # shaving at p95 touches ~5% of hours and buys real headroom
+    assert 0 < row["hours_touched"] <= max(1, n // 15)
+    assert 0 < row["capacity_saved_ppm"] < 1000000
+
+
+def test_behavior_novelty(spark):
+    from watermark_remove_spark.queries import q391_behavior_novelty
+
+    (row,) = q391_behavior_novelty(spark, SF).collect()
+
+    by_user = defaultdict(list)
+    for uid, ts, eid, et in duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_user[uid].append((ts, eid, et))
+    tri = {1: Counter(), 2: Counter()}
+    for rows in by_user.values():
+        rows.sort()
+        nu = len(rows)
+        tagged = [
+            (1 if (i + 1) * 2 <= nu else 2, et)
+            for i, (_, _, et) in enumerate(rows)
+        ]
+        for (h1_, a), (h2_, b), (h3_, c) in zip(
+            tagged, tagged[1:], tagged[2:]
+        ):
+            if h1_ == h2_ == h3_:
+                tri[h1_][(a, b, c)] += 1
+    h2 = tri[2]
+    novel = {k: v for k, v in h2.items() if k not in tri[1]}
+    exp = (
+        len(h2),
+        len(novel),
+        (len(novel) * 1000000) // len(h2),
+        sum(h2.values()),
+        sum(novel.values()),
+        (sum(novel.values()) * 1000000) // sum(h2.values()),
+    )
+    assert tuple(row) == exp
+    # novelty mass is rarer than novelty types (novel patterns are
+    # infrequent by construction)
+    assert row["novel_mass_ppm"] <= row["novel_type_ppm"]
+
+
+def test_exposure_response(spark):
+    from watermark_remove_spark.queries import q392_exposure_response
+
+    got = {r["k"]: tuple(r) for r in q392_exposure_response(spark, SF).collect()}
+
+    by_user = defaultdict(list)
+    for uid, ts, eid, et in duckdb.sql(
+        f"""SELECT user_id, ts, event_id, event_type
+            FROM '{SF}/events.parquet'
+            WHERE event_type IN ('view', 'purchase')"""
+    ).fetchall():
+        by_user[uid].append((int(ts.timestamp()), eid, et))
+    census = defaultdict(lambda: [0, 0])
+    for rows in by_user.values():
+        rows.sort()
+        expo = 0
+        for i, (sec, _, et) in enumerate(rows):
+            if et != "view":
+                continue
+            expo += 1
+            nxt = None
+            for s2, _, e2 in rows[i + 1:]:
+                if e2 == "purchase":
+                    nxt = s2
+                    break
+            k = min(expo, 10)
+            census[k][0] += 1
+            census[k][1] += nxt is not None and nxt - sec <= 3600
+    exp = {
+        k: (k, n, c, (c * 1000000) // n)
+        for k, (n, c) in census.items()
+    }
+    assert got == exp
+    # every exposure bucket exists up to the cap and conversions occur
+    assert set(got) == set(range(1, 11))
+    assert sum(t[2] for t in got.values()) > 0
