@@ -161,3 +161,147 @@ def test_ldiversity_audit(spark):
     for r in got.values():
         if r[6]:
             assert r[5]
+
+
+def test_voptimal_histogram(spark):
+    from watermark_remove_spark.queries import q396_voptimal_histogram
+
+    got = {r["b"]: tuple(r) for r in q396_voptimal_histogram(spark, SF).collect()}
+
+    cents = [
+        int(round(p * 100))
+        for (p,) in duckdb.sql(
+            f"SELECT o_totalprice FROM '{SF}/orders.parquet'"
+        ).fetchall()
+    ]
+    mn, mx = min(cents), max(cents)
+    c = [0] * 60
+    for p in cents:
+        c[((p - mn) * 60) // (mx - mn + 1)] += 1
+    # prefix sums over 61 boundary points
+    S = [0] * 61
+    Q = [0] * 61
+    for k in range(60):
+        S[k + 1] = S[k] + c[k]
+        Q[k + 1] = Q[k] + c[k] * c[k]
+
+    def cost(i, j):
+        ln = j - i
+        return ((ln * (Q[j] - Q[i]) - (S[j] - S[i]) ** 2) * 1000) // ln
+
+    # literal O(n^2 B) DP
+    INF = float("inf")
+    best = {0: {0: 0}}
+    exp = {}
+    prev = {j: cost(0, j) for j in range(1, 61)}
+    vopt = {1: prev[60]}
+    for b in range(2, 7):
+        cur = {}
+        for j in range(b, 61):
+            cur[j] = min(prev[i] + cost(i, j) for i in range(b - 1, j))
+        vopt[b] = cur[60]
+        prev = cur
+    for b in range(1, 7):
+        bounds = [(k * 60) // b for k in range(b + 1)]
+        equi = sum(cost(bounds[k], bounds[k + 1]) for k in range(b))
+        exp[b] = (
+            b,
+            vopt[b],
+            equi,
+            ((equi - vopt[b]) * 1000000) // max(1, equi),
+        )
+    assert got == exp
+    # optimality: the DP never loses to equi-width, and more buckets
+    # never hurt
+    for b in range(1, 7):
+        assert got[b][1] <= got[b][2]
+        if b > 1:
+            assert got[b][1] <= got[b - 1][1]
+    assert got[6][3] > 0  # the advisor finds real savings
+
+
+def test_lru_hit_curve(spark):
+    from watermark_remove_spark.queries import q397_lru_hit_curve
+
+    got = {r["c_size"]: tuple(r) for r in q397_lru_hit_curve(spark, SF).collect()}
+
+    K = 256
+    by_cache = defaultdict(list)
+    for et, ts, eid, uid in duckdb.sql(
+        f"SELECT event_type, ts, event_id, user_id FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_cache[et].append((ts, eid, uid))
+    sds = []
+    for trace in by_cache.values():
+        trace.sort()
+        hist = []
+        for _, _, uid in trace:
+            recent = hist[-K:]
+            rev = recent[::-1]
+            if uid in rev:
+                idx = rev.index(uid)
+                sds.append(len(set(rev[:idx])))
+            else:
+                sds.append(-1)
+            hist.append(uid)
+    n = len(sds)
+    in_window = sum(1 for s in sds if s >= 0)
+    exp = {}
+    for cs in [1, 2, 4, 8, 16, 32, 64, 128]:
+        hits = sum(1 for s in sds if 0 <= s < cs)
+        exp[cs] = (cs, n, in_window, hits, hits * 1000000 // n)
+    assert got == exp
+    # the curve is monotone in capacity, strictly rises off C=1, and
+    # saturates at exactly the in-window mass
+    hits_seq = [got[cs][3] for cs in [1, 2, 4, 8, 16, 32, 64, 128]]
+    assert hits_seq == sorted(hits_seq)
+    assert 0 < hits_seq[0] < hits_seq[-1] <= in_window
+    assert got[128][3] == in_window  # window cap binds before C=128 here
+
+
+def test_rtm_deciles(spark):
+    from watermark_remove_spark.queries import q398_rtm_deciles
+
+    got = {r["decile"]: tuple(r) for r in q398_rtm_deciles(spark, SF).collect()}
+
+    import math
+
+    secs = [
+        (uid, int(ts.timestamp()))
+        for uid, ts in duckdb.sql(
+            f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+        ).fetchall()
+    ]
+    lo = min(s for _, s in secs)
+    hi = max(s for _, s in secs)
+    mid = (lo + hi) // 2
+    h = defaultdict(lambda: [0, 0])
+    for uid, s in secs:
+        h[uid][0 if s <= mid else 1] += 1
+    users = [(uid, a, b) for uid, (a, b) in h.items() if a > 0]
+    users.sort(key=lambda t: (-t[1], t[0]))
+    n = len(users)
+    m = n
+    sx = sum(a for _, a, _ in users)
+    sy = sum(b for _, _, b in users)
+    sxy = sum(a * b for _, a, b in users)
+    sxx = sum(a * a for _, a, _ in users)
+    slope = math.floor(
+        1000.0 * float(m * sxy - sx * sy) / float(m * sxx - sx * sx)
+    )
+    dec = defaultdict(list)
+    for rk, (_, a, b) in enumerate(users, start=1):
+        dec[min(10, 1 + ((rk - 1) * 10) // n)].append((a, b))
+    exp = {}
+    for d, rows in dec.items():
+        nd = len(rows)
+        s1 = sum(a for a, _ in rows)
+        s2 = sum(b for _, b in rows)
+        exp[d] = (d, nd, s1 * 1000 // nd, s2 * 1000 // nd, slope)
+    assert got == exp
+    # regression to the mean: attenuated slope and a top decile that
+    # falls back toward the pack
+    assert 0 < slope < 1000
+    h1_means = [got[d][2] for d in sorted(got)]
+    assert h1_means == sorted(h1_means, reverse=True)
+    assert got[1][3] < got[1][2]
