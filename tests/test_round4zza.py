@@ -305,3 +305,133 @@ def test_rtm_deciles(spark):
     h1_means = [got[d][2] for d in sorted(got)]
     assert h1_means == sorted(h1_means, reverse=True)
     assert got[1][3] < got[1][2]
+
+
+def test_isotonic_calibration(spark):
+    from fractions import Fraction
+    from math import floor
+
+    from watermark_remove_spark.queries import q399_isotonic_calibration
+
+    got = {r["b"]: tuple(r) for r in q399_isotonic_calibration(spark, SF).collect()}
+
+    agg = defaultdict(lambda: [0, 0])
+    for uid, et in duckdb.sql(
+        f"SELECT user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        a = agg[uid]
+        if et == "purchase":
+            a[1] += 1
+        else:
+            a[0] += 1
+    users = sorted((uid, s, pc) for uid, (s, pc) in agg.items())
+    n = len(users)
+    med = sorted((pc, uid) for uid, _, pc in users)[(n + 1) // 2 - 1][0]
+    by_score = sorted(users, key=lambda t: (t[1], t[0]))
+    binstats = defaultdict(lambda: [0, 0])
+    for rk, (uid, s, pc) in enumerate(by_score, start=1):
+        b = min(20, 1 + ((rk - 1) * 20) // n)
+        binstats[b][0] += 1
+        binstats[b][1] += 1 if pc > med else 0
+    # classic weighted PAVA over the present bins (exact rationals)
+    order = sorted(binstats)
+    pools = []  # (num, den, [bins])
+    for b in order:
+        nu, conv = binstats[b]
+        pools.append([conv, nu, [b]])
+        while len(pools) > 1 and Fraction(pools[-2][0], pools[-2][1]) >= \
+                Fraction(pools[-1][0], pools[-1][1]):
+            c2, n2, b2 = pools.pop()
+            pools[-1][0] += c2
+            pools[-1][1] += n2
+            pools[-1][2] += b2
+    fit = {}
+    for num, den, bs in pools:
+        for b in bs:
+            fit[b] = floor(1000000.0 * (num / den))
+    exp = {
+        b: (
+            b,
+            binstats[b][0],
+            binstats[b][1],
+            binstats[b][1] * 1000000 // binstats[b][0],
+            fit[b],
+        )
+        for b in order
+    }
+    assert got == exp
+    # isotonic: fitted curve is monotone nondecreasing and pooling
+    # actually happened somewhere (raw curve is not isotone)
+    fits = [got[b][4] for b in order]
+    assert fits == sorted(fits)
+    assert any(got[b][4] != got[b][3] for b in order)
+
+
+def test_ab_duration_advisor(spark):
+    from math import ceil
+
+    from watermark_remove_spark.queries import q400_ab_duration_advisor
+
+    got = {r["rel_pct"]: tuple(r) for r in q400_ab_duration_advisor(spark, SF).collect()}
+
+    ud = defaultdict(int)
+    for d, uid, et in duckdb.sql(
+        f"SELECT CAST(ts AS DATE), user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        ud[(d, uid)] |= 1 if et == "purchase" else 0
+    n_users = len(ud)
+    n_conv = sum(ud.values())
+    n_days = len({d for d, _ in ud})
+    p = n_conv / n_users
+    exp = {}
+    for rel in [1, 2, 5, 10]:
+        npa = ceil(
+            (2.0 * p * (1.0 - p) * ((1.959964 + 0.841621) * (1.959964 + 0.841621)))
+            / ((p * (rel / 100.0)) * (p * (rel / 100.0)))
+        )
+        daily = n_users // (2 * n_days)
+        exp[rel] = (
+            rel,
+            n_conv * 1000000 // n_users,
+            daily,
+            npa,
+            ceil(npa / daily),
+        )
+    assert got == exp
+    # smaller detectable lifts need quadratically more sample
+    assert got[1][3] > got[2][3] > got[5][3] > got[10][3]
+    assert 0 < got[1][1] < 1000000
+    assert all(r[4] >= 1 for r in got.values())
+
+
+def test_ta_early_termination(spark):
+    from watermark_remove_spark.queries import q401_ta_early_termination
+
+    got = {r["k"]: tuple(r) for r in q401_ta_early_termination(spark, SF).collect()}
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, n_chars FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    scored = []
+    for did, text, nc in rows:
+        s2 = 7 * len([t for t in text.split(" ") if t])
+        scored.append((did, nc, s2, nc + s2))
+    n = len(scored)
+    l1 = sorted(scored, key=lambda t: (-t[1], t[0]))
+    l2 = sorted(scored, key=lambda t: (-t[2], t[0]))
+    lt = sorted(scored, key=lambda t: (-t[3], t[0]))
+    thresholds = [l1[d][1] + l2[d][2] for d in range(n)]
+    exp = {}
+    for k in [1, 5, 10, 25]:
+        kth = lt[k - 1][3]
+        depth = 1 + sum(1 for t in thresholds if t > kth)
+        exp[k] = (k, kth, depth, (n - depth) * 1000000 // n)
+    assert got == exp
+    # certification: scanning to `depth` provably covers the top-k
+    # (every unseen item is bounded by a threshold <= kth_total), and
+    # the advisor actually saves scan work
+    for k in [1, 5, 10, 25]:
+        kth, depth = exp[k][1], exp[k][2]
+        assert depth >= 1 and thresholds[depth - 1] <= kth
+        assert got[k][3] > 0
+    assert got[1][2] <= got[5][2] <= got[10][2] <= got[25][2]
