@@ -435,3 +435,146 @@ def test_ta_early_termination(spark):
         assert depth >= 1 and thresholds[depth - 1] <= kth
         assert got[k][3] > 0
     assert got[1][2] <= got[5][2] <= got[10][2] <= got[25][2]
+
+
+def test_retry_storm(spark):
+    from watermark_remove_spark.queries import q402_retry_storm
+
+    (row,) = q402_retry_storm(spark, SF).collect()
+
+    base = Counter()
+    retries = Counter()
+    for ts, et in duckdb.sql(
+        f"SELECT ts, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        base[sec - sec % 600] += 1
+        if et == "error":
+            for d in (60, 120, 240, 480):
+                retries[(sec + d) - (sec + d) % 600] += 1
+    wins = set(base) | set(retries)
+    b = {w: base.get(w, 0) for w in wins}
+    r = {w: retries.get(w, 0) for w in wins}
+    exp = (
+        len(wins),
+        max(b.values()),
+        max(b[w] + r[w] for w in wins),
+        (max(b[w] + r[w] for w in wins) * 1000000) // max(b.values()),
+        sum(r.values()),
+        sum(1 for w in wins if r[w] > b[w]),
+    )
+    assert tuple(row) == exp
+    # the storm projection is live: retries injected, amplification
+    # above parity, and the policy creates retry-dominated windows
+    assert row["total_retries"] == 4 * sum(
+        1 for _, et in duckdb.sql(
+            f"SELECT ts, event_type FROM '{SF}/events.parquet'"
+        ).fetchall() if et == "error"
+    )
+    assert row["amplification_ppm"] > 1000000
+    assert 0 < row["retry_dominated_windows"] < row["n_windows"]
+
+
+def test_median_polish(spark):
+    from watermark_remove_spark.queries import q403_median_polish
+
+    got = {
+        (r["dow"], r["hour"]): tuple(r)
+        for r in q403_median_polish(spark, SF).collect()
+    }
+    assert len(got) == 168
+
+    x = {(d, h): 0 for d in range(7) for h in range(24)}
+    n = dict(x)
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        key = ((sec // 86400 + 4) % 7, (sec // 3600) % 24)
+        x[key] += 1
+        n[key] += 1
+
+    def lower_med(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    m1 = {d: lower_med([x[(d, h)] for h in range(24)]) for d in range(7)}
+    x = {(d, h): v - m1[d] for (d, h), v in x.items()}
+    m2 = {h: lower_med([x[(d, h)] for d in range(7)]) for h in range(24)}
+    x = {(d, h): v - m2[h] for (d, h), v in x.items()}
+    m3 = {d: lower_med([x[(d, h)] for h in range(24)]) for d in range(7)}
+    x = {(d, h): v - m3[d] for (d, h), v in x.items()}
+    m4 = {h: lower_med([x[(d, h)] for d in range(7)]) for h in range(24)}
+    x = {(d, h): v - m4[h] for (d, h), v in x.items()}
+    exp = {
+        (d, h): (d, h, n[(d, h)], m1[d] + m3[d], m2[h] + m4[h], x[(d, h)])
+        for d in range(7)
+        for h in range(24)
+    }
+    assert got == exp
+    # decomposition identity and the post-polish column-median-zero
+    # property of the final column sweep
+    for (d, h), row in got.items():
+        assert row[2] == row[3] + row[4] + row[5]
+    for h in range(24):
+        col = [got[(d, h)][5] for d in range(7)]
+        assert lower_med(col) == 0
+    # the polish is non-trivial: effects and residuals both live
+    assert any(r[3] != 0 for r in got.values())
+    assert any(r[4] != 0 for r in got.values())
+    assert any(r[5] != 0 for r in got.values())
+
+
+def test_jl_projection_audit(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q404_jl_projection_audit
+
+    (row,) = q404_jl_projection_audit(spark, SF).collect()
+
+    dim, kd = 64, 16
+    signs = [
+        [1 if md5_i64_py(f"jl{j}#{i}") % 2 == 0 else -1 for i in range(dim)]
+        for j in range(kd)
+    ]
+    vecs = {}
+    for vid, emb in duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall():
+        # mirror round-half-away-from-zero on the double product
+        q = []
+        for v in emb:
+            p = v * 128.0
+            q.append(int(p + 0.5) if p >= 0 else -int(-p + 0.5))
+        vecs[vid] = q
+    ratios = []
+    s64 = s16 = 0
+    for a in sorted(vecs):
+        if a % 2 or a + 1 not in vecs:
+            continue
+        qa, qb = vecs[a], vecs[a + 1]
+        d64 = sum((x - z) ** 2 for x, z in zip(qa, qb))
+        if d64 == 0:
+            continue
+        ya = [sum(s * x for s, x in zip(signs[j], qa)) for j in range(kd)]
+        yb = [sum(s * x for s, x in zip(signs[j], qb)) for j in range(kd)]
+        d16 = sum((x - z) ** 2 for x, z in zip(ya, yb))
+        ratios.append(((a + 1), d16 * 1000000 // (16 * d64)))
+        s64 += d64
+        s16 += d16
+    n = len(ratios)
+    ordered = [r for _, r in sorted(ratios, key=lambda t: (t[1], t[0]))]
+    within = sum(1 for _, r in ratios if abs(r - 1000000) <= 300000)
+    exp = (
+        n,
+        s16 * 1000000 // (16 * s64),
+        ordered[max(1, n * 10 // 100) - 1],
+        ordered[max(1, n * 50 // 100) - 1],
+        ordered[max(1, n * 90 // 100) - 1],
+        within * 1000000 // n,
+    )
+    assert tuple(row) == exp
+    # JL at k=16: aggregate ratio near-unbiased, per-pair spread wide
+    # (p10 well below 1, p90 well above), band share strictly partial
+    assert 800000 < row["agg_ratio_ppm"] < 1200000
+    assert row["p10_ppm"] < 900000 < 1100000 < row["p90_ppm"]
+    assert 0 < row["within30_ppm"] < 1000000
