@@ -578,3 +578,188 @@ def test_jl_projection_audit(spark):
     assert 800000 < row["agg_ratio_ppm"] < 1200000
     assert row["p10_ppm"] < 900000 < 1100000 < row["p90_ppm"]
     assert 0 < row["within30_ppm"] < 1000000
+
+
+def _shingles_py(text: str) -> set[str]:
+    out = set()
+    for ln in text.split("\n"):
+        toks = [t for t in ln.split(" ") if t]
+        if not toks:
+            continue
+        if len(toks) <= 3:
+            out.add(" ".join(toks))
+        else:
+            out.update(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+    return out
+
+
+def test_lang_modularity(spark):
+    import math
+
+    from watermark_remove_spark.queries import q405_lang_modularity
+
+    got = {r["lang"]: tuple(r) for r in q405_lang_modularity(spark, SF).collect()}
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    nd = len(rows)
+    sh = {did: _shingles_py(text) for did, text, _ in rows}
+    lang = {did: lg for did, _, lg in rows}
+    df = Counter()
+    for s in sh.values():
+        df.update(s)
+    kept = {
+        did: {g for g in s if 10 * df[g] < nd} for did, s in sh.items()
+    }
+    inv = defaultdict(list)
+    for did, s in kept.items():
+        for g in s:
+            inv[g].append(did)
+    shared = Counter()
+    for g, dids in inv.items():
+        dids.sort()
+        for i in range(len(dids)):
+            for j in range(i + 1, len(dids)):
+                shared[(dids[i], dids[j])] += 1
+    edges = [p for p, c in shared.items() if c >= 3]
+    m = len(edges)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    per = defaultdict(lambda: [0, 0, 0])  # nodes, d_sum, e_within
+    for n_, d in deg.items():
+        per[lang[n_]][0] += 1
+        per[lang[n_]][1] += d
+    for a, b in edges:
+        if lang[a] == lang[b]:
+            per[lang[a]][2] += 1
+    num = {
+        lg: 4 * m * e - d * d for lg, (n_, d, e) in per.items()
+        for e in [per[lg][2]]
+    }
+    den = 4 * m * m
+    q_milli = math.floor(1000.0 * float(sum(num.values())) / float(den))
+    exp = {
+        lg: (
+            lg,
+            per[lg][0],
+            per[lg][2],
+            per[lg][1],
+            math.floor(1000000.0 * float(num[lg]) / float(den)),
+            q_milli,
+        )
+        for lg in per
+    }
+    assert got == exp
+    # the audit is live: edges exist, degree mass is consistent with
+    # the handshake lemma, and Q is a bounded quality score
+    assert m > 0 and sum(d for _, d, _ in per.values()) == 2 * m
+    assert -1000 <= q_milli <= 1000
+    assert any(r[4] < 0 for r in got.values()) or q_milli < 1000
+
+
+def test_bounded_load_chash(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q406_bounded_load_chash
+
+    got = {r["shard"]: tuple(r) for r in q406_bounded_load_chash(spark, SF).collect()}
+
+    dids = [
+        d
+        for (d,) in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    n = len(dids)
+    cap = ((n // 16) * 21) // 20 + 1
+    homes = defaultdict(list)
+    for d in dids:
+        h = md5_i64_py(f"ch{d}")
+        homes[h % 16].append((h, d))
+    kept = {s: 0 for s in range(16)}
+    spilled = defaultdict(list)
+    for s in range(16):
+        hs = sorted(homes.get(s, []))
+        kept[s] = min(len(hs), cap)
+        for h, d in hs[cap:]:
+            spilled[(s + 1) % 16].append((h, d))
+    placed = {s: 0 for s in range(16)}
+    unplaced = 0
+    for tgt, lst in spilled.items():
+        lst.sort()
+        rem = max(0, cap - kept[tgt])
+        placed[tgt] = min(len(lst), rem)
+        unplaced += max(0, len(lst) - rem)
+    exp = {}
+    for s in range(16):
+        home_n = len(homes.get(s, []))
+        sp_out = max(0, home_n - cap)
+        final = kept[s] + placed[s]
+        exp[s] = (
+            s,
+            home_n,
+            cap,
+            kept[s],
+            placed[s],
+            sp_out,
+            final,
+            final * 1000000 // cap,
+            unplaced,
+        )
+    assert got == exp
+    # conservation: every doc is kept at home, placed after one hop,
+    # or counted unplaced — and the bounded-load property holds
+    assert sum(r[6] for r in got.values()) + unplaced == n
+    assert all(r[6] <= cap for r in got.values())
+    # the cap binds somewhere (spills actually happened)
+    assert sum(r[5] for r in got.values()) > 0
+
+
+def test_ls_changepoint(spark):
+    from watermark_remove_spark.queries import q407_ls_changepoint
+
+    (row,) = q407_ls_changepoint(spark, SF).collect()
+
+    obs = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        obs[sec - sec % 86400] += 1
+    d0, d1 = min(obs), max(obs)
+    days = list(range(d0, d1 + 1, 86400))
+    xs = [obs.get(d, 0) for d in days]
+    nd = len(xs)
+
+    def sse_milli(seq):
+        ln = len(seq)
+        s = sum(seq)
+        q = sum(v * v for v in seq)
+        return ((ln * q - s * s) * 1000) // ln
+
+    best = None
+    for t in range(1, nd):
+        cost = sse_milli(xs[:t]) + sse_milli(xs[t:])
+        if best is None or cost < best[0]:
+            best = (cost, t)
+    cost, t = best
+    s_left = sum(xs[:t])
+    total = sse_milli(xs)
+    exp = (
+        days[t - 1],
+        nd,
+        (s_left * 1000) // t,
+        ((sum(xs) - s_left) * 1000) // (nd - t),
+        total,
+        cost,
+        ((total - cost) * 1000000) // max(1, total),
+    )
+    assert tuple(row) == exp
+    # the split is a genuine improvement and the means differ
+    assert row["split_sse_milli"] < row["total_sse_milli"]
+    assert row["explained_ppm"] > 0
+    assert row["left_mean_milli"] != row["right_mean_milli"]
