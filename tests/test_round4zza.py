@@ -763,3 +763,116 @@ def test_ls_changepoint(spark):
     assert row["split_sse_milli"] < row["total_sse_milli"]
     assert row["explained_ppm"] > 0
     assert row["left_mean_milli"] != row["right_mean_milli"]
+
+
+def test_second_price_auction(spark):
+    from watermark_remove_spark.queries import q408_second_price_auction
+
+    (row,) = q408_second_price_auction(spark, SF).collect()
+
+    bids = defaultdict(list)
+    for ts, val, eid in duckdb.sql(
+        f"SELECT ts, value, event_id FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        bids[sec - sec % 3600].append((int(round(val * 100)), eid))
+    n_single = first = second = 0
+    for w, bs in bids.items():
+        bs.sort(key=lambda t: (-t[0], t[1]))
+        first += bs[0][0]
+        if len(bs) >= 2:
+            second += bs[1][0]
+        else:
+            n_single += 1
+    exp = (
+        len(bids),
+        n_single,
+        first,
+        second,
+        ((first - second) * 1000000) // first,
+    )
+    assert tuple(row) == exp
+    # the mechanism is live: truthful clearing costs real revenue,
+    # and both auction depths occur
+    assert 0 < row["discount_ppm"] < 1000000
+    assert 0 < row["single_bid_auctions"] < row["n_auctions"]
+    assert row["second_price_cents"] < row["first_price_cents"]
+
+
+def test_splithalf_stability(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q409_splithalf_stability
+
+    (row,) = q409_splithalf_stability(spark, SF).collect()
+
+    halves = {0: Counter(), 1: Counter()}
+    for did, text in duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        h = md5_i64_py(f"sh{did}") % 2
+        halves[h].update(t for t in text.split(" ") if t)
+    tops = {}
+    for h, cnt in halves.items():
+        ranked = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:10]
+        tops[h] = {tok: i + 1 for i, (tok, _) in enumerate(ranked)}
+    common = set(tops[0]) & set(tops[1])
+    ov = {
+        d: sum(1 for t in common if tops[0][t] <= d and tops[1][t] <= d)
+        for d in range(1, 11)
+    }
+    exp = (
+        ov[10],
+        sum((ov[d] * 1000000) // d for d in range(1, 11)) // 10,
+        1 if ov[1] == 1 else 0,
+    )
+    assert tuple(row) == exp
+    # the null comparison shows real sampling noise: agreement is
+    # partial, not perfect and not empty
+    assert 0 < row["overlap_at_10"] < 10
+    assert 0 < row["avg_overlap_ppm"] < 1000000
+
+
+def test_binpack_bounds(spark):
+    from math import ceil
+
+    from watermark_remove_spark.queries import q410_binpack_bounds
+
+    (row,) = q410_binpack_bounds(spark, SF).collect()
+
+    c = 2048
+    sizes = [
+        len(t.encode("utf-8"))
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    small = [s for s in sizes if s <= c]
+    over = [s for s in sizes if s > c]
+    mass = sum(small)
+    cands = {0} | {s for s in small if 2 * s <= c}
+    l2 = 0
+    for a in cands:
+        j1 = sum(1 for s in small if s > c - a)
+        j2 = [s for s in small if 2 * s > c and s <= c - a]
+        j3 = sum(s for s in small if a <= s and 2 * s <= c)
+        extra = j3 - (len(j2) * c - sum(j2))
+        l2 = max(l2, j1 + len(j2) + (ceil(extra / c) if extra > 0 else 0))
+    classes = Counter()
+    for s in small:
+        k = next((k for k in range(1, 8) if s * (k + 1) > c), 8)
+        classes[k] += 1
+    harm = sum(ceil(n / k) for k, n in classes.items())
+    exp = (
+        len(small),
+        len(over),
+        sum(ceil(s / c) for s in over),
+        ceil(mass / c),
+        l2,
+        harm,
+        ((harm - l2) * 1000000) // harm,
+    )
+    assert tuple(row) == exp
+    # bound sandwich: naive <= L2 <= OPT <= harmonic, and the gap
+    # certificate is informative (under 2x)
+    assert row["naive_lower"] <= row["l2_lower"] <= row["harmonic_upper"]
+    assert row["gap_ppm"] < 500000
