@@ -876,3 +876,149 @@ def test_binpack_bounds(spark):
     # certificate is informative (under 2x)
     assert row["naive_lower"] <= row["l2_lower"] <= row["harmonic_upper"]
     assert row["gap_ppm"] < 500000
+
+
+def test_markov_hitting_time(spark):
+    import math
+    from itertools import permutations
+
+    from watermark_remove_spark.queries import (
+        _Q411_STATES,
+        q411_markov_hitting_time,
+    )
+
+    got = {
+        r["state"]: r["hitting_steps_milli"]
+        for r in q411_markov_hitting_time(spark, SF).collect()
+    }
+
+    by_user = defaultdict(list)
+    for uid, ts, eid, et in duckdb.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_user[uid].append((ts, eid, et))
+    idx = {s: i for i, s in enumerate(_Q411_STATES)}
+    c = [[0] * 4 for _ in range(4)]
+    r = [0] * 4
+    for rows in by_user.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            if a == "purchase":
+                continue
+            r[idx[a]] += 1
+            if b in idx:
+                c[idx[a]][idx[b]] += 1
+    A = [
+        [(r[i] if i == j else 0) - c[i][j] for j in range(4)]
+        for i in range(4)
+    ]
+
+    def det4(m):
+        tot = 0
+        for p in permutations(range(4)):
+            s = 1
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    if p[i] > p[j]:
+                        s = -s
+            prod = 1
+            for i in range(4):
+                prod *= m[i][p[i]]
+            tot += s * prod
+        return tot
+
+    d = det4(A)
+    exp = {}
+    for k, st in enumerate(_Q411_STATES):
+        ak = [
+            [r[i] if j == k else A[i][j] for j in range(4)]
+            for i in range(4)
+        ]
+        exp[st] = math.floor(1000.0 * float(det4(ak)) / float(d))
+    assert got == exp
+    # hitting a purchase takes at least one step from every state,
+    # and the chain is genuinely absorbing (finite expectations)
+    assert all(1000 <= v < 100000 for v in got.values())
+    assert d != 0
+
+
+def test_lsm_compaction_advisor(spark):
+    from watermark_remove_spark.queries import q412_lsm_compaction_advisor
+
+    got = {r["ratio"]: tuple(r) for r in q412_lsm_compaction_advisor(spark, SF).collect()}
+
+    vol = sum(
+        len(t.encode("utf-8"))
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    exp = {}
+    for ratio in (4, 8, 10, 16):
+        lvl = next(
+            lv for lv in range(1, 21) if 65536 * ratio**lv >= vol
+        )
+        exp[ratio] = (
+            ratio,
+            vol,
+            lvl,
+            lvl * ratio,
+            lvl,
+            lvl,
+            lvl * ratio,
+            ((ratio + 1) * 1000000) // ratio,
+            2000000,
+        )
+    assert got == exp
+    # the RUM trade: bigger ratios never need more levels, and
+    # leveled trades write amp for space amp monotonically
+    lvls = [got[ratio][2] for ratio in (4, 8, 10, 16)]
+    assert lvls == sorted(lvls, reverse=True)
+    spaces = [got[ratio][7] for ratio in (4, 8, 10, 16)]
+    assert spaces == sorted(spaces, reverse=True)
+
+
+def test_cube_view_selection(spark):
+    from watermark_remove_spark.queries import q413_cube_view_selection
+
+    got = [tuple(r) for r in q413_cube_view_selection(spark, SF).collect()]
+
+    rows = duckdb.sql(
+        f"SELECT lang, source, n_chars // 512 FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    size = {}
+    for mask in range(8):
+        keys = set()
+        for lg, src, b in rows:
+            keys.add(
+                (
+                    lg if mask & 4 else None,
+                    src if mask & 2 else None,
+                    b if mask & 1 else None,
+                )
+            )
+        size[mask] = len(keys)
+    materialized = {7}
+    exp = []
+    for rnd in range(1, 4):
+        best = None
+        for cand in range(8):
+            if cand in materialized:
+                continue
+            benefit = 0
+            for w in range(8):
+                if w & cand != w:
+                    continue
+                cost = min(size[m] for m in materialized if w & m == w)
+                benefit += max(0, cost - size[cand])
+            key = (-benefit, size[cand], cand)
+            if best is None or key < best[0]:
+                best = (key, cand, benefit)
+        _, pick, benefit = best
+        materialized.add(pick)
+        exp.append((rnd, pick, size[pick], benefit))
+    assert got == exp
+    # greedy on a submodular benefit: marginal gains never increase,
+    # picks are distinct non-base cuboids
+    assert got[0][3] >= got[1][3] >= got[2][3]
+    assert len({g[1] for g in got}) == 3 and all(g[1] != 7 for g in got)
