@@ -1022,3 +1022,134 @@ def test_cube_view_selection(spark):
     # picks are distinct non-base cuboids
     assert got[0][3] >= got[1][3] >= got[2][3]
     assert len({g[1] for g in got}) == 3 and all(g[1] != 7 for g in got)
+
+
+def test_wilcoxon_signed_rank(spark):
+    import math
+
+    from watermark_remove_spark.queries import q414_wilcoxon_signed_rank
+
+    (row,) = q414_wilcoxon_signed_rank(spark, SF).collect()
+
+    secs = [
+        (uid, int(ts.timestamp()))
+        for uid, ts in duckdb.sql(
+            f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+        ).fetchall()
+    ]
+    mid = (min(s for _, s in secs) + max(s for _, s in secs)) // 2
+    d = defaultdict(int)
+    for uid, s in secs:
+        d[uid] += 1 if s > mid else -1
+    diffs = sorted(
+        ((abs(v), uid, v) for uid, v in d.items() if v != 0)
+    )
+    n = len(diffs)
+    # average ranks as first+last of each tie block (2x scale)
+    rank2 = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and diffs[j][0] == diffs[i][0]:
+            j += 1
+        rank2[diffs[i][0]] = (i + 1) + j  # min_rn + max_rn
+        i = j
+    w2 = sum(rank2[a] for a, _, v in diffs if v > 0)
+    ties = Counter(a for a, _, _ in diffs)
+    tie3 = sum(t**3 - t for t in ties.values())
+    e2 = n * (n + 1) // 2
+    v12 = 2 * n * (n + 1) * (2 * n + 1) - tie3
+    z = math.floor(
+        1000.0 * (float(w2) - float(e2)) / (2.0 * math.sqrt(float(v12) / 12.0))
+    )
+    sig = 3000 * (w2 - e2) ** 2 >= 3841 * v12
+    assert tuple(row) == (n, w2, e2, v12, z, sig)
+    # rank-sum identity: W+ + W- = n(n+1)/2 in the 2x domain
+    wminus2 = sum(rank2[a] for a, _, v in diffs if v < 0)
+    assert w2 + wminus2 == n * (n + 1)
+    assert v12 > 0 and -10000 < z < 10000
+
+
+def test_dorfman_pooling(spark):
+    import math
+
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q415_dorfman_pooling
+
+    got = {r["s"]: tuple(r) for r in q415_dorfman_pooling(spark, SF).collect()}
+
+    dids = [
+        d
+        for (d,) in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    n = len(dids)
+    defects = sum(1 for d in dids if md5_i64_py(f"qc{d}") % 20 < 1)
+    q = (float(n) - float(defects)) / float(n)
+    rows = {}
+    for s in (2, 3, 4, 5, 6, 8, 10, 12, 16):
+        qs = 1.0
+        for _ in range(s):
+            qs = qs * q
+        e = math.floor(1000000.0 * ((1.0 / float(s)) + 1.0 - qs))
+        rows[s] = e
+    best = min(rows.items(), key=lambda t: (t[1], t[0]))[0]
+    exp = {
+        s: (
+            s,
+            n,
+            defects,
+            defects * 1000000 // n,
+            e,
+            1000000 - e,
+            s == best,
+        )
+        for s, e in rows.items()
+    }
+    assert got == exp
+    # pooling genuinely helps at this defect rate, exactly one argmin
+    assert sum(1 for r in got.values() if r[6]) == 1
+    assert got[best][5] > 300000
+    # U-shape: the extremes are worse than the optimum
+    assert rows[2] > rows[best] and rows[16] > rows[best]
+
+
+def test_bloom_sizing_sweep(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q416_bloom_sizing_sweep
+
+    got = {r["m_bits"]: tuple(r) for r in q416_bloom_sizing_sweep(spark, SF).collect()}
+
+    keys = sorted(
+        {
+            u
+            for (u,) in duckdb.sql(
+                f"""SELECT DISTINCT user_id FROM '{SF}/events.parquet'
+                    WHERE event_type = 'purchase'"""
+            ).fetchall()
+        }
+    )
+    n = len(keys)
+    exp = {}
+    for m in (64, 128, 256, 512, 1024):
+        bits = set()
+        for k in keys:
+            bits.add(md5_i64_py(f"bf0#{k}") % m)
+            bits.add(md5_i64_py(f"bf1#{k}") % m)
+        fp = 0
+        for k in keys:
+            p = k + 1000000
+            if (
+                md5_i64_py(f"bf0#{p}") % m in bits
+                and md5_i64_py(f"bf1#{p}") % m in bits
+            ):
+                fp += 1
+        exp[m] = (m, n, len(bits), m * 1000 // n, fp, fp * 1000000 // n)
+    assert got == exp
+    # more bits, fewer false positives (weakly monotone), and the
+    # set-bit count is bounded by both the bitmap and 2x the keys
+    fpps = [got[m][5] for m in (64, 128, 256, 512, 1024)]
+    assert fpps == sorted(fpps, reverse=True)
+    for m in (64, 128, 256, 512, 1024):
+        assert got[m][2] <= min(m, 2 * n)
