@@ -1153,3 +1153,118 @@ def test_bloom_sizing_sweep(spark):
     assert fpps == sorted(fpps, reverse=True)
     for m in (64, 128, 256, 512, 1024):
         assert got[m][2] <= min(m, 2 * n)
+
+
+def test_coupon_collector(spark):
+    from watermark_remove_spark.queries import q417_coupon_collector
+
+    (row,) = q417_coupon_collector(spark, SF).collect()
+
+    rows = sorted(
+        duckdb.sql(
+            f"SELECT doc_id, source, lang FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    n = len({(s, lg) for _, s, lg in rows})
+    k = len({(s, lg) for _, s, lg in rows[:50]})
+    SCALE = 10**12
+    h = [0] * (n + 1)
+    for i in range(1, n + 1):
+        h[i] = h[i - 1] + SCALE // i
+    exp = (
+        n,
+        k,
+        n * (h[n] - h[k]) * 1000 // SCALE,
+        n * h[n] * 1000 // SCALE,
+    )
+    assert tuple(row) == exp
+    # the projection is live: real cells remain unseen and the
+    # remaining wait is positive but below the full-collection wait
+    assert 0 < k < n
+    assert 0 < row["e_more_draws_milli"] < row["e_full_milli"]
+
+
+def test_chao1_richness(spark):
+    from watermark_remove_spark.queries import q418_chao1_richness
+
+    got = {r["lang"]: tuple(r) for r in q418_chao1_richness(spark, SF).collect()}
+
+    spec = defaultdict(Counter)
+    for lg, text in duckdb.sql(
+        f"SELECT lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        for ln in text.split("\n"):
+            toks = [t for t in ln.split(" ") if t]
+            if not toks:
+                continue
+            if len(toks) <= 3:
+                spec[lg][" ".join(toks)] += 1
+            else:
+                for i in range(len(toks) - 2):
+                    spec[lg][" ".join(toks[i : i + 3])] += 1
+    exp = {}
+    for lg, cnt in spec.items():
+        n = sum(cnt.values())
+        s_obs = len(cnt)
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        exp[lg] = (
+            lg,
+            n,
+            s_obs,
+            f1,
+            f2,
+            s_obs * 1000 + (f1 * (f1 - 1) * 1000) // (2 * (f2 + 1)),
+            (n - f1) * 1000000 // n,
+        )
+    assert got == exp
+    # the estimator is live: singletons exist, Chao1 strictly exceeds
+    # the observed vocabulary, coverage is genuinely partial
+    for r in got.values():
+        assert r[3] > 0 and r[5] > r[2] * 1000
+        assert 0 < r[6] < 1000000
+
+
+def test_horvitz_thompson_audit(spark):
+    import math
+
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q419_horvitz_thompson_audit
+
+    (row,) = q419_horvitz_thompson_audit(spark, SF).collect()
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    n_total = len(rows)
+    true_total = sum(nc for _, nc in rows)
+    sampled = [
+        (d, nc)
+        for d, nc in rows
+        if md5_i64_py(f"wsamp#{d}") % 1000 < min(nc, 1000)
+    ]
+    n_s = len(sampled)
+    sample_chars = sum(nc for _, nc in sampled)
+    ht = sum(1000 if nc <= 1000 else nc for _, nc in sampled)
+    naive = (sample_chars * n_total) // n_s
+    exp = (
+        n_total,
+        n_s,
+        true_total,
+        ht,
+        math.floor(
+            1000000.0 * (float(ht) - float(true_total)) / float(true_total)
+        ),
+        naive,
+        math.floor(
+            1000000.0
+            * (float(naive) - float(true_total))
+            / float(true_total)
+        ),
+    )
+    assert tuple(row) == exp
+    # reweighting beats ignoring the length bias: HT lands closer to
+    # the truth, and the naive estimate is biased UP (long docs are
+    # over-represented by construction)
+    assert abs(row["ht_err_ppm"]) < abs(row["naive_err_ppm"])
+    assert row["naive_err_ppm"] > 0
