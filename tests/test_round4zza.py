@@ -1268,3 +1268,128 @@ def test_horvitz_thompson_audit(spark):
     # over-represented by construction)
     assert abs(row["ht_err_ppm"]) < abs(row["naive_err_ppm"])
     assert row["naive_err_ppm"] > 0
+
+
+def _quality_micro(text: str) -> int:
+    n_chars = len(text)
+    toks = [t for t in text.split(" ") if t]
+    n_tokens = len(toks)
+    lines = text.split("\n")
+    n_lines = len(lines)
+    non_empty = sum(1 for l in lines if l)
+    length_score = min(n_chars / 500.0, 1.0)
+    tok_score = (
+        1.0
+        if n_tokens > 0 and 3.0 <= (n_chars - (n_tokens - 1.0)) / n_tokens <= 10.0
+        else 0.5
+    )
+    line_ratio = non_empty * 1.0 / n_lines if n_lines > 0 else 0.0
+    q = round(0.4 * length_score + 0.4 * tok_score + 0.2 * line_ratio, 6)
+    return int(round(q * 1000000))
+
+
+def test_loo_source_influence(spark):
+    import math
+
+    from watermark_remove_spark.queries import q420_loo_source_influence
+
+    got = {r["source"]: tuple(r) for r in q420_loo_source_influence(spark, SF).collect()}
+
+    per = defaultdict(lambda: [0, 0])
+    for src, text in duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        per[src][0] += 1
+        per[src][1] += _quality_micro(text)
+    nt = sum(n for n, _ in per.values())
+    st = sum(s for _, s in per.values())
+    exp = {
+        src: (
+            src,
+            n,
+            s // n,
+            math.floor(
+                (float(st - s) / float(nt - n)) - (float(st) / float(nt))
+            ),
+        )
+        for src, (n, s) in per.items()
+    }
+    assert got == exp
+    # influence is a zero-sum-ish audit: both signs occur (some
+    # sources drag the mean, some lift it)
+    assert any(r[3] < 0 for r in got.values())
+    assert any(r[3] >= 0 for r in got.values())
+
+
+def test_snapshot_interval_advisor(spark):
+    from watermark_remove_spark.queries import q421_snapshot_interval_advisor
+
+    got = {r["k"]: tuple(r) for r in q421_snapshot_interval_advisor(spark, SF).collect()}
+
+    nu = Counter(
+        u
+        for (u,) in duckdb.sql(
+            f"SELECT user_id FROM '{SF}/events.parquet'"
+        ).fetchall()
+    )
+    n_events = sum(nu.values())
+    exp = {}
+    costs = {}
+    for k in (8, 16, 32, 64):
+        snaps = sum((n + k - 1) // k for n in nu.values())
+        # closed form vs literal position walk: both computed
+        replay = sum(
+            (n // k) * (k * (k - 1) // 2) + (n % k) * ((n % k) - 1) // 2
+            for n in nu.values()
+        )
+        brute = sum(i % k for n in nu.values() for i in range(n))
+        assert replay == brute  # the closed form IS the position walk
+        costs[k] = 10 * snaps + replay
+        exp[k] = (k, snaps, replay, replay * 1000 // n_events, costs[k], None)
+    best = min(costs.items(), key=lambda t: (t[1], t[0]))[0]
+    for k in exp:
+        e = list(exp[k])
+        e[5] = k == best
+        exp[k] = tuple(e)
+    assert got == exp
+    # the trade is real: snapshots fall, replay grows, exactly one
+    # argmin
+    snaps_seq = [got[k][1] for k in (8, 16, 32, 64)]
+    replay_seq = [got[k][2] for k in (8, 16, 32, 64)]
+    assert snaps_seq == sorted(snaps_seq, reverse=True)
+    assert replay_seq == sorted(replay_seq)
+    assert sum(1 for r in got.values() if r[5]) == 1
+
+
+def test_ski_rental_advisor(spark):
+    from watermark_remove_spark.queries import q422_ski_rental_advisor
+
+    got = {r["b"]: tuple(r) for r in q422_ski_rental_advisor(spark, SF).collect()}
+
+    spans = Counter()
+    seen = set()
+    for u, ts in duckdb.sql(
+        f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        seen.add((u, sec // 604800, ts.date()))
+    per_span = Counter((u, w) for u, w, _ in seen)
+    exp = {}
+    for b in (2, 3, 4, 6):
+        pol = sum(d if d < b else 2 * b - 1 for d in per_span.values())
+        opt = sum(min(d, b) for d in per_span.values())
+        bought = sum(1 for d in per_span.values() if d >= b)
+        exp[b] = (
+            b,
+            len(per_span),
+            pol,
+            opt,
+            pol * 1000000 // opt,
+            (2 * b - 1) * 1000000 // b,
+            bought,
+        )
+    assert got == exp
+    # competitive guarantee holds on every replay, both branches live
+    for b in (2, 3, 4, 6):
+        assert got[b][4] <= got[b][5]
+    assert any(0 < r[6] < r[1] for r in got.values())
