@@ -1393,3 +1393,157 @@ def test_ski_rental_advisor(spark):
     for b in (2, 3, 4, 6):
         assert got[b][4] <= got[b][5]
     assert any(0 < r[6] < r[1] for r in got.values())
+
+
+def test_sjf_counterfactual(spark):
+    from watermark_remove_spark.queries import q423_sjf_counterfactual
+
+    got = {r["queue"]: tuple(r) for r in q423_sjf_counterfactual(spark, SF).collect()}
+
+    by_queue = defaultdict(list)
+    for et, ts, eid in duckdb.sql(
+        f"SELECT event_type, ts, event_id FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_queue[et].append((int(ts.timestamp()), eid, 1 + eid % 7))
+    exp = {}
+    for q, js in by_queue.items():
+        fcfs = sorted(js)
+        sjf = sorted(js, key=lambda t: (t[2], t[0], t[1]))
+
+        def total_wait(order):
+            acc = w = 0
+            for _, _, s in order:
+                w += acc
+                acc += s
+            return w
+
+        fw, sw = total_wait(fcfs), total_wait(sjf)
+        exp[q] = (
+            q,
+            len(js),
+            sum(s for _, _, s in js),
+            fw,
+            sw,
+            ((fw - sw) * 1000000) // max(1, fw),
+        )
+    assert got == exp
+    # SJF optimality (the exchange argument) holds on every queue,
+    # and reordering buys real waiting time on this workload
+    for r in got.values():
+        assert r[4] <= r[3]
+        assert r[5] > 0
+
+
+def test_siegel_repeated_median(spark):
+    import math
+
+    from watermark_remove_spark.queries import q424_siegel_repeated_median
+
+    (row,) = q424_siegel_repeated_median(spark, SF).collect()
+
+    obs = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        obs[(sec - sec % 86400) // 86400] += 1
+    t0, t1 = min(obs), max(obs)
+    series = [(t, obs.get(t, 0)) for t in range(t0, t1 + 1)]
+    n = len(series)
+
+    def lower_med(pairs):
+        # pairs: (value, tiebreak...) — value at the pinned rank
+        return sorted(pairs)[(len(pairs) + 1) // 2 - 1][0]
+
+    per_i = []
+    for i, (ti, xi) in enumerate(series):
+        sls = [
+            ((xj - xi) / (tj - ti), tj)
+            for tj, xj in series
+            if tj != ti
+        ]
+        per_i.append((lower_med(sls), ti))
+    siegel = lower_med(per_i)
+    half = [
+        ((xj - xi) / (tj - ti), ti, tj)
+        for ti, xi in series
+        for tj, xj in series
+        if ti < tj
+    ]
+    theil = lower_med(half)
+    exp = (
+        n,
+        math.floor(1000000.0 * siegel),
+        math.floor(1000000.0 * theil),
+    )
+    assert tuple(row) == exp
+    # both robust estimators land in a sane band and the repeated
+    # median genuinely differs from the single median here
+    assert abs(row["siegel_slope_micro"]) < 10_000_000
+    assert row["siegel_slope_micro"] != row["theil_sen_slope_micro"]
+
+
+def test_sketch_selection_advisor(spark):
+    import math
+
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.functions.sketches import (
+        A_SCALED,
+        K,
+        M_REGISTERS,
+        P,
+    )
+    from watermark_remove_spark.queries import q425_sketch_selection_advisor
+
+    got = {r["sketch"]: tuple(r) for r in q425_sketch_selection_advisor(spark, SF).collect()}
+
+    keys = {
+        f"{u}/{int(ts.timestamp()) // 86400}"
+        for u, ts in duckdb.sql(
+            f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+        ).fetchall()
+    }
+    exact = len(keys)
+    # portable HLL raw estimate
+    regs = {}
+    for v in keys:
+        h = md5_i64_py(f"hll#{v}")
+        b = h & (M_REGISTERS - 1)
+        top = h >> P
+        r = K if top == 0 else K - len(bin(top)) + 2  # bin() has '0b'
+        regs[b] = max(regs.get(b, -1), r)
+    s_present = sum(1 << (K - m) for m in regs.values())
+    scale = s_present + (256 - len(regs)) * (1 << K)
+    hll_est = math.floor(float(A_SCALED) / float(scale))
+    # KMV
+    hs = sorted(md5_i64_py(f"kmv#{v}") for v in keys)
+    ests = {"exact": (exact, exact), "hll256": (256, hll_est)}
+    for k in (64, 256):
+        if exact < k:
+            ests[f"kmv{k}"] = (k, exact)
+        else:
+            ests[f"kmv{k}"] = (
+                k,
+                math.floor(
+                    (float(k - 1) * 1152921504606846976.0)
+                    / float(hs[k - 1])
+                ),
+            )
+    exp = {
+        name: (
+            name,
+            state,
+            est,
+            exact,
+            math.floor(
+                1000000.0 * (float(est) - float(exact)) / float(exact)
+            ),
+        )
+        for name, (state, est) in ests.items()
+    }
+    assert got == exp
+    # the advisor is informative: exact has zero error, every sketch
+    # lands within a 20% band on this corpus
+    assert got["exact"][4] == 0
+    for name in ("hll256", "kmv64", "kmv256"):
+        assert abs(got[name][4]) < 200000
