@@ -1547,3 +1547,122 @@ def test_sketch_selection_advisor(spark):
     assert got["exact"][4] == 0
     for name in ("hll256", "kmv64", "kmv256"):
         assert abs(got[name][4]) < 200000
+
+
+def test_sampling_bound_audit(spark):
+    import math
+
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q426_sampling_bound_audit
+
+    got = {r["r_pct"]: tuple(r) for r in q426_sampling_bound_audit(spark, SF).collect()}
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    n = len(rows)
+    s = sum(nc for _, nc in rows)
+    rng = max(nc for _, nc in rows) - min(nc for _, nc in rows)
+    exp = {}
+    for r in (1, 5, 10, 25):
+        sam = [nc for d, nc in rows if md5_i64_py(f"esb#{d}") % 100 < r]
+        ns = len(sam)
+        ss = sum(sam)
+        qq = sum(x * x for x in sam)
+        err = math.floor(abs((ss / ns) - (s / n)) * 1000.0)
+        cheb = math.floor(
+            1000.0 * math.sqrt(20.0 * ((qq / ns) - ((ss / ns) * (ss / ns))) / ns)
+        )
+        hoeff = math.floor(1000.0 * float(rng) * math.sqrt(1.8444 / ns))
+        exp[r] = (r, ns, err, cheb, hoeff, err <= cheb, err <= hoeff)
+    assert got == exp
+    # the bounds hold on every draw and the audit shows their cost:
+    # actual error is far inside both envelopes at the larger rates
+    for r in (1, 5, 10, 25):
+        assert got[r][5] and got[r][6]
+    assert got[25][2] * 3 < got[25][3]
+
+
+def test_rich_club_profile(spark):
+    import math
+
+    from watermark_remove_spark.queries import q427_rich_club_profile
+
+    got = {r["k"]: tuple(r) for r in q427_rich_club_profile(spark, SF).collect()}
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    nd = len(rows)
+    sh = {d: _shingles_py(t) for d, t in rows}
+    df = Counter()
+    for ss in sh.values():
+        df.update(ss)
+    kept = {d: {g for g in ss if 10 * df[g] < nd} for d, ss in sh.items()}
+    inv = defaultdict(list)
+    for d, ss in kept.items():
+        for g in ss:
+            inv[g].append(d)
+    shared = Counter()
+    for g, ds in inv.items():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(ds[i], ds[j])] += 1
+    edges = [p for p, c in shared.items() if c >= 3]
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    exp = {}
+    for k in (1, 2, 3):
+        richset = {v for v, d in deg.items() if d > k}
+        er = sum(1 for a, b in edges if a in richset and b in richset)
+        nr = len(richset)
+        phi = (
+            math.floor(1000000.0 * (2.0 * er) / (nr * (nr - 1.0)))
+            if nr >= 2
+            else None
+        )
+        exp[k] = (k, nr, er, phi)
+    assert got == exp
+    # elite cohesion rises with the threshold while membership falls
+    nrs = [got[k][1] for k in (1, 2, 3)]
+    assert nrs == sorted(nrs, reverse=True)
+    phis = [got[k][3] for k in (1, 2, 3) if got[k][3] is not None]
+    assert phis and phis == sorted(phis)
+
+
+def test_kish_ess_audit(spark):
+    import math
+
+    from watermark_remove_spark.queries import q428_kish_ess_audit
+
+    got = {r["weighting"]: tuple(r) for r in q428_kish_ess_audit(spark, SF).collect()}
+
+    rows = duckdb.sql(
+        f"SELECT lang, n_chars FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    n = len(rows)
+    sw = sum(nc for _, nc in rows)
+    sw2 = sum(nc * nc for _, nc in rows)
+    ess_len = math.floor((float(sw) * float(sw)) / float(sw2))
+    nl = Counter(lg for lg, _ in rows)
+    ws = [10**9 // nl[lg] for lg, _ in rows]
+    ess_bal = math.floor(
+        (float(sum(ws)) * float(sum(ws))) / float(sum(w * w for w in ws))
+    )
+    exp = {
+        "length_weighted": (
+            "length_weighted", n, ess_len, ess_len * 1000000 // n
+        ),
+        "lang_balanced": (
+            "lang_balanced", n, ess_bal, ess_bal * 1000000 // n
+        ),
+    }
+    assert got == exp
+    # weighting always costs effective sample (ESS <= n), and the
+    # length weighting genuinely concentrates while near-uniform
+    # lang balance barely does
+    assert got["length_weighted"][2] < n
+    assert got["length_weighted"][2] < got["lang_balanced"][2] <= n
