@@ -1666,3 +1666,142 @@ def test_kish_ess_audit(spark):
     # lang balance barely does
     assert got["length_weighted"][2] < n
     assert got["length_weighted"][2] < got["lang_balanced"][2] <= n
+
+
+def test_cuped_variance_reduction(spark):
+    import math
+
+    from watermark_remove_spark.queries import q429_cuped_variance_reduction
+
+    (row,) = q429_cuped_variance_reduction(spark, SF).collect()
+
+    secs = [
+        (uid, int(ts.timestamp()))
+        for uid, ts in duckdb.sql(
+            f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+        ).fetchall()
+    ]
+    mid = (min(s for _, s in secs) + max(s for _, s in secs)) // 2
+    h = defaultdict(lambda: [0, 0])
+    for uid, s in secs:
+        h[uid][0 if s <= mid else 1] += 1
+    n = len(h)
+    sx = sum(a for a, _ in h.values())
+    sy = sum(b for _, b in h.values())
+    sxy = sum(a * b for a, b in h.values())
+    sxx = sum(a * a for a, _ in h.values())
+    syy = sum(b * b for _, b in h.values())
+    cov = float(n * sxy - sx * sy)
+    vx = float(n * sxx - sx * sx)
+    vy = float(n * syy - sy * sy)
+    exp = (
+        n,
+        math.floor(1000.0 * cov / vx),
+        math.floor(1000000.0 * (cov * cov) / (vx * vy)),
+        math.floor(1000.0 * vy / (float(n) * float(n))),
+        math.floor(
+            (1000.0 * vy / (float(n) * float(n)))
+            * (1.0 - (cov * cov) / (vx * vy))
+        ),
+    )
+    assert tuple(row) == exp
+    # CUPED buys real sensitivity on this population: rho^2 in (0,1)
+    # and the adjusted variance strictly below the raw variance
+    assert 0 < row["rho2_ppm"] < 1000000
+    assert row["var_adj_milli"] < row["var_post_milli"]
+
+
+def test_delta_join_audit(spark):
+    from watermark_remove_spark.queries import q430_delta_join_audit
+
+    (row,) = q430_delta_join_audit(spark, SF).collect()
+
+    orders = duckdb.sql(
+        f"SELECT o_orderkey, o_orderdate FROM '{SF}/orders.parquet'"
+    ).fetchall()
+    lines = duckdb.sql(
+        f"SELECT l_orderkey, l_shipdate FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    cut = max(int(d.timestamp()) for _, d in orders) - 7 * 86400
+    obase = {k: int(d.timestamp()) <= cut for k, d in orders}
+    cells = Counter()
+    for k, d in lines:
+        if k in obase:
+            cells[(obase[k], int(d.timestamp()) <= cut)] += 1
+    full = sum(cells.values())
+    base = cells.get((True, True), 0)
+    do_lb = cells.get((False, True), 0)
+    ob_dl = cells.get((True, False), 0)
+    do_dl = cells.get((False, False), 0)
+    o_delta = sum(1 for v in obase.values() if not v)
+    l_delta = sum(
+        1 for _, d in lines if int(d.timestamp()) > cut
+    )
+    exp = (
+        full,
+        base,
+        do_lb,
+        ob_dl,
+        do_dl,
+        full == base + do_lb + ob_dl + do_dl,
+        (do_lb + ob_dl + do_dl) * 1000000 // max(1, full),
+        o_delta + l_delta,
+        len(orders) + len(lines),
+    )
+    assert tuple(row) == exp
+    # the decomposition is exact and incremental work is a small
+    # fraction of the full recompute
+    assert row["identity_holds"]
+    assert 0 < row["incr_input_rows"] < row["full_input_rows"] // 4
+    assert row["do_lb_rows"] + row["ob_dl_rows"] + row["do_dl_rows"] > 0
+
+
+def test_embedding_layout_audit(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q431_embedding_layout_audit
+
+    got = {r["ordering"]: tuple(r) for r in q431_embedding_layout_audit(spark, SF).collect()}
+
+    signs0 = [
+        1 if md5_i64_py(f"jl0#{i}") % 2 == 0 else -1 for i in range(64)
+    ]
+    vecs = {}
+    for vid, emb in duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall():
+        q = []
+        for v in emb:
+            p = v * 128.0
+            q.append(int(p + 0.5) if p >= 0 else -int(-p + 0.5))
+        vecs[vid] = q
+
+    def total(order):
+        tot = 0
+        for a, b in zip(order, order[1:]):
+            tot += sum(
+                (x - z) ** 2 for x, z in zip(vecs[a], vecs[b])
+            )
+        return tot
+
+    by_id = sorted(vecs)
+    y0 = {v: sum(s * x for s, x in zip(signs0, q)) for v, q in vecs.items()}
+    by_proj = sorted(vecs, key=lambda v: (y0[v], v))
+    n_pairs = len(vecs) - 1
+    exp = {
+        "jl_projected": (
+            "jl_projected",
+            n_pairs,
+            total(by_proj),
+            total(by_proj) // n_pairs,
+        ),
+        "vec_id_order": (
+            "vec_id_order",
+            n_pairs,
+            total(by_id),
+            total(by_id) // n_pairs,
+        ),
+    }
+    assert got == exp
+    # the locality key buys real (if modest) adjacent coherence on
+    # this corpus
+    assert got["jl_projected"][2] < got["vec_id_order"][2]
