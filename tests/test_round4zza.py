@@ -1805,3 +1805,106 @@ def test_embedding_layout_audit(spark):
     # the locality key buys real (if modest) adjacent coherence on
     # this corpus
     assert got["jl_projected"][2] < got["vec_id_order"][2]
+
+
+def test_lttb_downsample(spark):
+    from watermark_remove_spark.queries import q432_lttb_downsample
+
+    got = {r["bucket"]: tuple(r) for r in q432_lttb_downsample(spark, SF).collect()}
+
+    obs = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        obs[sec - sec % 3600] += 1
+    h0, h1 = min(obs), max(obs)
+    hours = list(range(h0, h1 + 1, 3600))
+    ys = [obs.get(h, 0) for h in hours]
+    n = len(hours)
+    x0 = h0 // 3600
+    exp = {}
+    for i in range(1, n - 1):
+        x = h0 // 3600 + i
+        area = abs(
+            (x - (x - 1)) * (ys[i + 1] - ys[i - 1])
+            - ((x + 1) - (x - 1)) * (ys[i] - ys[i - 1])
+        )
+        bucket = min(19, ((x - x0) * 20) // n)
+        cand = (bucket, hours[i], ys[i], area)
+        cur = exp.get(bucket)
+        if cur is None or (-area, x) < (-cur[3], cur[1] // 3600):
+            exp[bucket] = cand
+    assert got == exp
+    # the sketch is a real shape summary: 20 buckets, salient points
+    # carry nonzero area somewhere
+    assert len(got) == 20
+    assert any(r[3] > 0 for r in got.values())
+
+
+def test_pagination_cost_advisor(spark):
+    from watermark_remove_spark.queries import q433_pagination_cost_advisor
+
+    got = {r["n_pages"]: tuple(r) for r in q433_pagination_cost_advisor(spark, SF).collect()}
+
+    nu = Counter(
+        u
+        for (u,) in duckdb.sql(
+            f"SELECT user_id FROM '{SF}/events.parquet'"
+        ).fetchall()
+    )
+    agg = defaultdict(lambda: [0, 0, 0])
+    for n in nu.values():
+        pages = (n + 9) // 10
+        offset = 10 * (((n // 10) * ((n // 10) + 1)) // 2) + (
+            0 if n % 10 == 0 else n
+        )
+        a = agg[pages]
+        a[0] += 1
+        a[1] += n
+        a[2] += offset
+        # the closed form equals the literal per-page prefix scan
+        brute = sum(min(n, (p + 1) * 10) for p in range(pages))
+        assert offset == brute
+    exp = {
+        p: (p, c, k, o, o * 1000 // k) for p, (c, k, o) in agg.items()
+    }
+    assert got == exp
+    # the quadratic cliff: amplification grows with page depth
+    amps = [got[p][4] for p in sorted(got)]
+    assert amps == sorted(amps)
+    assert amps[-1] > 2000
+
+
+def test_emd_drift(spark):
+    from watermark_remove_spark.queries import q434_emd_drift
+
+    (row,) = q434_emd_drift(spark, SF).collect()
+
+    rows = duckdb.sql(
+        f"SELECT ts, value FROM '{SF}/events.parquet'"
+    ).fetchall()
+    secs = [int(ts.timestamp()) for ts, _ in rows]
+    mid = (min(secs) + max(secs)) // 2
+    cents = [
+        (int(round(v * 100)), int(ts.timestamp()) <= mid)
+        for ts, v in rows
+    ]
+    lo = min(c for c, _ in cents)
+    hi = max(c for c, _ in cents)
+    c1 = [0] * 100
+    c2 = [0] * 100
+    for c, h1 in cents:
+        b = ((c - lo) * 100) // (hi - lo + 1)
+        (c1 if h1 else c2)[b] += 1
+    n1, n2 = sum(c1), sum(c2)
+    k1 = k2 = emd = 0
+    for b in range(100):
+        k1 += c1[b]
+        k2 += c2[b]
+        emd += abs(k1 * n2 - k2 * n1)
+    exp = (n1, n2, emd, emd * 1000000 // (n1 * n2))
+    assert tuple(row) == exp
+    # halves genuinely differ but not pathologically: EMD is a
+    # positive, bounded number of bin-steps
+    assert 0 < row["emd_ppm_binsteps"] < 100 * 1000000
