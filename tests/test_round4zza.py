@@ -2074,3 +2074,125 @@ def test_time_underwater(spark):
     # series is not permanently submerged
     assert 0 < row["underwater_days"] < row["n_days"]
     assert row["longest_spell_days"] >= 1
+
+
+def test_jarque_bera(spark):
+    import math
+
+    from watermark_remove_spark.queries import q438_jarque_bera
+
+    got = {r["event_type"]: tuple(r) for r in q438_jarque_bera(spark, SF).collect()}
+
+    mom = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for et, val in duckdb.sql(
+        f"SELECT event_type, value FROM '{SF}/events.parquet'"
+    ).fetchall():
+        c = int(round(val * 100))
+        m = mom[et]
+        m[0] += 1
+        m[1] += c
+        m[2] += c * c
+        m[3] += c**3
+        m[4] += c**4
+    exp = {}
+    for et, (n, s1, s2, s3, s4) in mom.items():
+        mean = s1 / n
+        m2 = (s2 / n) - mean * mean
+        m3 = (s3 / n) - 3.0 * mean * (s2 / n) + 2.0 * mean**3
+        m4 = (
+            (s4 / n)
+            - 4.0 * mean * (s3 / n)
+            + 6.0 * mean * mean * (s2 / n)
+            - 3.0 * mean**4
+        )
+        skew = m3 / math.sqrt(m2 * m2 * m2)
+        kurt = (m4 / (m2 * m2)) - 3.0
+        jb = (n / 6.0) * (skew * skew + (kurt * kurt) / 4.0)
+        exp[et] = (
+            et,
+            n,
+            math.floor(1000.0 * skew),
+            math.floor(1000.0 * kurt),
+            math.floor(1000.0 * jb),
+            jb >= 5.991,
+        )
+    assert got == exp
+    # the value distribution is exponential-ish: right skew, heavy
+    # tails, normality rejected on every stream
+    for r in got.values():
+        assert r[2] > 0 and r[3] > 0 and r[5]
+
+
+def test_hash_spacings_audit(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q439_hash_spacings_audit
+
+    (row,) = q439_hash_spacings_audit(spark, SF).collect()
+
+    hs = sorted(
+        md5_i64_py(f"sp#{d}")
+        for (d,) in duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    n = len(hs)
+    r = hs[-1] - hs[0]
+    gaps = sorted(b - a for a, b in zip(hs, hs[1:]))
+    m = len(gaps)
+    yard = r // (n + 1)
+    ym = max(1, yard // 1000)
+    exp = (
+        n,
+        yard,
+        gaps[max(1, m * 50 // 100) - 1] // ym,
+        gaps[max(1, m * 90 // 100) - 1] // ym,
+        gaps[-1] // ym,
+    )
+    assert tuple(row) == exp
+    # uniform-spacings fingerprints: the median gap sits near the
+    # exponential ln 2 = 693 milli-yardsticks, p90 near ln 10, and
+    # the profile is strictly increasing
+    assert 500 < row["p50_milli"] < 900
+    assert 1800 < row["p90_milli"] < 3200
+    assert row["p50_milli"] < row["p90_milli"] < row["max_milli"]
+
+
+def test_lorenz_asymmetry(spark):
+    from watermark_remove_spark.queries import q440_lorenz_asymmetry
+
+    got = {r["distribution"]: tuple(r) for r in q440_lorenz_asymmetry(spark, SF).collect()}
+
+    chars = [
+        nc
+        for (nc,) in duckdb.sql(
+            f"SELECT n_chars FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    purch = defaultdict(int)
+    for u, v in duckdb.sql(
+        f"""SELECT user_id, value FROM '{SF}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchall():
+        purch[u] += int(round(v * 100))
+
+    def lac(vals):
+        n = len(vals)
+        s = sum(vals)
+        below = [v for v in vals if v * n < s]
+        return (
+            n,
+            len(below),
+            (len(below) * 1000) // n + (sum(below) * 1000) // s,
+        )
+
+    exp = {}
+    n, nb, l = lac(chars)
+    exp["doc_chars"] = ("doc_chars", n, nb, l)
+    n, nb, l = lac(list(purch.values()))
+    exp["user_purchase_cents"] = ("user_purchase_cents", n, nb, l)
+    assert got == exp
+    # the two distributions exhibit the two KINDS of inequality:
+    # doc lengths are giant-driven (LAC < 1000), purchase mass is
+    # dwarf-driven (LAC > 1000) on this corpus
+    assert got["doc_chars"][3] < 1000
+    assert got["user_purchase_cents"][3] > 1000
