@@ -2395,3 +2395,119 @@ def test_markov_removal_attribution(spark):
         assert v[3] > 0 and v[2] < v[1]
     share_sum = sum(v[4] for v in got.values())
     assert 999000 <= share_sum <= 1000000
+
+
+def test_reserve_price_sweep(spark):
+    from watermark_remove_spark.queries import q444_reserve_price_sweep
+
+    got = {r["reserve_name"]: tuple(r) for r in q444_reserve_price_sweep(spark, SF).collect()}
+
+    bids = defaultdict(list)
+    allb = []
+    for ts, val, eid in duckdb.sql(
+        f"SELECT ts, value, event_id FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        c = int(round(val * 100))
+        bids[sec - sec % 3600].append((c, eid))
+        allb.append((c, eid))
+    allb.sort()
+    m = len(allb)
+    reserves = {"none": 0}
+    for pct in (25, 50, 75, 90):
+        reserves[f"p{pct}"] = allb[max(1, m * pct // 100) - 1][0]
+    top2 = []
+    for w, bs in bids.items():
+        bs.sort(key=lambda t: (-t[0], t[1]))
+        top2.append(
+            (bs[0][0], bs[1][0] if len(bs) >= 2 else 0)
+        )
+    rows = {}
+    for name, res in reserves.items():
+        rev = unsold = 0
+        for b1, b2 in top2:
+            if b1 < res:
+                unsold += 1
+            elif b2 < res:
+                rev += res
+            else:
+                rev += b2
+        rows[name] = (res, rev, unsold)
+    best = max(rows.items(), key=lambda t: (t[1][1], -t[1][0]))[0]
+    exp = {
+        name: (name, res, rev, uns, name == best)
+        for name, (res, rev, uns) in rows.items()
+    }
+    assert got == exp
+    # a well-chosen reserve beats no reserve, and the extreme
+    # reserve destroys revenue via unsold auctions
+    assert got[best][2] > got["none"][2]
+    assert got["p90"][3] > got["p25"][3] > 0
+    assert sum(1 for r in got.values() if r[4]) == 1
+
+
+def test_eager_agg_advisor(spark):
+    from watermark_remove_spark.queries import q445_eager_agg_advisor
+
+    rows = q445_eager_agg_advisor(spark, SF).collect()
+
+    li = duckdb.sql(
+        f"""SELECT l_orderkey, l_extendedprice, l_discount
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    n_li = len(li)
+    n_keys = len({k for k, _, _ in li})
+    assert len(rows) == 5
+    for r in rows:
+        # the rewrite is semantics-preserving and the flow saving is
+        # the measured |L| -> |distinct keys| reduction
+        assert r["plans_agree"]
+        assert r["naive_join_rows"] == n_li
+        assert r["pushed_join_rows"] == n_keys
+        assert (
+            r["flow_reduction_ppm"]
+            == (n_li - n_keys) * 1000000 // n_li
+            > 0
+        )
+    assert sum(r["n_lines"] for r in rows) == n_li
+
+
+def test_insert_scatter_audit(spark):
+    from watermark_remove_spark.queries import q446_insert_scatter_audit
+
+    (row,) = q446_insert_scatter_audit(spark, SF).collect()
+
+    orders = duckdb.sql(
+        f"""SELECT o_custkey, o_orderkey, o_orderdate
+            FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    cut = max(int(d.timestamp()) for _, _, d in orders) - 7 * 86400
+    allrows = sorted(
+        (ck, ok, int(d.timestamp()) > cut) for ck, ok, d in orders
+    )
+    nb = sum(1 for _, _, d in allrows if not d)
+    pos = 0
+    pages = set()
+    tail = n_delta = 0
+    for ck, ok, is_delta in allrows:
+        if is_delta:
+            n_delta += 1
+            pages.add(pos // 256)
+            if pos >= nb:
+                tail += 1
+        else:
+            pos += 1
+    base_pages = (nb + 255) // 256
+    exp = (
+        n_delta,
+        nb,
+        base_pages,
+        len(pages),
+        len(pages) * 1000000 // base_pages,
+        tail,
+    )
+    assert tuple(row) == exp
+    # the customer-clustered layout scatters the weekly delta across
+    # most of the table — the point of the audit
+    assert row["pages_touched"] > 1
+    assert row["dirty_ppm"] > 500000
