@@ -2511,3 +2511,96 @@ def test_insert_scatter_audit(spark):
     # most of the table — the point of the audit
     assert row["pages_touched"] > 1
     assert row["dirty_ppm"] > 500000
+
+
+def test_partial_agg_advisor(spark):
+    from watermark_remove_spark.queries import q447_partial_agg_advisor
+
+    got = {r["grouping"]: tuple(r) for r in q447_partial_agg_advisor(spark, SF).collect()}
+
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, event_type, ts FROM '{SF}/events.parquet'"
+    ).fetchall()
+    keysets = {
+        "event_type": lambda eid, uid, et, ts: et,
+        "user_id": lambda eid, uid, et, ts: str(uid),
+        "user_day": lambda eid, uid, et, ts: f"{uid}/{int(ts.timestamp()) // 86400}",
+    }
+    exp = {}
+    for name, kf in keysets.items():
+        pairs = {(kf(*r), r[0] % 32) for r in rows}
+        keys = {kf(*r) for r in rows}
+        n = len(rows)
+        exp[name] = (
+            name,
+            n,
+            len(keys),
+            len(pairs),
+            (n - len(pairs)) * 1000000 // n,
+        )
+    assert got == exp
+    # the combiner-benefit spectrum: coarse keys combine hard, fine
+    # keys barely combine — the advisor's whole point
+    assert (
+        got["event_type"][4] > got["user_id"][4] > got["user_day"][4] >= 0
+    )
+    for r in got.values():
+        assert r[2] <= r[3] <= r[1]
+
+
+def test_watermark_skew_audit(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q448_watermark_skew_audit
+
+    (row,) = q448_watermark_skew_audit(spark, SF).collect()
+
+    pmax = {}
+    for uid, ts in duckdb.sql(
+        f"SELECT user_id, ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        p = md5_i64_py(f"wm#{uid}") % 32
+        sec = int(ts.timestamp())
+        pmax[p] = max(pmax.get(p, 0), sec)
+    ordered = sorted((mx, p) for p, mx in pmax.items())
+    np_ = len(pmax)
+    g = max(mx for mx, _ in ordered)
+    wm, straggler = ordered[0]
+    p10 = ordered[max(1, np_ * 10 // 100) - 1][0]
+    exp = (np_, g, wm, straggler, g - wm, g - p10)
+    assert tuple(row) == exp
+    # the straggler effect is real: the min-of-maxima watermark sits
+    # well behind the freshest partition
+    assert row["watermark_lag_s"] > 0
+    assert row["watermark_lag_s"] >= row["p10_lag_s"] >= 0
+
+
+def test_zipf_doubling_profile(spark):
+    from watermark_remove_spark.queries import q449_zipf_doubling_profile
+
+    got = {r["r"]: tuple(r) for r in q449_zipf_doubling_profile(spark, SF).collect()}
+
+    cnt = Counter()
+    for (text,) in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        for ln in text.split("\n"):
+            toks = [t for t in ln.split(" ") if t]
+            if not toks:
+                continue
+            if len(toks) <= 3:
+                cnt[" ".join(toks)] += 1
+            else:
+                for i in range(len(toks) - 2):
+                    cnt[" ".join(toks[i : i + 3])] += 1
+    ranked = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))
+    exp = {}
+    for r in (1, 2, 4, 8, 16, 32):
+        fr = ranked[r - 1][1]
+        f2r = ranked[2 * r - 1][1]
+        exp[r] = (r, fr, f2r, fr * 1000 // f2r)
+    assert got == exp
+    # rank-frequency is monotone and every doubling ratio is a
+    # bounded, >= 1 factor (the law's log-free signature)
+    for r in (1, 2, 4, 8, 16, 32):
+        assert got[r][1] >= got[r][2]
+        assert 1000 <= got[r][3] < 10000
