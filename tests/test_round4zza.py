@@ -2604,3 +2604,136 @@ def test_zipf_doubling_profile(spark):
     for r in (1, 2, 4, 8, 16, 32):
         assert got[r][1] >= got[r][2]
         assert 1000 <= got[r][3] < 10000
+
+
+def test_interrupted_time_series(spark):
+    import math
+
+    from watermark_remove_spark.queries import q450_interrupted_time_series
+
+    (row,) = q450_interrupted_time_series(spark, SF).collect()
+
+    obs = Counter()
+    for (ts,) in duckdb.sql(
+        f"SELECT ts FROM '{SF}/events.parquet'"
+    ).fetchall():
+        sec = int(ts.timestamp())
+        obs[sec - sec % 86400] += 1
+    d0, d1 = min(obs), max(obs)
+    xs = [(d - d0) // 86400 for d in range(d0, d1 + 1, 86400)]
+    ys = [obs.get(d0 + t * 86400, 0) for t in xs]
+    t0 = ((d1 - d0) // 86400) // 2
+
+    def ols(pts):
+        n = len(pts)
+        st = sum(t for t, _ in pts)
+        sx = sum(x for _, x in pts)
+        stx = sum(t * x for t, x in pts)
+        stt = sum(t * t for t, _ in pts)
+        m = float(n * stx - st * sx) / float(n * stt - st * st)
+        b = (sx / n) - m * (st / n)
+        return m, b
+
+    a = [(t, x) for t, x in zip(xs, ys) if t < t0]
+    bb = [(t, x) for t, x in zip(xs, ys) if t >= t0]
+    ma, ba = ols(a)
+    mb, bbv = ols(bb)
+    exp = (
+        t0,
+        math.floor(1000.0 * ma),
+        math.floor(1000.0 * mb),
+        math.floor(1000.0 * ((bbv + mb * t0) - (ba + ma * t0))),
+        math.floor(1000.0 * (mb - ma)),
+    )
+    assert tuple(row) == exp
+    # sane bands: daily counts move by units, not orders of magnitude
+    assert abs(row["pre_slope_milli"]) < 100000
+    assert abs(row["level_change_milli"]) < 1000000
+
+
+def test_join_state_forecast(spark):
+    from watermark_remove_spark.queries import q451_join_state_forecast
+
+    got = {r["horizon"]: tuple(r) for r in q451_join_state_forecast(spark, SF).collect()}
+
+    secs = sorted(
+        int(ts.timestamp())
+        for (ts,) in duckdb.sql(
+            f"SELECT ts FROM '{SF}/events.parquet'"
+        ).fetchall()
+    )
+    exp = {}
+    for h, name in ((3600, "1h"), (21600, "6h")):
+        marks = Counter()
+        for s_ in secs:
+            marks[s_] += 1
+            marks[s_ + h] -= 1
+        ts_sorted = sorted(marks)
+        cnt = 0
+        peak = 0
+        area = span = 0
+        for t, nxt in zip(ts_sorted, ts_sorted[1:]):
+            cnt += marks[t]
+            peak = max(peak, cnt)
+            dt = nxt - t
+            area += cnt * dt
+            span += dt
+        exp[name] = (name, h, peak, area * 1000 // span)
+    assert got == exp
+    # more horizon, more state — on both axes — and the mean tracks
+    # rate x horizon to within the bursty-arrival factor
+    assert got["1h"][2] < got["6h"][2]
+    assert got["1h"][3] < got["6h"][3]
+
+
+def test_kpi_bridge(spark):
+    import math
+
+    from watermark_remove_spark.queries import q452_kpi_bridge
+
+    (row,) = q452_kpi_bridge(spark, SF).collect()
+
+    rows = duckdb.sql(
+        f"SELECT ts, user_id, event_type, value FROM '{SF}/events.parquet'"
+    ).fetchall()
+    secs = [int(ts.timestamp()) for ts, _, _, _ in rows]
+    mid = (min(secs) + max(secs)) // 2
+    agg = {True: [set(), 0, 0], False: [set(), 0, 0]}
+    for ts, uid, et, val in rows:
+        h1 = int(ts.timestamp()) <= mid
+        a = agg[h1]
+        a[0].add(uid)
+        if et == "purchase":
+            a[1] += 1
+            a[2] += int(round(val * 100))
+    u1, p1, r1 = len(agg[True][0]), agg[True][1], agg[True][2]
+    u2, p2, r2 = len(agg[False][0]), agg[False][1], agg[False][2]
+
+    def rev(u, pu, rp):
+        return u * pu * rp
+
+    base = rev(u1, p1 / u1, r1 / p1)
+    t = rev(u2, p1 / u1, r1 / p1)
+    tf = rev(u2, p2 / u2, r1 / p1)
+    tfb = rev(u2, p2 / u2, r2 / p2)
+    exp = (
+        u1,
+        u2,
+        p1,
+        p2,
+        r1,
+        r2,
+        math.floor(1000.0 * (t - base)),
+        math.floor(1000.0 * (tf - t)),
+        math.floor(1000.0 * (tfb - tf)),
+        (r2 - r1) * 1000,
+    )
+    assert tuple(row) == exp
+    # telescoping: the three contributions reconstruct the revenue
+    # delta up to floor residue (< 3 milli-cents)
+    recon = (
+        row["traffic_contrib_milli"]
+        + row["frequency_contrib_milli"]
+        + row["basket_contrib_milli"]
+    )
+    assert abs(recon - row["delta_rev_milli"]) <= 3
