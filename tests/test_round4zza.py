@@ -2737,3 +2737,126 @@ def test_kpi_bridge(spark):
         + row["basket_contrib_milli"]
     )
     assert abs(recon - row["delta_rev_milli"]) <= 3
+
+
+def test_sortedness_runs_audit(spark):
+    from watermark_remove_spark.queries import q453_sortedness_runs_audit
+
+    got = {r["ordering"]: tuple(r) for r in q453_sortedness_runs_audit(spark, SF).collect()}
+
+    rows = duckdb.sql(
+        f"SELECT ts, event_id, user_id, value FROM '{SF}/events.parquet'"
+    ).fetchall()
+
+    def runs(seq):
+        c = 0
+        prev = None
+        for v in seq:
+            if prev is None or v < prev:
+                c += 1
+            prev = v
+        return c
+
+    arrival = sorted(rows, key=lambda r: (r[0], r[1]))
+    byuser = sorted(rows, key=lambda r: (r[2], r[0], r[1]))
+    n = len(rows)
+    exp = {
+        "value_by_arrival": runs([int(round(r[3] * 100)) for r in arrival]),
+        "user_by_arrival": runs([r[2] for r in arrival]),
+        "ts_by_user_blocks": runs(
+            [int(r[0].timestamp()) for r in byuser]
+        ),
+    }
+    exp = {
+        k: (k, n, v, v * 3000000 // (2 * n + 1)) for k, v in exp.items()
+    }
+    assert got == exp
+    # grouped-by-user timestamps are nearly sorted; arrival-order
+    # values are essentially random
+    assert got["ts_by_user_blocks"][3] < 100000
+    assert got["value_by_arrival"][3] > 500000
+
+
+def test_rle_layout_sensitivity(spark):
+    from watermark_remove_spark.queries import q454_rle_layout_sensitivity
+
+    got = {r["ordering"]: tuple(r) for r in q454_rle_layout_sensitivity(spark, SF).collect()}
+
+    rows = duckdb.sql(
+        f"SELECT ts, event_id, user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall()
+
+    def runs(seq):
+        c = 0
+        prev = None
+        for v in seq:
+            if prev is None or v != prev:
+                c += 1
+            prev = v
+        return c
+
+    n = len(rows)
+    orders = {
+        "arrival": sorted(rows, key=lambda r: (r[0], r[1])),
+        "by_user": sorted(rows, key=lambda r: (r[2], r[0], r[1])),
+        "by_type": sorted(rows, key=lambda r: (r[3], r[0], r[1])),
+    }
+    exp = {}
+    for name, seq in orders.items():
+        rr = runs([r[3] for r in seq])
+        exp[name] = (name, n, rr, rr * 5 * 1000000 // n)
+    assert got == exp
+    # the layout swing: type-sorted RLE is tiny, unsorted RLE is
+    # WORSE than plain — the decision the audit exists to inform
+    assert got["by_type"][3] < 100000
+    assert got["arrival"][3] > 1000000
+
+
+def test_peeking_audit(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q455_peeking_audit
+
+    (row,) = q455_peeking_audit(spark, SF).collect()
+
+    daily = defaultdict(lambda: [0, 0, 0, 0])  # na, a, nb, b per day
+    for ts, uid, et in duckdb.sql(
+        f"SELECT ts, user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        d = int(ts.timestamp()) // 86400
+        arm = md5_i64_py(f"peek#{uid}") % 2
+        rec = daily[d]
+        if arm == 0:
+            rec[0] += 1
+            rec[1] += 1 if et == "purchase" else 0
+        else:
+            rec[2] += 1
+            rec[3] += 1 if et == "purchase" else 0
+    na = a = nb = b = 0
+    looks = naive = bonf = 0
+    first = -1
+    for d in sorted(daily):
+        rec = daily[d]
+        na += rec[0]
+        a += rec[1]
+        nb += rec[2]
+        b += rec[3]
+        # a look requires BOTH arms active on day d (the SQL's
+        # cum rows exist only on an arm's active days)
+        if rec[0] == 0 or rec[2] == 0:
+            continue
+        if a + b == 0 or a + b == na + nb:
+            continue
+        looks += 1
+        lhs = (na + nb) * (a * nb - b * na) ** 2
+        rhs = na * nb * (a + b) * (na + nb - a - b)
+        if 1000 * lhs >= 3841 * rhs:
+            naive += 1
+            if first == -1:
+                first = d
+        if 1000 * lhs >= 11070 * rhs:
+            bonf += 1
+    assert tuple(row) == (looks, naive, bonf, first)
+    # a proper negative control: the corrected threshold never fires
+    # more than the naive one, looks cover the span
+    assert row["bonferroni_crossings"] <= row["naive_crossings"]
+    assert row["n_looks"] >= 20
