@@ -2860,3 +2860,95 @@ def test_peeking_audit(spark):
     # more than the naive one, looks cover the span
     assert row["bonferroni_crossings"] <= row["naive_crossings"]
     assert row["n_looks"] >= 20
+
+
+def test_disorder_profile(spark):
+    from watermark_remove_spark.queries import q456_disorder_profile
+
+    (row,) = q456_disorder_profile(spark, SF).collect()
+
+    rows = sorted(
+        duckdb.sql(
+            f"SELECT o_orderkey, o_orderdate FROM '{SF}/orders.parquet'"
+        ).fetchall()
+    )
+    lates = []
+    mx = None
+    for _, d in rows:
+        sec = int(d.timestamp())
+        lates.append(max(0, (mx if mx is not None else sec) - sec))
+        mx = sec if mx is None else max(mx, sec)
+    n = len(lates)
+    in_order = sum(1 for l in lates if l == 0)
+    pos = [l for l in lates if l > 0]
+    pos_sorted = sorted(pos)
+    m = len(pos)
+    exp = (
+        n,
+        in_order * 1000000 // n,
+        pos_sorted[max(1, m * 50 // 100) - 1],
+        pos_sorted[max(1, m * 90 // 100) - 1],
+        pos_sorted[max(1, m * 99 // 100) - 1],
+        max(lates),
+    )
+    assert tuple(row) == exp
+    # the CDC shape: almost everything is late, by a lot
+    assert row["in_order_ppm"] < 100000
+    assert row["p50_late_s"] > 86400
+    assert row["p50_late_s"] <= row["p90_late_s"] <= row["p99_late_s"] <= row["max_late_s"]
+
+
+def test_fanout_tail_audit(spark):
+    from watermark_remove_spark.queries import q457_fanout_tail_audit
+
+    got = {r["k"]: tuple(r) for r in q457_fanout_tail_audit(spark, SF).collect()}
+
+    by_type = defaultdict(list)
+    for et, eid, val in duckdb.sql(
+        f"SELECT event_type, event_id, value FROM '{SF}/events.parquet'"
+    ).fetchall():
+        by_type[et].append((eid, int(round(val * 100))))
+    exp = {}
+    for k in (1, 2, 4, 8, 16):
+        maxima = []
+        for vals in by_type.values():
+            vals.sort()
+            seq = [c for _, c in vals]
+            for i in range(0, len(seq) - len(seq) % k, k):
+                maxima.append(max(seq[i : i + k]))
+        nb = len(maxima)
+        exp[k] = (k, nb, sum(maxima) * 1000 // nb)
+    base = exp[1][2]
+    exp = {
+        k: (*v, v[2] * 1000 // base) for k, v in exp.items()
+    }
+    assert got == exp
+    # the tail at scale: mean-of-max strictly climbs with fan-out
+    amps = [got[k][3] for k in (1, 2, 4, 8, 16)]
+    assert amps == sorted(amps) and amps[0] == 1000 and amps[-1] > 1500
+
+
+def test_agg_tree_advisor(spark):
+    from math import ceil
+
+    from watermark_remove_spark.queries import q458_agg_tree_advisor
+
+    got = {r["f"]: tuple(r) for r in q458_agg_tree_advisor(spark, SF).collect()}
+
+    vol = sum(
+        len(t.encode("utf-8"))
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    n = (vol + 65535) // 65536
+    exp = {}
+    for f in (2, 4, 8, 16, 32):
+        depth = next(l for l in range(1, 33) if f**l >= n)
+        msgs = sum(ceil(n / f**i) for i in range(1, depth + 1))
+        exp[f] = (f, n, depth, msgs, ceil(n / f))
+    assert got == exp
+    # the latency/width trade: depth falls, level-1 width rises...
+    depths = [got[f][2] for f in (2, 4, 8, 16, 32)]
+    assert depths == sorted(depths, reverse=True)
+    assert got[2][3] >= got[32][3]
