@@ -2952,3 +2952,131 @@ def test_agg_tree_advisor(spark):
     depths = [got[f][2] for f in (2, 4, 8, 16, 32)]
     assert depths == sorted(depths, reverse=True)
     assert got[2][3] >= got[32][3]
+
+
+def test_equivalence_tost(spark):
+    from watermark_remove_spark.functions.portable_hash import md5_i64_py
+    from watermark_remove_spark.queries import q459_equivalence_tost
+
+    (row,) = q459_equivalence_tost(spark, SF).collect()
+
+    ud = {}
+    for ts, uid, et in duckdb.sql(
+        f"SELECT ts, user_id, event_type FROM '{SF}/events.parquet'"
+    ).fetchall():
+        key = (int(ts.timestamp()) // 86400, uid)
+        ud[key] = max(ud.get(key, 0), 1 if et == "purchase" else 0)
+    na = a = nb = b = 0
+    for (d, uid), y in ud.items():
+        if md5_i64_py(f"tost#{uid}") % 2 == 0:
+            na += 1
+            a += y
+        else:
+            nb += 1
+            b += y
+    dd = 100 * (a * nb - b * na) + na * nb
+    d2 = na * nb - 100 * (a * nb - b * na)
+    pq = 10000 * na * nb * (a + b) * (na + nb - a - b)
+    t1 = dd > 0 and 1000 * (na + nb) * dd * dd >= 2706 * pq
+    t2 = d2 > 0 and 1000 * (na + nb) * d2 * d2 >= 2706 * pq
+    exp = (
+        na,
+        a,
+        nb,
+        b,
+        a * 1000000 // na,
+        b * 1000000 // nb,
+        t1,
+        t2,
+        t1 and t2,
+    )
+    assert tuple(row) == exp
+    # logical consistency: equivalence iff both one-sided bounds hold
+    assert row["equivalent"] == (
+        row["lower_bound_holds"] and row["upper_bound_holds"]
+    )
+
+
+def test_dedup_roi_ranking(spark):
+    from watermark_remove_spark.queries import q460_dedup_roi_ranking
+
+    got = {r["source"]: tuple(r) for r in q460_dedup_roi_ranking(spark, SF).collect()}
+
+    src = dict(
+        duckdb.sql(
+            f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    within = Counter()
+    for x, y in _q62_edges_py(SF):
+        if src[x] == src[y]:
+            within[src[x]] += 1
+    size = defaultdict(int)
+    for s_, t in duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        size[s_] += len(t.encode("utf-8"))
+    scored = {
+        s_: (
+            size[s_],
+            within.get(s_, 0),
+            within.get(s_, 0) * 1048576 * 1000 // size[s_],
+        )
+        for s_ in size
+    }
+    order = sorted(scored.items(), key=lambda t: (-t[1][2], t[0]))
+    exp = {
+        s_: (s_, by, dp, roi, i + 1)
+        for i, (s_, (by, dp, roi)) in enumerate(order)
+    }
+    assert got == exp
+    # the ranking discriminates: the top source genuinely out-earns
+    # the bottom per megabyte
+    top = min(got.values(), key=lambda r: r[4])
+    bot = max(got.values(), key=lambda r: r[4])
+    assert top[3] > bot[3]
+
+
+def test_nbu_aging_test(spark):
+    import math
+
+    from watermark_remove_spark.queries import q461_nbu_aging_test
+
+    got = {(r["a"], r["b"]): tuple(r) for r in q461_nbu_aging_test(spark, SF).collect()}
+
+    by_user = defaultdict(list)
+    for uid, ts, eid in duckdb.sql(
+        f"""SELECT user_id, ts, event_id FROM '{SF}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchall():
+        by_user[uid].append((int(ts.timestamp()), eid))
+    gaps = []
+    for rows in by_user.values():
+        rows.sort()
+        gaps.extend(b[0] - a[0] for a, b in zip(rows, rows[1:]))
+    n = len(gaps)
+    gs = sorted(gaps)
+    qa = gs[max(1, n * 25 // 100) - 1]
+    qb = gs[max(1, n * 50 // 100) - 1]
+    exp = {}
+    for a, b in {(qa, qa), (qa, qb), (qb, qb)}:
+        sa = sum(1 for g in gaps if g > a)
+        sb = sum(1 for g in gaps if g > b)
+        sab = sum(1 for g in gaps if g > a + b)
+        exp[(a, b)] = (
+            a,
+            b,
+            n,
+            sa,
+            sb,
+            sab,
+            sab * n <= sa * sb,
+            math.floor(
+                1000000.0 * (float(sab) * float(n)) / (float(sa) * float(sb))
+            ),
+        )
+    assert got == exp
+    # the purchase process CLUMPS on this corpus (NWU side of
+    # memoryless) — consistent with q389's positive gap correlation
+    for r in got.values():
+        assert r[7] > 1000000 and not r[6]
