@@ -3080,3 +3080,117 @@ def test_nbu_aging_test(spark):
     # memoryless) — consistent with q389's positive gap correlation
     for r in got.values():
         assert r[7] > 1000000 and not r[6]
+
+
+def test_watermark_completeness_curve(spark):
+    from watermark_remove_spark.queries import q462_watermark_completeness_curve
+
+    got = {r["delay_days"]: tuple(r) for r in q462_watermark_completeness_curve(spark, SF).collect()}
+
+    rows = sorted(
+        duckdb.sql(
+            f"SELECT o_orderkey, o_orderdate FROM '{SF}/orders.parquet'"
+        ).fetchall()
+    )
+    lates = []
+    secs = []
+    mx = None
+    for _, d in rows:
+        sec = int(d.timestamp())
+        secs.append(sec)
+        lates.append(max(0, (mx if mx is not None else sec) - sec))
+        mx = sec if mx is None else max(mx, sec)
+    n = len(lates)
+    span = (max(secs) - min(secs)) // 86400
+    exp = {}
+    for d in (1, 7, 30, 90):
+        ok = sum(1 for l in lates if l <= d * 86400)
+        exp[d] = (d, n, ok, ok * 1000000 // n, d * n // max(1, span))
+    assert got == exp
+    # the curve is monotone and the verdict is stark: key-ordered CDC
+    # ingest defeats even a 90-day watermark
+    comp = [got[d][3] for d in (1, 7, 30, 90)]
+    assert comp == sorted(comp)
+    assert got[90][3] < 500000
+
+
+def test_backlog_capacity_sweep(spark):
+    from watermark_remove_spark.queries import q463_backlog_capacity_sweep
+
+    got = {r["cap_name"]: tuple(r) for r in q463_backlog_capacity_sweep(spark, SF).collect()}
+
+    obs = Counter()
+    for (d,) in duckdb.sql(
+        f"SELECT o_orderdate FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        sec = int(d.timestamp())
+        obs[sec - sec % 86400] += 1
+    d0, d1 = min(obs), max(obs)
+    days = list(range(d0, d1 + 1, 86400))
+    arr = [obs.get(d, 0) for d in days]
+    n = len(arr)
+    ranked = sorted(zip(arr, days))
+    exp = {}
+    for p, name in ((50, "p50"), (75, "p75"), (90, "p90")):
+        c = ranked[max(1, n * p // 100) - 1][0]
+        b = 0
+        peak = tot = bdays = 0
+        for a in arr:
+            b = max(0, b + a - c)
+            peak = max(peak, b)
+            tot += b
+            bdays += 1 if b > 0 else 0
+        exp[name] = (name, c, peak, tot, bdays)
+    assert got == exp
+    # the staffing curve: higher capacity, strictly less pain
+    assert (
+        got["p50"][3] > got["p75"][3] > got["p90"][3] >= 0
+    )
+
+
+def test_fingerprint_collision_audit(spark):
+    from watermark_remove_spark.queries import q464_fingerprint_collision_audit
+
+    (row,) = q464_fingerprint_collision_audit(spark, SF).collect()
+
+    import hashlib
+
+    def fingerprint(text):
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) == 0:
+            grams = []
+        elif len(toks) <= 5:
+            grams = [" ".join(toks)]
+        else:
+            grams = [
+                " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+            ]
+        return min(
+            hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams
+        )
+
+    groups = defaultdict(list)
+    for (t,) in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        groups[fingerprint(t)].append(t)
+    n_docs = sum(len(v) for v in groups.values())
+    multi = sum(1 for v in groups.values() if len(v) > 1)
+    collide_groups = [
+        v for v in groups.values() if len(set(v)) > 1
+    ]
+    colliding = sum(len(v) for v in collide_groups)
+    exp = (
+        n_docs,
+        len(groups),
+        multi,
+        len(collide_groups),
+        colliding,
+        colliding * 1000000 // n_docs,
+        max(len(v) for v in groups.values()),
+    )
+    assert tuple(row) == exp
+    # the false-merge risk is measurable on this corpus: real
+    # collisions exist but stay a small minority
+    assert 0 < row["colliding_ppm"] < 500000
+    assert row["true_collision_groups"] <= row["multi_doc_groups"]
