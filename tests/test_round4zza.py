@@ -1060,9 +1060,9 @@ def test_wilcoxon_signed_rank(spark):
     e2 = n * (n + 1) // 2
     v12 = 2 * n * (n + 1) * (2 * n + 1) - tie3
     z = math.floor(
-        1000.0 * (float(w2) - float(e2)) / (2.0 * math.sqrt(float(v12) / 12.0))
+        1000.0 * (float(w2) - float(e2)) / math.sqrt(float(v12) / 12.0)
     )
-    sig = 3000 * (w2 - e2) ** 2 >= 3841 * v12
+    sig = 12000 * (w2 - e2) ** 2 >= 3841 * v12
     assert tuple(row) == (n, w2, e2, v12, z, sig)
     # rank-sum identity: W+ + W- = n(n+1)/2 in the 2x domain
     wminus2 = sum(rank2[a] for a, _, v in diffs if v < 0)
@@ -1174,7 +1174,7 @@ def test_coupon_collector(spark):
     exp = (
         n,
         k,
-        n * (h[n] - h[k]) * 1000 // SCALE,
+        n * h[n - k] * 1000 // SCALE,
         n * h[n] * 1000 // SCALE,
     )
     assert tuple(row) == exp
