@@ -66,11 +66,24 @@ def make_pyfiles_zip(tmpdir: str) -> str:
     return zpath
 
 
-def run_level(master: str, cpus: int, src: str, n_pages: int, pyfiles: str) -> dict:
+def run_level(
+    master: str,
+    cpus: int,
+    src: str,
+    n_pages: int,
+    pyfiles: str,
+    pin_cores: str | None = None,
+) -> dict:
     spark_submit = os.path.join(
         os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
     )
-    cmd = [
+    # round-4 verdict #4: pin the whole spark-submit process tree
+    # (driver + executor JVMs + python workers) to a FIXED core set so
+    # the N/4N ratio stops inheriting scheduler-placement noise from
+    # whatever else the shared VM is running; identical affinity at
+    # both levels keeps the comparison fair
+    prefix = ["taskset", "-c", pin_cores] if pin_cores else []
+    cmd = prefix + [
         spark_submit,
         "--master", master,
         "--py-files", pyfiles,
@@ -83,10 +96,13 @@ def run_level(master: str, cpus: int, src: str, n_pages: int, pyfiles: str) -> d
         "--shuffle-partitions", "32",
         "--pyfiles-mode",
     ]
+    load1 = os.getloadavg()[0]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT, timeout=3600)
     for line in out.stdout.strip().splitlines()[::-1]:
         try:
-            return json.loads(line)
+            res = json.loads(line)
+            res["loadavg1_at_start"] = round(load1, 2)
+            return res
         except json.JSONDecodeError:
             continue
     raise RuntimeError(f"no JSON from {master}: {out.stdout[-500:]} {out.stderr[-2000:]}")
@@ -96,7 +112,28 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=480_000)
     ap.add_argument("--runs", type=int, default=2, help="keep best per level")
+    ap.add_argument(
+        "--pin-cores",
+        default="0-11",
+        help="taskset CPU list for BOTH levels ('' disables); 12 cores"
+        " covers driver + 4 executors + python workers with headroom",
+    )
+    ap.add_argument(
+        "--max-load",
+        type=float,
+        default=8.0,
+        help="host-idle precheck: refuse to record a reading when "
+        "1-min loadavg exceeds this at invocation start (0 disables)",
+    )
     args = ap.parse_args()
+
+    load1 = os.getloadavg()[0]
+    if args.max_load and load1 > args.max_load:
+        print(
+            f"host busy: loadavg1={load1:.2f} > --max-load {args.max_load};"
+            " refusing to record a noise-contaminated reading"
+        )
+        sys.exit(3)
 
     from watermark_remove_spark.fixtures import PagesConfig, generate_corpus
     from watermark_remove_spark.sources.pages import write_batch_files
@@ -129,10 +166,13 @@ def main() -> None:
     # the best per level: host-level noise windows (shared-VM
     # neighbors) then bias both sides of the efficiency ratio rather
     # than silently sinking one level's only measurement.
+    pin = args.pin_cores or None
+    if pin:
+        print(f"pinning both levels: taskset -c {pin}")
     results = {}
     for r in range(args.runs):
         for label, (master, cpus) in levels.items():
-            res = run_level(master, cpus, src, n_pages, pyfiles)
+            res = run_level(master, cpus, src, n_pages, pyfiles, pin)
             print(f"{label} ({master}) run {r}: {res}")
             best = results.get(label)
             if best is None or res["pages_per_sec"] > best["pages_per_sec"]:
@@ -162,6 +202,7 @@ def main() -> None:
                     "ts": datetime.now(timezone.utc).isoformat(),
                     "pages": n_pages,
                     "runs": args.runs,
+                    "pin_cores": pin,
                     "N": results["N"],
                     "4N": results["4N"],
                     "efficiency": round(eff, 3),
@@ -171,7 +212,9 @@ def main() -> None:
         )
     history = [json.loads(line) for line in open(hist_path)]
     hist_md = "\n".join(
-        f"| {h['ts'][:16]} | {h['N']['pages_per_sec']} | "
+        f"| {h['ts'][:16]} | {h.get('pages', '?')} | "
+        f"{'y' if h.get('pin_cores') else 'n'} | "
+        f"{h['N']['pages_per_sec']} | "
         f"{h['4N']['pages_per_sec']} | {h['efficiency']} |"
         for h in history
     )
@@ -189,8 +232,12 @@ Protocol (see tools/scaling_bench.py docstring): identical streaming
 flagship job — broadcast mask join, JVM shingle hashing, Arrow
 mapInPandas membership extraction, streaming dropDuplicates on
 (url, warc_ts), tumbling window agg per lang, exactly-once ledger
-sink — on identical deterministic synthetic input ({n_pages} pages of
-~3 KB text, 2 micro-batch triggers x 64 files), with
+sink — on deterministic synthetic input ({n_pages} pages of ~3 KB
+text this invocation; page COUNT has varied across the recorded
+history — see the per-row pages column below; within any single
+invocation both cluster levels always consume the IDENTICAL input,
+so each efficiency ratio is size-controlled even though history rows
+are not all the same size — 2 micro-batch triggers x 64 files), with
 spark.sql.shuffle.partitions=32 held FIXED across cluster sizes
 (state partitioning of a stateful query is immutable across
 restarts; clusters scale executors, not state partitions).
@@ -211,18 +258,26 @@ Generated: {datetime.now(timezone.utc).isoformat()}
 
 **this invocation: efficiency = (throughput_4N / throughput_N) / 4 = {eff:.3f}**
 
-**across all {len(effs)} recorded invocations (identical plan & protocol):
+**across all {len(effs)} recorded invocations (identical plan & protocol;
+input size per row in the table below):
 median efficiency = {med_eff:.3f}; {n_ge}/{len(effs)} readings >= 0.8**
 (target >= 0.8 per BASELINE.json north_rule).  Single readings on this
 shared-host VM swing ±20-40% (variance note below), so the headline
 statistic is the across-history median, not the latest window.
 
+De-noising (round-4 verdict #4): invocations with pinned=y ran the
+entire spark-submit tree of BOTH levels under `taskset -c {args.pin_cores or '0-11'}`
+(identical fixed core set), and the invocation is refused outright
+when the 1-min loadavg at start exceeds --max-load ({args.max_load}) —
+so pinned readings neither migrate across cores mid-run nor start
+inside a known-busy host window.
+
 Measurement history (append-only `BENCH/scaling_history.jsonl`; each
 row is one full interleaved best-per-level invocation — the spread IS
 the shared-VM host-noise evidence, see variance note below):
 
-| when (UTC) | N pages/s | 4N pages/s | efficiency |
-|---|---|---|---|
+| when (UTC) | pages | pinned | N pages/s | 4N pages/s | efficiency |
+|---|---|---|---|---|---|
 {hist_md}
 
 Variance note (honesty): the sandbox VM shares a host; absolute
