@@ -757,3 +757,42 @@ def test_q108_streaming_leaderboard(spark):
     ]
     assert got == exp
     assert len(got) == 10 and got[0][2] >= got[-1][2]
+
+
+def test_q193_cdc_chunking(spark):
+    """CDC chunker replay (also the HOF-audit head-to-head kernel):
+    boundary after any token whose 60-bit md5 hash % 8 == 0."""
+    from watermark_remove_spark.queries import q193_cdc_chunking
+
+    got = {
+        r["source"]: (
+            r["n_chunks"],
+            r["n_distinct_chunks"],
+            r["dup_ppm"],
+            r["total_tokens"],
+            r["avg_chunk_tokens_milli"],
+        )
+        for r in q193_cdc_chunking(spark, SF).collect()
+    }
+
+    per_source = defaultdict(list)
+    for _d, text, _l, s in _docs():
+        toks = [w for w in text.replace("\n", " ").split(" ") if w]
+        chunks, cur = [], []
+        for w in toks:
+            cur.append(w)
+            if _md5_i64(f"cdc#{w}") % 8 == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        per_source[s].extend(chunks)
+    exp = {}
+    for s, chunks in per_source.items():
+        n = len(chunks)
+        nd = len({_md5_i64(f"chunk#{c}") for c in chunks})
+        tot = sum(len(c.split(" ")) for c in chunks)
+        exp[s] = (n, nd, ((n - nd) * 1000000) // n, tot, (tot * 1000) // n)
+    assert got == exp
+    # chunk-level duplication is real (shared boilerplate chunks)
+    assert any(v[2] > 0 for v in got.values())
