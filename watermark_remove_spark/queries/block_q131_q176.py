@@ -86,9 +86,14 @@ def q141_khop_reachability(spark, sf_dir):
     Scale shape: undirected adjacency = the oriented edge list
     mirrored once; each BFS level is ONE node-key equi-join off the
     previous frontier (fan-out bounded by the df-pruned degree, the
-    q68 argument); hop distance = min(level) per (src, dst) pair —
-    one hash agg; final counts are conditional aggregates over the
-    PAIR relation, never the corpus."""
+    q68 argument); the level-2 frontier is DEDUPLICATED to distinct
+    (a, b) pairs before the level-3 join — joining off the 2-PATH
+    multiset would multiply the 3-hop fan-out by the number of
+    middle nodes per pair, a path-counting blowup the min-level agg
+    would only repair after paying its shuffle (measured 1.9x at
+    sf0.1); hop distance = min(level) per (src, dst) pair — one hash
+    agg; final counts are conditional aggregates over the PAIR
+    relation, never the corpus."""
     docs = _t_wide(spark, sf_dir, "documents")
     edges = _q62_edges(docs, min_shared=2).localCheckpoint(eager=True)
     adj = (
@@ -102,8 +107,9 @@ def q141_khop_reachability(spark, sf_dir):
         .where(F.col("a") != F.col("b"))
         .select("a", "b", F.lit(2).alias("lvl"))
     )
+    frontier2 = r2.select("a", F.col("b").alias("mid")).distinct()
     r3 = (
-        r2.select("a", F.col("b").alias("mid"))
+        frontier2
         .join(adj.select(F.col("a").alias("mid"), F.col("b")), "mid")
         .where(F.col("a") != F.col("b"))
         .select("a", "b", F.lit(3).alias("lvl"))
